@@ -1,13 +1,362 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Cols
+import graft.operators.{Dedup, EntityResolution, Reshape, SurrogateKeys}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[Registry.all]] exercises one operator family from
+  * SURVEY.md §2 (or a training-data-pipeline extension) against the
+  * driver's TPC-H-ish testdata, paired with the ANSI SQL the DuckDB
+  * oracle runs on the same tables. Determinism rules for the hash
+  * compare:
+  *  - every query ends in ORDER BY on a unique key combination;
+  *  - float outputs are either exact (counts, min/max, sums of
+  *    integer-valued columns) or summed as DECIMAL(18,2) in BOTH engines
+  *    before a final cast to double (binary float summation is
+  *    order-dependent; decimal summation is exact).
+  */
 object SparkEntry {
+
+  /** Testdata loader. `events.ts` is parquet TIMESTAMP(NANOS) which Spark
+    * refuses by default: read it as long (legacy conf) and integer-divide
+    * to micros — `div`, not `/`, because epoch-nanos exceed 2^53 and a
+    * double roundtrip would lose precision. DuckDB truncates ns->us the
+    * same way.
+    */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/$name.parquet")
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    } else s.read.parquet(s"$dir/$name.parquet")
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Registry.all.head.run(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Registry.all.map(q => q.name -> q.run).toMap
+
+  def oracleSql: Map[String, String] =
+    Registry.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  final case class Q(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  object Registry {
+
+    // ---- §2.5 aggregation family -------------------------------------
+
+    /** A1-A5 + X13 pricing summary (TPC-H Q1 shape): partial+final hash
+      * agg, no join. sum_price goes through decimal for exactness.
+      */
+    private val q01 = Q(
+      "q01_pricing_summary",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum($"l_quantity").as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          avg($"l_quantity").as("avg_qty"),
+          sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(l_quantity) AS sum_qty,
+             |  count(*) AS n_rows,
+             |  avg(l_quantity) AS avg_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+    /** A1 global max + X13 rescale-to-100: scalar aggregate broadcast back
+      * over the full table via crossJoin(broadcast(1-row)) — no window
+      * over an empty partition, no collect.
+      */
+    private val q02 = Q(
+      "q02_rescale_pct",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val mx = o.agg(max($"o_totalprice").as("__mx"))
+        o.crossJoin(broadcast(mx))
+          .select(
+            $"o_orderkey",
+            round($"o_totalprice" / $"__mx" * 100).cast("int").as("pct"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(round(o_totalprice / (SELECT max(o_totalprice) FROM orders) * 100) AS INT) AS pct
+             |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+    /** A3 distinct. */
+    private val q03 = Q(
+      "q03_distinct_segments",
+      (s, dir) => t(s, dir, "customer")
+        .select($"c_mktsegment").distinct().orderBy("c_mktsegment"),
+      Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"))
+
+    /** A5 group-count. */
+    private val q04 = Q(
+      "q04_count_by_type",
+      (s, dir) => t(s, dir, "events")
+        .groupBy($"event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY 1"))
+
+    // ---- §2.4 join family --------------------------------------------
+
+    /** J1 broadcast hash join chain (dimension lookups): both dims
+      * broadcast, zero shuffle on the probe side before the agg.
+      */
+    private val q05 = Q(
+      "q05_join_dims",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy($"r_name", $"n_name")
+          .agg(
+            count(lit(1)).as("n_customers"),
+            min($"c_acctbal").as("min_bal"),
+            max($"c_acctbal").as("max_bal"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r_name, n_name, count(*) AS n_customers,
+             |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+    /** J2 semi join (EXISTS). */
+    private val q06 = Q(
+      "q06_semi_join",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem").filter($"l_quantity" > 45)
+        o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+          .select($"o_orderkey").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+             |ORDER BY o_orderkey""".stripMargin))
+
+    /** J2/F2 anti join (NOT EXISTS) — the "unmatched quarantine" shape. */
+    private val q07 = Q(
+      "q07_anti_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").filter($"o_orderstatus" === "F")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select($"c_custkey").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+             |ORDER BY c_custkey""".stripMargin))
+
+    // ---- §2.6 window / dedup family ----------------------------------
+
+    /** W1 keep-first dedup (arrival order = o_orderkey). */
+    private val q08 = Q(
+      "q08_dedup_keep_first",
+      (s, dir) => Dedup
+        .keepFirst(t(s, dir, "orders"), Seq($"o_custkey"), $"o_orderkey")
+        .kept
+        .select($"o_custkey", $"o_orderkey")
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, o_orderkey FROM (
+             |  SELECT o_custkey, o_orderkey,
+             |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+             |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin))
+
+    /** W2 keep-best dedup (quality-ranked, deterministic tiebreak). */
+    private val q09 = Q(
+      "q09_dedup_keep_best",
+      (s, dir) => Dedup
+        .keepBest(t(s, dir, "orders"), Seq($"o_custkey"), Seq($"o_totalprice"), $"o_orderkey")
+        .kept
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |         row_number() OVER (PARTITION BY o_custkey
+             |           ORDER BY o_totalprice DESC NULLS LAST, o_orderkey) AS rn
+             |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin))
+
+    /** W3/W4 multi-key sort + limit (deterministic tiebreak). */
+    private val q10 = Q(
+      "q10_top_orders",
+      (s, dir) => t(s, dir, "orders")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(50)
+        .select($"o_orderkey", $"o_totalprice"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin))
+
+    // ---- §2.7 set operations -----------------------------------------
+
+    /** U1 union + U2 multiset except. */
+    private val q11 = Q(
+      "q11_union_except",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val a = o.filter($"o_orderstatus" === "O").select($"o_orderkey")
+        val b = o.filter($"o_totalprice" > 200000).select($"o_orderkey")
+        val drop = o.filter($"o_custkey" % 7 === 0).select($"o_orderkey")
+        a.unionByName(b).exceptAll(drop).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey FROM (
+             |  (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
+             |   UNION ALL
+             |   SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)
+             |  EXCEPT ALL
+             |  SELECT o_orderkey FROM orders WHERE o_custkey % 7 = 0
+             |) ORDER BY o_orderkey""".stripMargin))
+
+    // ---- §2.9 reshape -------------------------------------------------
+
+    /** M1-M4 unpivot: wide measures -> long (metric, value) rows; narrow
+      * op, no shuffle.
+      */
+    private val q12 = Q(
+      "q12_unpivot_part",
+      (s, dir) => Reshape
+        .unpivotNonNull(
+          t(s, dir, "part"),
+          ids = Seq("p_partkey"),
+          valueCols = Seq("p_size", "p_retailprice"),
+          varName = "metric", valName = "value", valueType = "double")
+        .orderBy("p_partkey", "metric"),
+      Some("""SELECT p_partkey, metric, value FROM (
+             |  SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+             |  UNION ALL
+             |  SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice FROM part)
+             |WHERE value IS NOT NULL
+             |ORDER BY p_partkey, metric""".stripMargin))
+
+    // ---- §7.3 surrogate keys / get-or-create dims --------------------
+
+    /** J3-J6 get-or-create: existing dim keeps ids, new natural keys get
+      * fresh dense ids after max existing.
+      */
+    private val q13 = Q(
+      "q13_dim_get_or_create",
+      (s, dir) => {
+        val part = t(s, dir, "part")
+        val existing = SurrogateKeys.dense(
+          part.filter($"p_brand" < "Brand#40").select($"p_brand").distinct(),
+          "id", Seq($"p_brand".asc))
+          .select($"id", $"p_brand")
+        SurrogateKeys.getOrCreate(existing, part.select($"p_brand"), "id", "p_brand")
+          .orderBy("id")
+      },
+      Some("""WITH existing AS (
+             |  SELECT CAST(row_number() OVER (ORDER BY p_brand) AS BIGINT) AS id, p_brand
+             |  FROM (SELECT DISTINCT p_brand FROM part WHERE p_brand < 'Brand#40')),
+             |fresh AS (
+             |  SELECT DISTINCT p_brand FROM part
+             |  WHERE p_brand NOT IN (SELECT p_brand FROM existing))
+             |SELECT id, p_brand FROM existing
+             |UNION ALL
+             |SELECT CAST(row_number() OVER (ORDER BY p_brand) + (SELECT coalesce(max(id),0) FROM existing) AS BIGINT) AS id,
+             |       p_brand
+             |FROM fresh
+             |ORDER BY id""".stripMargin))
+
+    // ---- §2.8 scalar functions ---------------------------------------
+
+    /** X1 normalize_text parity with DuckDB's strip_accents pipeline. */
+    private val q14 = Q(
+      "q14_normalize_text",
+      (s, dir) => t(s, dir, "documents")
+        .select($"doc_id", Cols.normalizeText($"text").as("norm"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CASE WHEN text IS NULL OR trim(text) = '' THEN ''
+             |       ELSE lower(regexp_replace(strip_accents(trim(text)), '\s+', ' ', 'g'))
+             |  END AS norm
+             |FROM documents ORDER BY doc_id""".stripMargin))
+
+    /** X8-shaped sentence explode (generator op). The oracle-facing split
+      * uses a lookaround-free delimiter (DuckDB's RE2 lacks lookbehind);
+      * the full reference regex is covered by ScalaTest golden pairs.
+      */
+    private val q15 = Q(
+      "q15_sentence_explode",
+      (s, dir) => t(s, dir, "documents")
+        .select(
+          $"doc_id",
+          explode(
+            filter(
+              transform(split($"text", "\\. "), x => trim(x)),
+              x => x =!= lit(""))).as("sentence"))
+        .orderBy("doc_id", "sentence"),
+      Some("""SELECT doc_id, sentence FROM (
+             |  SELECT doc_id, trim(unnest(regexp_split_to_array(text, '\. '))) AS sentence
+             |  FROM documents)
+             |WHERE sentence <> '' ORDER BY doc_id, sentence""".stripMargin))
+
+    /** X4/X10 parse-or-default numeric validation over JSON-ish props. */
+    private val q16 = Q(
+      "q16_validate_numeric",
+      (s, dir) => t(s, dir, "events")
+        .select(
+          $"event_id",
+          Cols.validateNumeric(regexp_extract($"props", "\"k\": (-?\\d+)", 1)).as("k_val"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  CAST(greatest(coalesce(TRY_CAST(TRY_CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS DOUBLE) AS INT), 0), 0) AS INT) AS k_val
+             |FROM events ORDER BY event_id""".stripMargin))
+
+    /** X11/X12/X22/X23 timestamp ops: per-user span + first day. */
+    private val q17 = Q(
+      "q17_user_sessions",
+      (s, dir) => t(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          date_format(min($"ts"), "yyyy-MM-dd").as("first_day"),
+          (unix_timestamp(max($"ts")) - unix_timestamp(min($"ts"))).as("span_sec"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  strftime(min(ts), '%Y-%m-%d') AS first_day,
+             |  CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS span_sec
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
+    /** Streaming-shaped hourly window agg, batch-verified (the same
+      * groupBy(window(...)) works under readStream with a watermark).
+      */
+    private val q18 = Q(
+      "q18_hourly_windows",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(date_trunc("hour", $"ts").as("window_start"), $"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"))
+        .orderBy("window_start", "event_type"),
+      Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+    val all: Seq[Q] = Seq(
+      q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+      q11, q12, q13, q14, q15, q16, q17, q18)
+  }
+
+  // $"..." interpolator without a SparkSession-bound implicits import.
+  private implicit class ColInterp(private val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
 }

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Key-based deduplication with quarantine semantics (SURVEY.md §2.6).
+  *
+  * The reference never silently drops duplicates: it splits them out for
+  * human review (etl_ui.py:109-117). Both variants are a single
+  * `row_number` window — one shuffle on the dedup key, no driver loop —
+  * so they scale to arbitrarily many rows per key and arbitrarily many
+  * keys (skew on one key means one hot partition; see salted variants in
+  * the scale notes).
+  */
+object Dedup {
+
+  final case class Split(kept: DataFrame, duplicates: DataFrame)
+
+  private val RN = "__graft_rn"
+
+  private def split(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec): Split = {
+    val ranked = df.withColumn(RN, row_number().over(w))
+    Split(
+      kept = ranked.filter(col(RN) === 1).drop(RN),
+      duplicates = ranked.filter(col(RN) > 1).drop(RN))
+  }
+
+  /** W1: keep the first-arriving row per key (arrival order = `orderCol`,
+    * typically the ingest row_id); the rest become the duplicates frame.
+    * (Reference: `duplicated(subset=key, keep="first")`, etl_ui.py:110.)
+    */
+  def keepFirst(df: DataFrame, key: Seq[Column], orderCol: Column): Split =
+    split(df, Window.partitionBy(key: _*).orderBy(orderCol.asc))
+
+  /** W2: keep the "best" row per key — highest completeness then longest
+    * duration, nulls losing (reference sorts with NA -> -1,
+    * etl_ui.py:201-213).
+    */
+  def keepBest(df: DataFrame, key: Seq[Column], quality: Seq[Column], tieBreak: Column): Split =
+    split(df, Window.partitionBy(key: _*)
+      .orderBy(quality.map(_.desc_nulls_last) :+ tieBreak.asc: _*))
+
+  /** Exact full-row (or column-subset) dedup for large corpora: one
+    * hash-shuffle groupBy, keeping the minimum id per group. Unlike
+    * `dropDuplicates` the survivor is deterministic.
+    */
+  def exactByColumns(df: DataFrame, cols: Seq[String], idCol: String): DataFrame = {
+    val keep = df.groupBy(cols.map(col): _*).agg(min(col(idCol)).as(idCol))
+    df.join(keep, cols :+ idCol, "left_semi")
+  }
+}

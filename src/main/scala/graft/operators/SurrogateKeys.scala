@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Surrogate-key assignment replacing the reference's row-at-a-time
+  * `INSERT ... RETURNING id` round-trips (etl_ui.py:413-429,446-456,
+  * 508-520,571-587,625-641) — the de-facto bottleneck of the reference.
+  *
+  * Two strategies:
+  *  - [[dense]]: deterministic, contiguous ids via a `row_number` over a
+  *    total order. The window has a single partition — fine for dimension
+  *    tables (thousands of rows), wrong for facts at scale.
+  *  - [[scalable]]: `zipWithUniqueId`-style ids that are unique but not
+  *    contiguous; fully parallel, no shuffle — use for fact tables where
+  *    only uniqueness matters.
+  */
+object SurrogateKeys {
+
+  /** Contiguous ids `offset+1 .. offset+n` in `orderBy` order. Single
+    * partition window — dimension-sized inputs only.
+    */
+  def dense(df: DataFrame, idCol: String, orderBy: Seq[Column], offset: Long = 0L): DataFrame =
+    df.withColumn(idCol,
+      (row_number().over(Window.orderBy(orderBy: _*)) + offset).cast("long"))
+
+  /** Unique (non-contiguous) ids without any shuffle: partition-local
+    * sequence numbers striped by partition id. Survives any data scale.
+    */
+  def scalable(df: DataFrame, idCol: String, offset: Long = 0L): DataFrame = {
+    val schema = df.schema
+    val withId = df.sparkSession.createDataFrame(
+      df.rdd.zipWithUniqueId().map { case (row, id) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (id + offset + 1L))
+      },
+      schema.add(idCol, "long", nullable = false))
+    withId
+  }
+
+  /** Get-or-create for a dimension: keep existing (naturalKey -> id)
+    * rows, assign fresh dense ids (continuing after max existing id) to
+    * natural keys present in `incoming` but not in `existing`.
+    * Replaces `INSERT ... ON CONFLICT DO NOTHING RETURNING id`
+    * (etl_ui.py:508-520) without its serial round-trips: one distinct +
+    * one anti-join + one dimension-sized window.
+    */
+  def getOrCreate(
+      existing: DataFrame, // (id, naturalKey) — id first
+      incoming: DataFrame, // one column: naturalKey
+      idCol: String,
+      keyCol: String): DataFrame = {
+    val fresh = incoming.select(col(keyCol)).distinct()
+      .join(existing.select(keyCol), Seq(keyCol), "left_anti")
+    val maxId = existing.agg(coalesce(max(col(idCol)), lit(0L)).cast("long").as("m"))
+    val created = dense(fresh, idCol, Seq(col(keyCol).asc))
+      .crossJoin(broadcast(maxId))
+      .select((col(idCol) + col("m")).as(idCol), col(keyCol))
+    existing.select(col(idCol).cast("long").as(idCol), col(keyCol))
+      .unionByName(created)
+  }
+}

@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Sources (SURVEY.md §2.1). The reference reads one spreadsheet at a time
+  * (etl_ui.py:858-862) and depends on row order for dedup ("keep first")
+  * and for pairing facts to rows. Spark has no intrinsic row order, so the
+  * readers here attach an explicit `row_id` in file order at ingest — the
+  * one place order still exists — and everything downstream keys on it.
+  */
+object Readers {
+
+  val RowId = "row_id"
+
+  /** CSV survey source (S2): header row, every column ingested as string
+    * (survey cells are heterogeneous; coercion happens per-column later,
+    * mirroring the reference's pandas `object` frames).
+    */
+  def csv(spark: SparkSession, path: String): DataFrame =
+    withRowId(
+      spark.read
+        .option("header", "true")
+        .option("inferSchema", "false")
+        .csv(path))
+
+  /** Parquet source (testdata / star-schema interchange). */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Attach a dense 0-based ingest `row_id` preserving current row order.
+    * `zipWithIndex` is order-stable per partition and across partitions
+    * (unlike `monotonically_increasing_id`, whose values are not dense and
+    * not join-stable across recomputes when partitioning changes).
+    * One extra pass to count partitions; acceptable at ingest.
+    */
+  def withRowId(df: DataFrame, idCol: String = RowId): DataFrame = {
+    val rdd = df.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(
+      rdd, df.schema.add(idCol, LongType, nullable = false))
+  }
+}
