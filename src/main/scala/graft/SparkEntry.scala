@@ -37,9 +37,17 @@ object SparkEntry {
     } else s.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    Registry.all.head.run(spark, "/root/testdata/sf0.001")
+  /** Flagship: the full FEFAL pipeline (ingest -> normalize -> entity
+    * broadcast join -> quarantine splits) on the bundled survey fixture —
+    * returns the valid partition (rows > 0). The TPC-H-style operator
+    * queries live in [[Registry.all]].
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val registry = spark.read.option("header", "true")
+      .csv(graft.etl.Fixtures.path("entidades.csv"))
+    val survey = graft.sources.Readers.csv(spark, graft.etl.Fixtures.path("survey_2026.csv"))
+    graft.etl.Pipeline.run(survey, registry, graft.etl.Fixtures.config, 2026).valid
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Registry.all.map(q => q.name -> q.run).toMap

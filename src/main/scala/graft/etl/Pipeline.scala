@@ -1,0 +1,176 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Cols
+import graft.operators.Dedup
+import graft.sources.Readers
+
+/** The `run_etl` equivalent (SURVEY.md §3.1; etl_ui.py:68-129), as one
+  * lazy DataFrame DAG.
+  *
+  * Differences from the reference, by design:
+  *  - No positional concat: the wide frame is never physically split into
+  *    group frames (P9 is an identity here). Each column is planned
+  *    driver-side ([[LabelOps.plan]]) and transformed in a single select;
+  *    group membership travels as metadata ([[EtlResult.plans]]).
+  *  - Row order is explicit: an ingest `row_id` drives "keep first" dedup
+  *    and fact pairing (the reference relies on pandas index order).
+  *  - Bad-name rows are returned as a fourth frame instead of silently
+  *    vanishing (the reference drops them from every output and only
+  *    reports a count; returning them preserves the reconciliation
+  *    invariant valid+duplicates+unmatched+badName == input).
+  *  - The reference's `full_data` assembly has a latent index-misalignment
+  *    (it applies masks computed on the *filtered* identificacao frame to
+  *    the positionally-reset concat of *unfiltered* group frames,
+  *    etl_ui.py:106-121); we implement the documented intent, not the bug.
+  *
+  * Scale notes: the registry join is broadcast (dimension-sized build
+  * side); the only shuffle is the keep-first window hash-partitioned on
+  * `id_entidade`; the pct rescale's global max is a 1-row broadcast, not a
+  * single-partition window; everything else is narrow.
+  */
+object Pipeline {
+
+  final case class EtlResult(
+      valid: DataFrame,
+      duplicates: DataFrame,
+      unmatched: DataFrame,
+      badName: DataFrame,
+      plans: Seq[LabelOps.ColPlan]) {
+    def colsOfGroup(group: String): Seq[LabelOps.ColPlan] =
+      plans.filter(_.group == group)
+  }
+
+  private val helperCols =
+    Seq("nome_entidade_norm", "entity_key", "data_inicio", "data_fim")
+
+  /** @param raw      wide survey frame, all-string columns, optionally
+    *                 already carrying `row_id`
+    * @param registry entity registry `(id_entidades, ent_nome, ent_tipo)`
+    * @param year     batch year (becomes the `ano` column / partition key)
+    */
+  def run(
+      raw: DataFrame,
+      registry: DataFrame,
+      config: EtlConfig,
+      year: Int): EtlResult = {
+
+    val withId =
+      if (raw.columns.contains(Readers.RowId)) raw else Readers.withRowId(raw)
+
+    val plans = LabelOps.plan(
+      withId.columns.filterNot(_ == Readers.RowId).toSeq, config)
+
+    // --- one select: every planned column gets its per-group transform --
+    val exprs: Seq[Column] = plans.map { p =>
+      val c = col(s"`${p.originalName}`")
+      val e: Column = p.role match {
+        case LabelOps.Identification => c
+        case LabelOps.Measure if p.group == "formacoes" => Cols.validateNumeric(c)
+        case LabelOps.Measure => c.cast("string").try_cast("double").try_cast("int") // X10
+        case LabelOps.Interest => Cols.simNao(c)
+        case LabelOps.InterestComment => c
+        case LabelOps.InterestFormandos => c
+        case LabelOps.Availability => Cols.mapDisp(c)
+      }
+      e.as(p.uniqueName)
+    }
+    val selected = withId.select(col(Readers.RowId) +: exprs: _*)
+
+    require(plans.exists(p => p.uniqueName == "nome_entidade"),
+      "identificacao mapping must produce nome_entidade (critical field)")
+
+    // --- identification (F1, X18, X2/X17) -----------------------------
+    val hasTipo = plans.exists(_.uniqueName == "tipo_entidade")
+    val tipoCol = if (hasTipo) col("tipo_entidade") else lit(null).cast("string")
+
+    val badNameP = col("nome_entidade").isNull || Cols.isInvalidName(col("nome_entidade"))
+
+    val tipoMapped = {
+      val base = coalesce(tipoCol, lit(config.defaultTipo))
+      if (config.tipoMap.isEmpty) base
+      else {
+        val kv = config.tipoMap.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+        coalesce(element_at(map(kv: _*), Cols.normalizeText(base)), base)
+      }
+    }
+
+    val keyed = selected
+      .withColumn("tipo_entidade", tipoMapped)
+      .withColumn("nome_entidade_norm", Cols.removePrefixes(col("nome_entidade")))
+      .withColumn("entity_key",
+        concat_ws("||", col("nome_entidade_norm"), Cols.normalizeText(col("tipo_entidade"))))
+
+    val badName = keyed.filter(badNameP)
+    val candidates = keyed.filter(!badNameP)
+
+    // --- measures on identificacao (X10-X16) --------------------------
+    val hasPct = plans.exists(_.uniqueName == "percentagem_preenchido")
+    val withPctRaw =
+      if (hasPct)
+        candidates.withColumn("percentagem_preenchido",
+          col("percentagem_preenchido").cast("string").try_cast("double"))
+          .withColumn("percentagem_preenchido",
+            when(col("percentagem_preenchido") < 0, lit(null)).otherwise(col("percentagem_preenchido")))
+      else candidates.withColumn("percentagem_preenchido", lit(null).cast("double"))
+
+    // A1 global max as 1-row broadcast; X13 rescale with pandas-parity
+    // HALF_EVEN rounding (bround).
+    val maxDf = withPctRaw.agg(max(col("percentagem_preenchido")).as("__max_pct"))
+    val withPct = withPctRaw.crossJoin(broadcast(maxDf))
+      .withColumn("percentagem_preenchido",
+        when(col("__max_pct").isNotNull && col("__max_pct") > 0,
+          bround(col("percentagem_preenchido") / col("__max_pct") * 100).cast("int"))
+          .otherwise(col("percentagem_preenchido").cast("int")))
+      .drop("__max_pct")
+
+    val hasTimes = Seq("data_inicio", "data_fim").forall(n => plans.exists(_.uniqueName == n))
+    val withTime =
+      if (hasTimes)
+        withPct
+          .withColumn("data_inicio", try_to_timestamp(col("data_inicio")))
+          .withColumn("data_fim", try_to_timestamp(col("data_fim")))
+          .withColumn("tempo_realizacao",
+            Cols.durationSeconds(col("data_inicio"), col("data_fim")))
+      else withPct.withColumn("tempo_realizacao", lit(null).cast("long"))
+
+    val hasSub = plans.exists(_.uniqueName == "data_submissao")
+    val withSub = {
+      val base =
+        if (hasSub) withTime.withColumn("data_submissao", try_to_timestamp(col("data_submissao")))
+        else withTime.withColumn("data_submissao", lit(null).cast("timestamp"))
+      if (hasTimes) base.withColumn("data_submissao", coalesce(col("data_submissao"), col("data_fim")))
+      else base
+    }
+
+    val hasResp = plans.exists(_.uniqueName == "nome_responsavel")
+    val enriched = withSub
+      .withColumn("ano", lit(year))
+      .withColumn("nome_responsavel",
+        if (hasResp) col("nome_responsavel") else lit(null).cast("string"))
+
+    // --- J1 entity join (broadcast) + W1 dedup + F2 splits ------------
+    val reg = registry.select(
+      col("id_entidades").cast("long").as("id_entidade"),
+      concat_ws("||",
+        Cols.removePrefixes(col("ent_nome")),
+        Cols.normalizeText(col("ent_tipo"))).as("entity_key"))
+
+    val joined = enriched.join(broadcast(reg), Seq("entity_key"), "left_outer")
+
+    val unmatched = joined.filter(col("id_entidade").isNull)
+    val matched = joined.filter(col("id_entidade").isNotNull)
+    val dd = Dedup.keepFirst(matched, Seq(col("id_entidade")), col(Readers.RowId))
+
+    def clean(df: DataFrame): DataFrame = df.drop(helperCols: _*)
+
+    EtlResult(
+      valid = clean(dd.kept),
+      duplicates = clean(dd.duplicates),
+      unmatched = clean(unmatched),
+      badName = clean(badName),
+      plans = plans)
+  }
+}
