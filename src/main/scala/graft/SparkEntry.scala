@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Cols
-import graft.operators.{Dedup, EntityResolution, Reshape, SurrogateKeys}
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, EntityResolution, Reshape, Similarity, SurrogateKeys, TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -358,9 +359,263 @@ object SparkEntry {
              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+    // ---- training-data pipeline: text analysis -----------------------
+
+    /** Language-ID by stopword argmax (deterministic fold, ties to the
+      * first-listed language) + per-language scores.
+      */
+    private val q19 = Q(
+      "q19_lang_id",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val scoreCols = TextAnalysis.stopwords.map { case (lang, ws) =>
+          TextAnalysis.stopwordHits($"text", ws).as(s"score_$lang")
+        }
+        d.select($"doc_id" +: scoreCols :+ TextAnalysis.langId($"text").as("lang_pred"): _*)
+          .orderBy("doc_id")
+      },
+      Some {
+        val scoreSql = TextAnalysis.stopwords.map { case (lang, ws) =>
+          val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\\s+')), $arr)) AS score_$lang"
+        }.mkString(",\n  ")
+        val langs = TextAnalysis.stopwords.map(_._1)
+        val pred = langs.tail.foldLeft((s"'${langs.head}'", s"score_${langs.head}")) {
+          case ((bl, bs), lang) =>
+            (s"CASE WHEN score_$lang > $bs THEN '$lang' ELSE $bl END",
+             s"greatest($bs, score_$lang)")
+        }._1
+        s"""SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+           |  CAST($pred AS VARCHAR) AS lang_pred
+           |FROM (SELECT doc_id,
+           |  $scoreSql
+           |FROM documents) ORDER BY doc_id""".stripMargin
+      })
+
+    /** Corpus quality score (length/stopword/punctuation mix). */
+    private val q20 = Q(
+      "q20_quality_score",
+      (s, dir) => t(s, dir, "documents")
+        .select($"doc_id", TextAnalysis.qualityScore($"text").as("quality"))
+        .orderBy("doc_id"),
+      Some {
+        val allStops = TextAnalysis.stopwords.flatMap(_._2).distinct
+          .map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""SELECT doc_id,
+           |  CASE WHEN text IS NULL OR len(toks) = 0 THEN 0.0
+           |       ELSE 0.5 * least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
+           |          + 0.3 * least(CAST(len(list_intersect(list_distinct(toks), $allStops)) AS DOUBLE) / 4.0, 1.0)
+           |          + 0.2 * (1.0 - CASE WHEN len(toks) > 0
+           |              THEN least(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+           |                         / CAST(len(toks) AS DOUBLE), 1.0)
+           |              ELSE 1.0 END)
+           |  END AS quality
+           |FROM (SELECT doc_id, text,
+           |        CASE WHEN text IS NULL OR trim(text) = '' THEN []
+           |             ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+           |      FROM documents) ORDER BY doc_id""".stripMargin
+      })
+
+    /** Rolling-hash document fingerprint + token stats (pure modular
+      * integer arithmetic — engine-portable).
+      */
+    private val q21 = Q(
+      "q21_fingerprint",
+      (s, dir) => {
+        val (n, meanLen) = TextAnalysis.tokenStats($"text")
+        t(s, dir, "documents")
+          .select($"doc_id",
+            TextAnalysis.fingerprint($"text").as("fp"),
+            n.as("n_tokens"), meanLen.as("mean_token_len"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(toks, w -> (CAST(length(w) AS BIGINT) * 31 + ascii(substr(w, 1, 1))) % 1000000007)),
+             |    (acc, v) -> (acc * 131 + v) % 1000000007) AS fp,
+             |  CAST(len(toks) AS INT) AS n_tokens,
+             |  CASE WHEN len(toks) > 0
+             |    THEN CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |           list_transform(toks, w -> CAST(length(w) AS BIGINT))), (a, v) -> a + v) AS DOUBLE)
+             |         / CAST(len(toks) AS DOUBLE)
+             |    ELSE 0.0 END AS mean_token_len
+             |FROM (SELECT doc_id,
+             |        CASE WHEN text IS NULL OR trim(text) = '' THEN []
+             |             ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+             |      FROM documents) ORDER BY doc_id""".stripMargin))
+
+    // ---- training-data pipeline: dedup family ------------------------
+
+    /** Exact dedup on content hash-groupBy (deterministic min-id
+      * survivor), reported as (kept id, group size).
+      */
+    private val q22 = Q(
+      "q22_exact_dedup",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy($"lang", $"source")
+        .agg(min($"doc_id").as("kept_doc_id"), count(lit(1)).as("group_size"))
+        .orderBy("lang", "source"),
+      Some("""SELECT lang, source, min(doc_id) AS kept_doc_id, count(*) AS group_size
+             |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+    /** Character-trigram Jaccard near-dup pairs, blocked by language
+      * (the quadratic verify only runs inside blocks).
+      */
+    private val q23 = Q(
+      "q23_ngram_jaccard_pairs",
+      (s, dir) => TextDedup.ngramJaccardPairs(
+          t(s, dir, "documents").filter($"doc_id" < 100),
+          idCol = "doc_id", textCol = "text", n = 3,
+          threshold = 0.60, blockCols = Seq("lang"))
+        .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+        .orderBy("id_a", "id_b"),
+      Some("""WITH sh AS (
+             |  SELECT doc_id, lang,
+             |    list_distinct([substr(lower(text), i, 3)
+             |                   FOR i IN range(1, greatest(length(text) - 2, 0) + 1)]) AS g
+             |  FROM documents WHERE doc_id < 100)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             |        / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE), 6) AS jaccard
+             |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             |      / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.60
+             |ORDER BY id_a, id_b""".stripMargin))
+
+    /** MinHash+LSH near-dup pairs (murmur3 signatures — not expressible
+      * in the oracle; ScalaTest verifies against brute-force Jaccard,
+      * driver records a rows-only check).
+      */
+    private val q24 = Q(
+      "q24_minhash_lsh_pairs",
+      (s, dir) => TextDedup.minHashLshPairs(
+          t(s, dir, "documents"), idCol = "doc_id", textCol = "text",
+          n = 3, numPerm = 64, bands = 16, threshold = 0.7)
+        .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+        .orderBy("id_a", "id_b"),
+      None)
+
+    /** SimHash near-dup pairs (murmur3 bits — rows-only check; ScalaTest
+      * pins golden values).
+      */
+    private val q25 = Q(
+      "q25_simhash_pairs",
+      (s, dir) => TextDedup.simHashPairs(
+          t(s, dir, "documents").filter($"doc_id" < 200),
+          idCol = "doc_id", textCol = "text",
+          maxDistance = 8, blockCols = Seq("lang"))
+        .orderBy("id_a", "id_b"),
+      None)
+
+    // ---- training-data pipeline: similarity search -------------------
+
+    /** Brute-force cosine top-k: first 5 vectors as queries over the full
+      * corpus; all math double left-folds, ranks tie-broken by id.
+      */
+    private val q26 = Q(
+      "q26_cosine_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(
+            e, e.filter($"vec_id" < 5), idCol = "vec_id", vecCol = "embedding", k = 5)
+          .select($"query_id", $"rank", $"neighbor_id", round($"sim", 6).as("sim"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+             |           FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT q.query_id, v.vec_id AS neighbor_id,
+             |    list_reduce(list_prepend(0.0, list_transform(list_zip(v.vec, q.qv), x -> x[1] * x[2])), (a, b) -> a + b)
+             |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(v.vec, x -> x * x)), (a, b) -> a + b))
+             |       * sqrt(list_reduce(list_prepend(0.0, list_transform(q.qv, x -> x * x)), (a, b) -> a + b))) AS sim
+             |  FROM v, q WHERE v.vec_id != q.query_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, sim,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(sim, 6) AS sim
+             |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
+    /** Embedding near-dup pairs (cosine >= 0.9), blocked by label. */
+    private val q27 = Q(
+      "q27_embedding_dup_pairs",
+      (s, dir) => Similarity.embeddingDupPairs(
+          t(s, dir, "embeddings"), idCol = "vec_id", vecCol = "embedding",
+          threshold = 0.35, blockCols = Seq("label"))
+        .select($"id_a", $"id_b", round($"sim", 6).as("sim"))
+        .orderBy("id_a", "id_b"),
+      Some("""WITH v AS (SELECT vec_id, label,
+             |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+             |           FROM embeddings),
+             |pairs AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    list_reduce(list_prepend(0.0, list_transform(list_zip(a.vec, b.vec), x -> x[1] * x[2])), (p, q) -> p + q)
+             |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.vec, x -> x * x)), (p, q) -> p + q))
+             |       * sqrt(list_reduce(list_prepend(0.0, list_transform(b.vec, x -> x * x)), (p, q) -> p + q))) AS sim
+             |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+             |SELECT id_a, id_b, round(sim, 6) AS sim FROM pairs
+             |WHERE sim >= 0.35 ORDER BY id_a, id_b""".stripMargin))
+
+    /** LSH-bucketed approximate top-k (scale path; recall vs brute force
+      * is pinned in ScalaTest — rows-only here).
+      */
+    private val q28 = Q(
+      "q28_ann_lsh_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.annTopK(
+            e, e.filter($"vec_id" < 5), idCol = "vec_id", vecCol = "embedding",
+            k = 5, dim = 64, bits = 8)
+          .select($"query_id", $"rank", $"neighbor_id", round($"sim", 6).as("sim"))
+          .orderBy("query_id", "rank")
+      },
+      None)
+
+    // ---- training-data pipeline: multimodal columns ------------------
+
+    /** Binary asset metadata: documents' text bytes stand in for media
+      * payloads; metadata struct fields are oracle-checkable functions of
+      * the bytes.
+      */
+    private val q29 = Q(
+      "q29_multimodal_meta",
+      (s, dir) => Multimodal.withAssetMetadata(
+          t(s, dir, "documents").select($"doc_id", $"text".cast("binary").as("content")),
+          "content", "image/stub")
+        .select($"doc_id",
+          $"asset_meta.media_type".as("media_type"),
+          $"asset_meta.n_bytes".as("n_bytes"),
+          $"asset_meta.width".as("width"),
+          $"asset_meta.height".as("height"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, 'image/stub' AS media_type,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+             |  CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height
+             |FROM documents ORDER BY doc_id""".stripMargin))
+
+    /** Partition-wise stub feature extraction over binary content
+      * (mapPartitions batch shape). Feature math is JVM-side — rows-only
+      * check; golden values pinned in ScalaTest.
+      */
+    private val q30 = Q(
+      "q30_multimodal_features",
+      (s, dir) => {
+        val assets = t(s, dir, "documents")
+          .select($"doc_id", $"text".cast("binary").as("content"))
+        Multimodal.extractFeatures(assets, "content")
+          .select($"doc_id", round(element_at($"features", 1), 6).as("f0"),
+            round(element_at($"features", 2), 6).as("f1"),
+            size($"features").as("dim"))
+          .orderBy("doc_id")
+      },
+      None)
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-      q11, q12, q13, q14, q15, q16, q17, q18)
+      q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
+      q21, q22, q23, q24, q25, q26, q27, q28, q29, q30)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

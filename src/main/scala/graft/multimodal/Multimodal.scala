@@ -1,0 +1,80 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with a typed metadata struct; decode / feature
+  * extraction runs partition-wise (`mapPartitions` — the JVM analog of
+  * batched pandas-UDF processing), so codec state is initialized once per
+  * partition, not per row.
+  *
+  * The actual media decode is STUBBED (no image/audio libraries in this
+  * environment): [[StubCodec]] produces deterministic pseudo-features
+  * derived from the raw bytes. The Spark-side contract — schema, binary
+  * transport, per-partition batching, feature vector shape — is real and
+  * tested; swapping [[StubCodec.decode]] for a real codec changes no
+  * plumbing.
+  */
+object Multimodal {
+
+  val assetSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),
+    StructField("n_bytes", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** Wrap a binary column as a media asset with metadata. Width/height
+    * here come from the stub "header parse" — deterministic functions of
+    * the byte length, mirroring what a real header sniff would fill.
+    */
+  def withAssetMetadata(df: DataFrame, contentCol: String, mediaType: String): DataFrame =
+    df.withColumn("asset_meta", struct(
+      lit(mediaType).as("media_type"),
+      octet_length(col(contentCol)).cast("long").as("n_bytes"),
+      (octet_length(col(contentCol)) % 640 + 1).cast("int").as("width"),
+      (octet_length(col(contentCol)) % 480 + 1).cast("int").as("height")))
+
+  /** STUB media codec. A real deployment would decode pixels/samples
+    * here; this produces a deterministic 8-bin byte histogram (normalized
+    * to [0,1]) so tests can pin exact outputs.
+    */
+  object StubCodec {
+    val featureDim = 8
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      val hist = new Array[Float](featureDim)
+      if (bytes == null || bytes.isEmpty) return hist
+      var i = 0
+      while (i < bytes.length) {
+        hist((bytes(i) & 0xFF) / 32) += 1f
+        i += 1
+      }
+      var j = 0
+      while (j < featureDim) { hist(j) /= bytes.length; j += 1 }
+      hist
+    }
+  }
+
+  /** Partition-wise feature extraction over the binary content column:
+    * appends `features: array<float>`. Batch shape: one codec instance
+    * per partition, rows streamed through it (no per-row setup, no
+    * driver collect).
+    */
+  def extractFeatures(df: DataFrame, contentCol: String): DataFrame = {
+    val schema = df.schema.add("features", ArrayType(FloatType), nullable = false)
+    val idx = df.schema.fieldIndex(contentCol)
+    val out = df.rdd.mapPartitions { rows =>
+      // per-partition "codec init" happens here (stub has none)
+      rows.map { r =>
+        val bytes = r.get(idx) match {
+          case b: Array[Byte] => b
+          case null => null
+          case other => other.toString.getBytes("UTF-8")
+        }
+        Row.fromSeq(r.toSeq :+ StubCodec.decode(bytes).toSeq)
+      }
+    }
+    df.sparkSession.createDataFrame(out, schema)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language-ID, quality scoring, token statistics, document
+  * fingerprinting. All pure `functions._` compositions (whole-stage
+  * codegen, no UDFs) so they hold up on 100 TB text scans; every formula
+  * is also expressible in ANSI SQL for the DuckDB oracle (deterministic
+  * left-fold arithmetic, modular hashes instead of float tricks).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the lowercased text ("" -> empty array). */
+  def tokens(c: Column): Column = {
+    val t = trim(c)
+    when(c.isNull || t === "", array().cast("array<string>"))
+      .otherwise(split(lower(t), "\\s+"))
+  }
+
+  /** Tiny per-language stopword lists (top function words; enough for an
+    * n-gram-free heuristic — the classic stopword-hit language guesser).
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"),
+    "en" -> Seq("the", "and", "is", "of", "to", "in", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "de", "que", "en", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "de", "que", "dans", "pour", "avec"),
+    "pt" -> Seq("o", "a", "os", "as", "e", "é", "de", "que", "em", "para"))
+
+  /** Distinct-stopword hit count for one language. */
+  def stopwordHits(c: Column, words: Seq[String]): Column =
+    size(array_intersect(array_distinct(tokens(c)),
+      array(words.map(lit): _*)))
+
+  /** Predicted language: argmax of stopword hits, first-listed language
+    * winning ties (score must strictly beat the running best to replace
+    * it) — a deterministic fold, same shape as the SQL CASE oracle.
+    */
+  def langId(c: Column): Column = {
+    val scored = stopwords.map { case (lang, ws) => (lang, stopwordHits(c, ws)) }
+    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+         when(score > bestScore, score).otherwise(bestScore))
+    }._1
+  }
+
+  /** Heuristic quality score in [0,1]: balanced mix of length, stopword
+    * density and punctuation sanity (the usual pre-training corpus
+    * filters). Deterministic double arithmetic, identical op order to the
+    * SQL oracle.
+    */
+  def qualityScore(c: Column): Column = {
+    val nTok = size(tokens(c)).cast("double")
+    val nChars = length(c).cast("double")
+    val stopHits = stopwordHits(c, stopwords.flatMap(_._2).distinct).cast("double")
+    val punct = (nChars - length(regexp_replace(c, "[.,;:!?]", ""))).cast("double")
+    val lenScore = least(nTok / lit(64.0), lit(1.0))
+    val stopScore = least(stopHits / lit(4.0), lit(1.0))
+    val punctScore = when(nTok > 0, least(punct / nTok, lit(1.0))).otherwise(lit(1.0))
+    when(c.isNull || nTok === 0, lit(0.0))
+      .otherwise(lit(0.5) * lenScore + lit(0.3) * stopScore + lit(0.2) * (lit(1.0) - punctScore))
+  }
+
+  /** 32-ish-bit rolling document fingerprint: per-token code
+    * (31*len + first-char codepoint), left-folded as acc*131 + code
+    * mod 1e9+7. Pure integer arithmetic — ANSI-overflow-safe (products
+    * stay far below 2^63) and bit-identical in any engine.
+    */
+  def fingerprint(c: Column): Column = {
+    val M = 1000000007L
+    val codes = transform(tokens(c),
+      w => (length(w).cast("long") * 31 + ascii(substring(w, 1, 1)).cast("long")) % M)
+    aggregate(codes, lit(0L), (acc, v) => (acc * 131 + v) % M)
+  }
+
+  /** Token statistics: count + mean token length (0-safe). */
+  def tokenStats(c: Column): (Column, Column) = {
+    val toks = tokens(c)
+    val n = size(toks)
+    val totalLen = aggregate(transform(toks, w => length(w).cast("long")),
+      lit(0L), (a, v) => a + v)
+    (n, when(n > 0, totalLen.cast("double") / n.cast("double")).otherwise(lit(0.0)))
+  }
+}

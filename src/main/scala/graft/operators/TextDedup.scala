@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for text corpora — the dedup ladder of a
+  * training-data pipeline: exact (see [[Dedup.exactByColumns]]),
+  * n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design: the quadratic step (pair verification) only ever runs
+  * inside LSH buckets / blocking keys — never a global cross join. All
+  * shingling/hashing is `functions._` expressions (codegen); signatures
+  * are fixed-seed, so results are reproducible across runs and cluster
+  * layouts.
+  */
+object TextDedup {
+
+  /** Character n-gram shingles of the lowercased text (distinct). */
+  def shingles(c: Column, n: Int): Column = {
+    val lc = lower(c)
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(lc) - (n - 1), lit(0))),
+        i => lc.substr(i, lit(n))))
+  }
+
+  /** Jaccard similarity of two string arrays (distinct-element). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+
+  /** All pairs (idA < idB) within the same blocking key whose character
+    * n-gram Jaccard reaches `threshold`. Blocking bounds the quadratic
+    * term; pick keys with bounded group sizes (language, length band,
+    * LSH bucket).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      blockCols: Seq[String]): DataFrame = {
+    val withSh = df.select(
+      (idCol +: blockCols).map(col) :+ shingles(col(textCol), n).as("__sh"): _*)
+    val a = withSh.select(
+      col(idCol).as("id_a") +: col("__sh").as("__sh_a") +: blockCols.map(col): _*)
+    val b = withSh.select(
+      col(idCol).as("id_b") +: col("__sh").as("__sh_b") +: blockCols.map(col): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Fixed-seed universal-hash parameters for MinHash permutations. */
+  private def perms(numPerm: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPerm)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  private val MersennePrime = 2147483647L // 2^31 - 1
+
+  /** MinHash signature (array<long> of length numPerm) over character
+    * n-gram shingles: sig_j = min over shingles of (a_j*h(s)+b_j mod p),
+    * h = Spark's murmur3 `hash`. Empty text -> p (sentinel max).
+    */
+  def minHashSignature(c: Column, n: Int = 3, numPerm: Int = 64, seed: Long = 42L): Column = {
+    val sh = shingles(c, n)
+    val hashed = transform(sh, s => pmod(hash(s).cast("long"), lit(MersennePrime)))
+    val sig = perms(numPerm, seed).map { case (a, b) =>
+      coalesce(
+        array_min(transform(hashed, h => (h * a + b) % MersennePrime)),
+        lit(MersennePrime))
+    }
+    array(sig: _*)
+  }
+
+  /** LSH candidate pairs from banded MinHash signatures: signatures agree
+    * on all rows of at least one band -> candidate. Returns verified
+    * pairs with true n-gram Jaccard >= threshold.
+    *
+    * Plan shape: explode to (bandIdx, bandHash, id) — one shuffle on the
+    * bucket key; the self-join is per-bucket (bounded groups), then one
+    * distinct on pairs and a broadcast-free verify join back to shingles.
+    */
+  def minHashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    val rows = numPerm / bands
+    val sigDf = df.select(col(idCol), col(textCol))
+      .withColumn("__sig", minHashSignature(col(textCol), n, numPerm, seed))
+    val banded = sigDf.select(
+      col(idCol),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("__sig"), b * rows + 1, lit(rows)), b))) // band hash, salted by band idx
+        .as(Seq("__band", "__bucket")))
+    val l = banded.select(col(idCol).as("id_a"), col("__band"), col("__bucket"))
+    val r = banded.select(col(idCol).as("id_b"), col("__band"), col("__bucket"))
+    val candidates = l.join(r, Seq("__band", "__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sh = df.select(col(idCol), shingles(col(textCol), n).as("__sh"))
+    candidates
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 32-bit SimHash over whitespace tokens (murmur3 token hashes, unit
+    * weights): bit i is set iff the sum over tokens of ±1 (by token-hash
+    * bit i) is positive. Pure expressions — per bit, a fold over tokens.
+    */
+  def simHash(c: Column): Column = {
+    val toks = TextAnalysis.tokens(c)
+    val bitCols = (0 until 32).map { i =>
+      val contrib = aggregate(toks, lit(0),
+        (acc, w) => acc + when(shiftright(hash(w), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(contrib > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Near-dup pairs by SimHash: block on the high byte-s of the hash
+    * (cheap LSH: near hashes share high bits for small distances is NOT
+    * guaranteed — so block on provided keys instead) and verify
+    * hamming <= maxDistance.
+    */
+  def simHashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDistance: Int,
+      blockCols: Seq[String]): DataFrame = {
+    val withH = df.select(
+      (idCol +: blockCols).map(col) :+ simHash(col(textCol)).as("__sh"): _*)
+    val a = withH.select(
+      col(idCol).as("id_a") +: col("__sh").as("__h_a") +: blockCols.map(col): _*)
+    val b = withH.select(
+      col(idCol).as("id_b") +: col("__sh").as("__h_b") +: blockCols.map(col): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", hamming(col("__h_a"), col("__h_b")))
+      .filter(col("hamming") <= maxDistance)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

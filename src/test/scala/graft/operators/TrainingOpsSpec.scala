@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId picks the stopword-richest language, ties to first listed") {
+    val d = Seq(
+      "the cat and the dog is in that house",
+      "el perro y la casa es de que en por",
+      "le chat et la maison est dans pour avec",
+      "der hund und die katze ist nicht ein",
+      "o gato e a casa é de que em para",
+      "zzz qqq").toDF("text")
+    val got = d.select(TextAnalysis.langId($"text")).as[String].collect().toSeq
+    assert(got == Seq("en", "es", "fr", "de", "pt", "de")) // no hits -> first listed
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val d = Seq("a b c", "c b a", "a b c").toDF("text")
+    val fps = d.select(TextAnalysis.fingerprint($"text")).as[Long].collect().toSeq
+    assert(fps(0) == fps(2))
+    assert(fps(0) != fps(1))
+  }
+
+  test("qualityScore bounds and degenerate inputs") {
+    val d = Seq("", null.asInstanceOf[String], "the and is of to in plain text with words").toDF("text")
+    val got = d.select(TextAnalysis.qualityScore($"text")).as[Double].collect().toSeq
+    assert(got(0) == 0.0 && got(1) == 0.0)
+    assert(got(2) > 0.0 && got(2) <= 1.0)
+  }
+}
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "x", "the quick brown fox jumps over the lazy dog"),
+    (1L, "x", "the quick brown fox jumps over the lazy cat"),
+    (2L, "x", "completely different content about spark engines"),
+    (3L, "x", "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (4L, "x", "entirely unrelated words appear here only once")
+  ).toDF("id", "block", "text")
+
+  test("ngramJaccardPairs finds near and exact dups, not unrelated") {
+    val pairs = TextDedup.ngramJaccardPairs(docs, "id", "text", 3, 0.6, Seq("block"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // exact
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 3L))) // near
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minHashLshPairs agrees with brute-force jaccard at the threshold") {
+    val lsh = TextDedup.minHashLshPairs(docs, "id", "text",
+      n = 3, numPerm = 64, bands = 16, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = TextDedup.ngramJaccardPairs(docs, "id", "text", 3, 0.6, Seq("block"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // LSH verifies with true jaccard, so pairs ⊆ brute; high-sim pairs are found
+    assert(lsh.subsetOf(brute))
+    assert(lsh.contains((0L, 3L)))
+  }
+
+  test("simHash: identical text -> distance 0; similar < dissimilar") {
+    val h = docs.select($"id", TextDedup.simHash($"text").as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(h(0L) == h(3L))
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(dist(h(0L), h(1L)) < dist(h(0L), h(2L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1f, 0f, 0f)),
+    (1L, Array(0.9f, 0.1f, 0f)),
+    (2L, Array(0f, 1f, 0f)),
+    (3L, Array(0f, 0f, 1f)),
+    (4L, Array(-1f, 0f, 0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine basics") {
+    val d = Seq((Array(1f, 0f), Array(1f, 0f)), (Array(1f, 0f), Array(0f, 1f)),
+      (Array(1f, 0f), Array(-1f, 0f))).toDF("a", "b")
+    val got = d.select(Similarity.cosine(
+      Similarity.asDouble($"a"), Similarity.asDouble($"b"))).as[Double].collect().toSeq
+    assert(got == Seq(1.0, 0.0, -1.0))
+  }
+
+  test("bruteForceTopK ranks by cosine with id tiebreak") {
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 2)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toSeq.sorted
+    assert(top == Seq((1, 1L), (2, 2L))) // closest is 1; then 2/3 tie at 0 -> id asc
+  }
+
+  test("annTopK reaches full recall on clustered vectors") {
+    // 64-dim corpus with two tight clusters; ANN must find same-cluster
+    // neighbors for each query.
+    val rnd = new scala.util.Random(7)
+    def around(base: Array[Float]) =
+      base.map(v => v + (rnd.nextGaussian() * 0.01).toFloat)
+    val a = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val b = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val corpus = ((0 until 20).map(i => (i.toLong, around(a))) ++
+      (20 until 40).map(i => (i.toLong, around(b)))).toDF("vec_id", "embedding")
+    val ann = Similarity.annTopK(corpus, corpus.filter($"vec_id".isin(0L, 20L)),
+      "vec_id", "embedding", k = 5, dim = 64, bits = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val byQ = ann.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byQ(0L).forall(_ < 20L))
+    assert(byQ(20L).forall(_ >= 20L))
+    assert(byQ(0L).size == 5 && byQ(20L).size == 5)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.multimodal.Multimodal
+
+  test("asset metadata is a typed struct over binary content") {
+    val d = Seq((1L, "abcd"), (2L, "")).toDF("id", "text")
+      .select($"id", $"text".cast("binary").as("content"))
+    val m = Multimodal.withAssetMetadata(d, "content", "image/stub")
+      .select($"id", $"asset_meta.n_bytes", $"asset_meta.width", $"asset_meta.height")
+      .as[(Long, Long, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m(1L) == ((4L, 5, 5)))
+  }
+
+  test("extractFeatures: per-partition batch, normalized histogram") {
+    val d = Seq((1L, "aaaa"), (2L, "")).toDF("id", "text")
+      .select($"id", $"text".cast("binary").as("content"))
+      .repartition(2)
+    val f = Multimodal.extractFeatures(d, "content")
+      .select($"id", $"features").as[(Long, Seq[Float])].collect().toMap
+    assert(f(1L).sum == 1.0f) // normalized
+    assert(f(1L)(('a' & 0xFF) / 32) == 1.0f) // all bytes in one bin
+    assert(f(2L).sum == 0.0f) // empty content -> zero vector
+    assert(f.values.forall(_.size == Multimodal.StubCodec.featureDim))
+  }
+}
