@@ -612,10 +612,224 @@ object SparkEntry {
       },
       None)
 
+    // ---- §2.2/§2.3/§2.8 remaining reference surface ------------------
+
+    /** P1/P2 column drop by keyword over headers (driver-side label
+      * logic) — the surviving projection is the query.
+      */
+    private val q31 = Q(
+      "q31_drop_by_keyword",
+      (s, dir) => {
+        val p = t(s, dir, "part")
+        val dropTerms = Seq("retail", "size")
+        val keep = p.columns.filterNot(c =>
+          dropTerms.exists(graft.functions.TextNorm.normalize(c).contains))
+        p.select(keep.map(col): _*).orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name, p_brand, p_type FROM part ORDER BY p_partkey"""))
+
+    /** P4/P5 strict rename via normalized header map: only mapped columns
+      * survive, renamed.
+      */
+    private val q32 = Q(
+      "q32_strict_rename",
+      (s, dir) => {
+        val renames = Map("c_custkey" -> "id_cliente", "c_name" -> "nome",
+          "c_acctbal" -> "saldo")
+        val c = t(s, dir, "customer")
+        val cols = c.columns.flatMap(h =>
+          renames.get(graft.functions.TextNorm.normalize(h)).map(n => col(h).as(n)))
+        c.select(cols: _*).orderBy("id_cliente")
+      },
+      Some("""SELECT c_custkey AS id_cliente, c_name AS nome, c_acctbal AS saldo
+             |FROM customer ORDER BY id_cliente""".stripMargin))
+
+    /** X3/P6 bracket extraction as a data function. */
+    private val q33 = Q(
+      "q33_bracket_extract",
+      (s, dir) => t(s, dir, "part")
+        .select($"p_partkey",
+          Cols.extractBrackets(concat(lit("Curso ["), $"p_brand", lit("]"))).as("marca"),
+          Cols.extractBrackets($"p_type").as("tipo_sem_brackets"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_brand AS marca, trim(p_type) AS tipo_sem_brackets
+             |FROM part ORDER BY p_partkey""".stripMargin))
+
+    /** X2 entity-prefix stripping (normalize -> strip one designator). */
+    private val q34 = Q(
+      "q34_remove_prefixes",
+      (s, dir) => t(s, dir, "customer")
+        .select($"c_custkey",
+          Cols.removePrefixes(concat(lit("Município de "), $"c_name")).as("nome_limpo"),
+          Cols.removePrefixes(concat(lit("União das Freguesias de "), $"c_name")).as("freg_limpa"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+             |  trim(regexp_replace(regexp_replace(
+             |    lower(regexp_replace(strip_accents(trim('Município de ' || c_name)), '\s+', ' ', 'g')),
+             |    '^(municipio|camara municipal|cm|c m)( de| do| da| dos| das)? ', ''),
+             |    '^(freguesia|junta de freguesia|uniao de freguesias|uniao das freguesias)( de| do| da| dos| das)? ', '')) AS nome_limpo,
+             |  trim(regexp_replace(regexp_replace(
+             |    lower(regexp_replace(strip_accents(trim('União das Freguesias de ' || c_name)), '\s+', ' ', 'g')),
+             |    '^(municipio|camara municipal|cm|c m)( de| do| da| dos| das)? ', ''),
+             |    '^(freguesia|junta de freguesia|uniao de freguesias|uniao das freguesias)( de| do| da| dos| das)? ', '')) AS freg_limpa
+             |FROM customer ORDER BY c_custkey""".stripMargin))
+
+    /** X5/X6/X7 sim/nao encoders (lenient, sentinel, strict-accent). */
+    private val q35 = Q(
+      "q35_simnao_encode",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val resposta = when($"o_orderstatus" === "O", "Sim")
+          .when($"o_orderstatus" === "F", "NÃO")
+          .otherwise("talvez")
+        o.select($"o_orderkey",
+            Cols.simNao(resposta).as("lenient"),
+            Cols.mapDisp(resposta).as("sentinel"),
+            Cols.simNaoStrict(resposta).as("strict"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_orderstatus = 'O' THEN 1 WHEN o_orderstatus = 'F' THEN 0 END AS lenient,
+             |  CASE WHEN o_orderstatus = 'O' THEN 1 WHEN o_orderstatus = 'F' THEN 0 ELSE -1 END AS sentinel,
+             |  CASE WHEN o_orderstatus = 'O' THEN 1 WHEN o_orderstatus = 'F' THEN 0 END AS strict
+             |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+    /** X17/X18 entity key concat + dict-map with identity fallback. */
+    private val q36 = Q(
+      "q36_entity_key_map",
+      (s, dir) => {
+        val m = Map("building" -> "BTB", "automobile" -> "AUTO")
+        val kv = m.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+        t(s, dir, "customer")
+          .select($"c_custkey",
+            Cols.entityKey($"c_name", $"c_mktsegment").as("entity_key"),
+            coalesce(element_at(map(kv: _*), Cols.normalizeText($"c_mktsegment")),
+              $"c_mktsegment").as("segmento"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  lower(trim(c_name)) || '||' || lower(trim(c_mktsegment)) AS entity_key,
+             |  CASE lower(trim(c_mktsegment))
+             |    WHEN 'building' THEN 'BTB' WHEN 'automobile' THEN 'AUTO'
+             |    ELSE c_mktsegment END AS segmento
+             |FROM customer ORDER BY c_custkey""".stripMargin))
+
+    /** X19/X20/X22 truncate + cast-to-string + UTC->Europe/Lisbon format. */
+    private val q37 = Q(
+      "q37_truncate_tz",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        e.select($"event_id",
+            Cols.truncateText(substring($"props", 1, 100), 6).as("props_trunc"),
+            $"value".cast("string").as("value_str"),
+            date_format(from_utc_timestamp($"ts", "Europe/Lisbon"), "yyyy-MM-dd HH:mm").as("ts_lisbon"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  CASE WHEN length(substr(props, 1, 100)) > 6
+             |       THEN substr(substr(props, 1, 100), 1, 6) || '...'
+             |       ELSE substr(props, 1, 100) END AS props_trunc,
+             |  CAST(value AS VARCHAR) AS value_str,
+             |  strftime(timezone('Europe/Lisbon', timezone('UTC', ts)), '%Y-%m-%d %H:%M') AS ts_lisbon
+             |FROM events ORDER BY event_id""".stripMargin))
+
+    /** X14/X15 coalesce + NA sentinel fill. */
+    private val q38 = Q(
+      "q38_coalesce_sentinel",
+      (s, dir) => t(s, dir, "events")
+        .select($"event_id",
+          coalesce(when($"value" > 100, lit(null)).otherwise($"value"), lit(-1.0)).as("v_filled"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  coalesce(CASE WHEN value > 100 THEN NULL ELSE value END, -1.0) AS v_filled
+             |FROM events ORDER BY event_id""".stripMargin))
+
+    /** F5/F6 row-mask by key + full-row equality against a chosen row. */
+    private val q39 = Q(
+      "q39_row_equality",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val probe = o.filter($"o_orderkey" === 1)
+          .select($"o_orderstatus".as("__st"), $"o_orderpriority".as("__pr"))
+        o.join(broadcast(probe),
+            $"o_orderstatus" === $"__st" && $"o_orderpriority" === $"__pr")
+          .select($"o_orderkey").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey FROM orders
+             |WHERE (o_orderstatus, o_orderpriority) =
+             |      (SELECT (o_orderstatus, o_orderpriority) FROM orders WHERE o_orderkey = 1)
+             |ORDER BY o_orderkey""".stripMargin))
+
+    /** W4 pagination: offset + limit over a total order. */
+    private val q40 = Q(
+      "q40_offset_limit",
+      (s, dir) => t(s, dir, "orders")
+        .orderBy($"o_orderkey")
+        .offset(100).limit(50)
+        .select($"o_orderkey", $"o_orderstatus"),
+      Some("""SELECT o_orderkey, o_orderstatus FROM orders
+             |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin))
+
+    /** J7 prefix-match theta join (startswith) — label-to-type matching
+      * as a data op.
+      */
+    private val q41 = Q(
+      "q41_prefix_theta_join",
+      (s, dir) => {
+        val types = t(s, dir, "part").select($"p_type").distinct()
+        val prefixes = Seq("ECONOMY", "STANDARD", "PROMO", "MEDIUM")
+        val pref = prefixes.foldLeft(lit(null).cast("string")) {
+          (acc, p) => coalesce(acc, when($"p_type".startsWith(p), lit(p)))
+        }
+        types.select($"p_type", pref.as("matched_prefix")).orderBy("p_type")
+      },
+      Some("""SELECT p_type,
+             |  CASE WHEN p_type LIKE 'ECONOMY%' THEN 'ECONOMY'
+             |       WHEN p_type LIKE 'STANDARD%' THEN 'STANDARD'
+             |       WHEN p_type LIKE 'PROMO%' THEN 'PROMO'
+             |       WHEN p_type LIKE 'MEDIUM%' THEN 'MEDIUM' END AS matched_prefix
+             |FROM (SELECT DISTINCT p_type FROM part) ORDER BY p_type""".stripMargin))
+
+    /** M2/X8/X9/J9 comment-fusion shape on testdata: numeric comment
+      * overrides the count, text comments sentence-split and counted.
+      */
+    private val q42 = Q(
+      "q42_comment_fusion",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .withColumn("valor", $"n_chars" % 5)
+          .withColumn("texto_raw",
+            when($"doc_id" % 3 === 0, ($"doc_id" * 7).cast("string"))
+              .when($"doc_id" % 3 === 1, substring($"text", 1, 60)))
+        d.filter($"valor" > 0)
+          .select($"doc_id",
+            when(Cols.isNumericString($"texto_raw"),
+              $"texto_raw".try_cast("double").cast("int"))
+              .otherwise($"valor".cast("int")).as("n_formandos"),
+            when($"texto_raw".isNotNull && !Cols.isNumericString($"texto_raw"),
+              size(filter(transform(split($"texto_raw", "\\. "), x => trim(x)),
+                x => x =!= lit("")))).otherwise(0).as("n_sentencas"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN regexp_matches(trim(texto_raw), '^\d+(\.\d+)?$')
+             |       THEN CAST(CAST(trim(texto_raw) AS DOUBLE) AS INT)
+             |       ELSE CAST(valor AS INT) END AS n_formandos,
+             |  CASE WHEN texto_raw IS NOT NULL AND NOT regexp_matches(trim(texto_raw), '^\d+(\.\d+)?$')
+             |       THEN len(list_filter(list_transform(regexp_split_to_array(texto_raw, '\. '), x -> trim(x)), x -> x <> ''))
+             |       ELSE 0 END AS n_sentencas
+             |FROM (SELECT doc_id, n_chars % 5 AS valor,
+             |        CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id * 7 AS VARCHAR)
+             |             WHEN doc_id % 3 = 1 THEN substr(text, 1, 60) END AS texto_raw
+             |      FROM documents)
+             |WHERE valor > 0 ORDER BY doc_id""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-      q21, q22, q23, q24, q25, q26, q27, q28, q29, q30)
+      q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
+      q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
+      q41, q42)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   */
 object Cols {
 
-  /** Accent folding (X1 core). JVM UDF — still columnar-batch fast, no
-    * Python boundary.
+  /** Accent folding (X1 core) as a native Catalyst expression with
+    * codegen ([[AccentFoldExpr]]) — stays inside whole-stage codegen,
+    * ASCII fast-path returns the input unchanged.
     */
-  val foldAccents = udf(TextNorm.foldAccents _)
+  def foldAccents(c: Column): Column = AccentFoldExpr(c)
 
   /** X1 `normalize_text`: trim -> fold accents -> collapse whitespace ->
     * lowercase; null/blank -> "".

@@ -24,10 +24,13 @@ object TextDedup {
         i => lc.substr(i, lit(n))))
   }
 
-  /** Jaccard similarity of two string arrays (distinct-element). */
+  /** Jaccard similarity of two distinct-element arrays. Uses
+    * |A∪B| = |A|+|B|-|A∩B| — one hash-set pass instead of two (array_union
+    * over large shingle sets doubles the per-pair cost).
+    */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    val union = size(array_union(a, b)).cast("double")
+    val union = size(a).cast("double") + size(b).cast("double") - inter
     when(union > 0, inter / union).otherwise(lit(0.0))
   }
 
@@ -101,6 +104,7 @@ object TextDedup {
     val rows = numPerm / bands
     val sigDf = df.select(col(idCol), col(textCol))
       .withColumn("__sig", minHashSignature(col(textCol), n, numPerm, seed))
+      .persist() // read once for banding, once per side of the estimate join
     val banded = sigDf.select(
       col(idCol),
       posexplode(
@@ -112,8 +116,29 @@ object TextDedup {
     val candidates = l.join(r, Seq("__band", "__bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val sh = df.select(col(idCol), shingles(col(textCol), n).as("__sh"))
-    candidates
+    // Two-stage verify: a cheap signature-based Jaccard estimate prunes
+    // the candidate set before the exact shingle intersection — on skewed
+    // corpora where LSH buckets are hot, this is the difference between
+    // O(candidates * |shingles|) and O(survivors * |shingles|). The
+    // signature is expanded to scalar columns so the per-pair agreement
+    // count is a codegen'd sum of comparisons (higher-order array lambdas
+    // are interpreted, ~10x slower here).
+    sigDf.count() // materialize the cache before the multi-branch job
+    def sigCols(side: String) = (0 until numPerm).map(i =>
+      element_at(col("__sig"), i + 1).as(s"__${side}$i"))
+    val sa = sigDf.select(col(idCol).as("id_a") +: sigCols("a"): _*)
+    val sb = sigDf.select(col(idCol).as("id_b") +: sigCols("b"): _*)
+    val agree = (0 until numPerm)
+      .map(i => when(col(s"__a$i") === col(s"__b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val estimated = candidates
+      .join(sa, "id_a").join(sb, "id_b")
+      .withColumn("__est", agree.cast("double") / numPerm)
+      .filter(col("__est") >= threshold - 0.15)
+      .select("id_a", "id_b")
+    val sh = df.select(col(idCol), shingles(col(textCol), n).as("__sh")).persist()
+    sh.count() // materialize before the two-sided verify join
+    estimated
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
