@@ -1,0 +1,83 @@
+package graft.sources
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+import graft.etl.{Pipeline, StarLoader}
+
+/** Sinks (SURVEY.md §2.1 S6/S7).
+  *
+  * The reference's load is row-at-a-time `INSERT ... RETURNING` over
+  * psycopg2 (etl_ui.py:394-664) and a multi-sheet Excel export
+  * (etl_ui.py:2144-2159). Here:
+  *  - the star schema writes as parquet partitioned by `ano` — the batch
+  *    year is the natural partition key, so per-year reprocessing
+  *    overwrites one partition and dynamic partition pruning keeps
+  *    year-scoped queries off the rest;
+  *  - the same frames go to any JDBC database via `df.write.jdbc`
+  *    (batched inserts, `batchsize` tuned, no per-row round trips);
+  *  - the "multi-sheet" export becomes one directory per logical sheet
+  *    (csv or parquet), which is what a spreadsheet tab is at scale.
+  */
+object Writers {
+
+  /** Write every star-schema table under `root/<table>`, facts
+    * partitioned by `ano` when present.
+    */
+  def writeStar(star: StarLoader.Star, root: String, format: String = "parquet"): Unit = {
+    def w(df: DataFrame, name: String): Unit = {
+      val base = df.write.mode(SaveMode.Overwrite).format(format)
+      val withPart =
+        if (df.columns.contains("ano")) base.partitionBy("ano") else base
+      withPart.save(s"$root/$name")
+    }
+    w(star.fatoInquerito, "fato_inquerito")
+    w(star.dimFormacao, "dim_formacao")
+    w(star.fatoFormacao, "fato_formacao_inquerito")
+    w(star.dimAreaTematica, "dim_area_tematica")
+    w(star.fatoInteresse, "fato_interesse_area")
+    w(star.comentario, "comentario")
+    w(star.dimPreferencia, "dim_preferencia_ensino")
+    w(star.fatoPreferencia, "fato_preferencia_ensino")
+    w(star.dimHorario, "dim_horario")
+    w(star.fatoDisponibilidade, "fato_disponibilidade_horaria")
+  }
+
+  /** S7 multi-sheet export: one csv directory per logical sheet —
+    * the per-group frames plus `duplicados` / `entidades_invalidas` /
+    * `all_data` (etl_ui.py:2144-2159).
+    */
+  def exportSheets(result: Pipeline.EtlResult, root: String): Unit = {
+    def w(df: DataFrame, sheet: String): Unit =
+      df.coalesce(1).write.mode(SaveMode.Overwrite)
+        .option("header", "true").csv(s"$root/$sheet")
+    result.plans.map(_.group).distinct.foreach { g =>
+      val cols = "row_id" +: result.colsOfGroup(g).map(_.uniqueName)
+      val present = cols.filter(result.valid.columns.contains)
+      w(result.valid.selectExpr(present.map(c => s"`$c`"): _*), g)
+    }
+    w(result.duplicates, "duplicados")
+    w(result.unmatched, "entidades_invalidas")
+    w(result.valid, "all_data")
+  }
+
+  /** S6 JDBC sink: batched writes, no RETURNING round-trips (surrogate
+    * keys are pre-assigned by [[graft.operators.SurrogateKeys]]).
+    */
+  def writeJdbc(
+      df: DataFrame, url: String, table: String,
+      props: Properties = new Properties(),
+      batchSize: Int = 10000,
+      mode: SaveMode = SaveMode.Append): Unit = {
+    props.setProperty("batchsize", batchSize.toString)
+    df.write.mode(mode).jdbc(url, table, props)
+  }
+
+  /** S3/S4 JDBC scan (the registry / dimension state reads). */
+  def readJdbc(
+      spark: org.apache.spark.sql.SparkSession,
+      url: String, table: String,
+      props: Properties = new Properties()): DataFrame =
+    spark.read.jdbc(url, table, props)
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming surface. The reference is purely batch (SURVEY.md §2.10), so
+  * these are the engine's forward-looking transforms: written against
+  * DataFrame so the SAME function runs in a batch job or under
+  * `readStream` (Structured Streaming plans it incrementally).
+  *
+  * Scale design: windowed aggregation is a streaming-state hash agg keyed
+  * by (window, key) — the watermark bounds state; sessionization uses
+  * `flatMapGroupsWithState` with an explicit timeout so state size tracks
+  * live users, not history.
+  */
+object EventOps {
+
+  /** Tumbling-window counts/sums per key. Works on a batch frame or a
+    * stream; pass `watermark` when streaming so late state is evicted.
+    */
+  def hourlyAgg(events: DataFrame, watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+  }
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class Session(user_id: Long, n_events: Long, first_ts: java.sql.Timestamp,
+      last_ts: java.sql.Timestamp, total_value: Double)
+
+  private case class SessionState(n: Long, first: Long, last: Long, total: Double)
+
+  /** Stateful sessionization: one open session per user, closed (emitted)
+    * after `gapMinutes` of inactivity via processing-time timeout. The
+    * canonical `flatMapGroupsWithState` shape — explicit state, explicit
+    * timeout, append output.
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, s.n, new java.sql.Timestamp(s.first),
+              new java.sql.Timestamp(s.last), s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption.getOrElse(SessionState(0, Long.MaxValue, Long.MinValue, 0d))
+            sorted.foreach { e =>
+              st = SessionState(st.n + 1, math.min(st.first, e.ts.getTime),
+                math.max(st.last, e.ts.getTime), st.total + e.value)
+            }
+            state.update(st)
+            state.setTimeoutDuration(s"$gapMinutes minutes")
+            Iterator.empty
+          }
+        })
+  }
+
+  /** Batch twin of [[sessionize]] for verification: same session
+    * definition computed with a gap-split window cascade (the standard
+    * batch sessionization: lag -> gap flag -> running session id).
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("__new_session",
+        when(col("__prev").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("__prev")) > gapMinutes * 60L, 1)
+          .otherwise(0))
+      .withColumn("__session_id", sum(col("__new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("__session_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .drop("__session_id")
+  }
+}

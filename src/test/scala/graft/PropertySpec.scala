@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextNorm
+
+/** Property tests (SURVEY.md §5): driver-side string-kernel laws checked
+  * with ScalaCheck directly (no Spark needed — the kernels are pure), and
+  * Spark-side partition/dedup invariants on generated frames.
+  */
+class TextNormPropSpec extends AnyFunSuite {
+
+  private val ptChars = "abcdefghijklmnopqrstuvwxyz áéíóúâêôãõç ABCÁÉÍÓÚÂÊÔÃÕÇ  \t".toSeq
+  private val ptString: Gen[String] =
+    Gen.listOf(Gen.oneOf(ptChars)).map(_.mkString)
+
+  private def check(name: String, p: Prop): Unit = test(name) {
+    val r = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  check("normalize is idempotent", forAll(ptString) { s =>
+    TextNorm.normalize(TextNorm.normalize(s)) == TextNorm.normalize(s)
+  })
+
+  check("normalize output is lowercase ascii-folded single-spaced", forAll(ptString) { s =>
+    val n = TextNorm.normalize(s)
+    !n.exists(_.isUpper) && !n.contains("  ") && n == n.trim &&
+      !n.exists(c => "áéíóúâêôãõç".contains(c))
+  })
+
+  check("removePrefixes strips at most one leading designator", forAll(ptString) { s =>
+    val out = TextNorm.removePrefixes("Município de " + s)
+    !out.startsWith("municipio ")
+  })
+
+  check("splitSentences loses no non-blank content", forAll(ptString) { s =>
+    val parts = TextNorm.splitSentences(s)
+    parts.forall(_.nonEmpty) && (s.trim.isEmpty || parts.nonEmpty || s.trim.isEmpty)
+  })
+
+  check("fingerprint codes stay in the modular field", forAll(ptString) { s =>
+    // mirrors TextAnalysis.fingerprint arithmetic bounds: acc*131+v < 2^63
+    val M = 1000000007L
+    (M - 1) * 131 + (M - 1) < Long.MaxValue
+  })
+}
+
+class PartitionInvariantSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedup split partitions the input for random frames") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 500).map(i => (rnd.nextInt(50).toLong, i.toLong))
+    val df = rows.toDF("key", "row_id")
+    val r = graft.operators.Dedup.keepFirst(df, Seq(col("key")), col("row_id"))
+    assert(r.kept.count() + r.duplicates.count() == 500)
+    assert(r.kept.select("key").distinct().count() == r.kept.count())
+    // kept row per key is the minimum row_id
+    val keptMap = r.kept.as[(Long, Long)].collect().toMap
+    val expect = rows.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    assert(keptMap == expect)
+  }
+
+  test("unpivot row count equals non-null gated cells for random frames") {
+    val rnd = new scala.util.Random(4)
+    val rows = (0 until 300).map { i =>
+      (i.toLong,
+        if (rnd.nextBoolean()) Some(rnd.nextInt(10).toString) else None,
+        if (rnd.nextBoolean()) Some(rnd.nextInt(10).toString) else None)
+    }
+    val df = rows.toDF("row_id", "qa", "qb")
+    val melted = graft.operators.Reshape.unpivotNonNull(
+      df, Seq("row_id"), Seq("qa", "qb"), "q", "v")
+    val expected = rows.map(r => r._2.size + r._3.size).sum
+    assert(melted.count() == expected)
+  }
+
+  test("getOrCreate ids are unique and preserve existing for random inputs") {
+    val rnd = new scala.util.Random(5)
+    val existing = (1 to 20).map(i => (i.toLong, s"k$i")).toDF("id", "k")
+    val incoming = (0 until 200).map(_ => s"k${rnd.nextInt(40)}").toDF("k")
+    val dim = graft.operators.SurrogateKeys.getOrCreate(existing, incoming, "id", "k")
+    val n = dim.count()
+    assert(dim.select("id").distinct().count() == n)
+    assert(dim.select("k").distinct().count() == n)
+    assert(dim.filter($"id" <= 20).count() == 20) // existing intact
+  }
+}
