@@ -1,0 +1,17 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints the flagship pipeline's physical plan. */
+object ExplainEntry {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.entry(spark).explain()
+    spark.stop()
+  }
+}
