@@ -12,11 +12,14 @@ object Demo {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val valid = SparkEntry.entry(spark)
     println(s"[demo] entry() valid rows = ${valid.count()}")
     valid.show(5, truncate = false)
+    println("[demo] SQL via extensions: " +
+      spark.sql("SELECT accent_fold('Município de Águeda')").collect().head.getString(0))
     spark.stop()
   }
 }

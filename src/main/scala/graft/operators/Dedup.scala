@@ -49,4 +49,17 @@ object Dedup {
     val keep = df.groupBy(cols.map(col): _*).agg(min(col(idCol)).as(idCol))
     df.join(keep, cols :+ idCol, "left_semi")
   }
+
+  /** Skew-aware keep-first: same result as [[keepFirst]].kept, without a
+    * per-key window. An aggregation (partial combine on the map side)
+    * finds each key's winning orderCol, then a semi-join recovers the
+    * winning rows — a hot key costs a partial-aggregated shuffle instead
+    * of materializing its entire group in one window partition. Use when
+    * one key can hold a significant fraction of all rows.
+    */
+  def keepFirstSkewAware(df: DataFrame, key: Seq[String], orderCol: String): DataFrame = {
+    val winners = df.groupBy(key.map(col): _*)
+      .agg(min(col(orderCol)).as(orderCol))
+    df.join(winners, key :+ orderCol, "left_semi")
+  }
 }
