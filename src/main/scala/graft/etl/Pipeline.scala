@@ -103,38 +103,28 @@ object Pipeline {
       .withColumn("entity_key",
         concat_ws("||", col("nome_entidade_norm"), Cols.normalizeText(col("tipo_entidade"))))
 
-    val badName = keyed.filter(badNameP)
-    val candidates = keyed.filter(!badNameP)
-
     // --- measures on identificacao (X10-X16) --------------------------
+    // pct is parsed/clamped here but RESCALED only after the single
+    // cache materialization below — the global-max subquery then reads
+    // the cache instead of racing a second full pass over the input.
     val hasPct = plans.exists(_.uniqueName == "percentagem_preenchido")
     val withPctRaw =
       if (hasPct)
-        candidates.withColumn("percentagem_preenchido",
+        keyed.withColumn("percentagem_preenchido",
           col("percentagem_preenchido").cast("string").try_cast("double"))
           .withColumn("percentagem_preenchido",
             when(col("percentagem_preenchido") < 0, lit(null)).otherwise(col("percentagem_preenchido")))
-      else candidates.withColumn("percentagem_preenchido", lit(null).cast("double"))
-
-    // A1 global max as 1-row broadcast; X13 rescale with pandas-parity
-    // HALF_EVEN rounding (bround).
-    val maxDf = withPctRaw.agg(max(col("percentagem_preenchido")).as("__max_pct"))
-    val withPct = withPctRaw.crossJoin(broadcast(maxDf))
-      .withColumn("percentagem_preenchido",
-        when(col("__max_pct").isNotNull && col("__max_pct") > 0,
-          bround(col("percentagem_preenchido") / col("__max_pct") * 100).cast("int"))
-          .otherwise(col("percentagem_preenchido").cast("int")))
-      .drop("__max_pct")
+      else keyed.withColumn("percentagem_preenchido", lit(null).cast("double"))
 
     val hasTimes = Seq("data_inicio", "data_fim").forall(n => plans.exists(_.uniqueName == n))
     val withTime =
       if (hasTimes)
-        withPct
+        withPctRaw
           .withColumn("data_inicio", try_to_timestamp(col("data_inicio")))
           .withColumn("data_fim", try_to_timestamp(col("data_fim")))
           .withColumn("tempo_realizacao",
             Cols.durationSeconds(col("data_inicio"), col("data_fim")))
-      else withPct.withColumn("tempo_realizacao", lit(null).cast("long"))
+      else withPctRaw.withColumn("tempo_realizacao", lit(null).cast("long"))
 
     val hasSub = plans.exists(_.uniqueName == "data_submissao")
     val withSub = {
@@ -158,10 +148,30 @@ object Pipeline {
         Cols.removePrefixes(col("ent_nome")),
         Cols.normalizeText(col("ent_tipo"))).as("entity_key"))
 
-    val joined = enriched.join(broadcast(reg), Seq("entity_key"), "left_outer")
+    // THE fan-out point: all four output frames and every star-loader
+    // fact read the post-join frame. Bad-name rows ride through the join
+    // (they can never match — registry keys are non-empty) so ONE cache
+    // serves everything; it is materialized eagerly because Spark runs
+    // broadcast/scalar subqueries as concurrent jobs, and an unbuilt
+    // cache would be computed by each of them in parallel (measured 2x
+    // the identification wall time). MEMORY_AND_DISK: spills, never OOMs.
+    val joined = enriched.join(broadcast(reg), Seq("entity_key"), "left_outer").persist()
+    joined.count()
 
-    val unmatched = joined.filter(col("id_entidade").isNull)
-    val matched = joined.filter(col("id_entidade").isNotNull)
+    // A1 global max over the F1-filtered candidates (cache read) + X13
+    // rescale with pandas-parity HALF_EVEN rounding (bround).
+    val maxDf = joined.filter(!badNameP).agg(max(col("percentagem_preenchido")).as("__max_pct"))
+    val rescaled = joined.crossJoin(broadcast(maxDf))
+      .withColumn("percentagem_preenchido",
+        when(col("__max_pct").isNotNull && col("__max_pct") > 0,
+          bround(col("percentagem_preenchido") / col("__max_pct") * 100).cast("int"))
+          .otherwise(col("percentagem_preenchido").cast("int")))
+      .drop("__max_pct")
+
+    val badName = rescaled.filter(badNameP)
+      .withColumn("id_entidade", lit(null).cast("long"))
+    val unmatched = rescaled.filter(!badNameP && col("id_entidade").isNull)
+    val matched = rescaled.filter(!badNameP && col("id_entidade").isNotNull)
     val dd = Dedup.keepFirst(matched, Seq(col("id_entidade")), col(Readers.RowId))
 
     def clean(df: DataFrame): DataFrame = df.drop(helperCols: _*)

@@ -110,7 +110,12 @@ object StarLoader {
 
     val spark = result.valid.sparkSession
     import spark.implicits._
+    // Materialize eagerly: the inquerito surrogate-id window is a
+    // single-partition exchange, and without a built cache AQE chains the
+    // whole upstream dedup into that one task (measured 50s vs 2s at 1M
+    // input rows).
     val valid = result.valid.persist()
+    valid.count()
 
     // ---- FatoInquerito (X7, X23) -------------------------------------
     val hasResp = result.plans.exists(_.uniqueName == "existe_responsavel")

@@ -18,22 +18,16 @@ object Cols {
   def foldAccents(c: Column): Column = AccentFoldExpr(c)
 
   /** X1 `normalize_text`: trim -> fold accents -> collapse whitespace ->
-    * lowercase; null/blank -> "".
+    * lowercase; null/blank -> "". Fused native expression — one kernel
+    * call instead of a 4-deep regexp/lower chain re-materializing the
+    * string at each step.
     */
-  def normalizeText(c: Column): Column = {
-    val t = trim(c)
-    when(c.isNull || t === "", lit(""))
-      .otherwise(lower(regexp_replace(foldAccents(t), "\\s+", " ")))
-  }
+  def normalizeText(c: Column): Column = NormalizeTextExpr(c)
 
   /** X2 `remove_prefixes`: normalize then strip one leading
-    * municipality/parish designator.
+    * municipality/parish designator (fused native expression).
     */
-  def removePrefixes(c: Column): Column =
-    trim(
-      regexp_replace(
-        regexp_replace(normalizeText(c), TextNorm.municipalityPrefixRe, ""),
-        TextNorm.parishPrefixRe, ""))
+  def removePrefixes(c: Column): Column = RemovePrefixesExpr(c)
 
   /** X3 bracket extraction: first `[...]` group trimmed, else whole
     * trimmed string.
