@@ -80,4 +80,28 @@ object Writers {
       url: String, table: String,
       props: Properties = new Properties()): DataFrame =
     spark.read.jdbc(url, table, props)
+
+  /** Bucketed catalog table: pre-shuffles once at write time so that
+    * repeated fact<->fact joins and aggregations on the bucket key plan
+    * with NO exchange (the 100 TB answer to "this join shuffles every
+    * run"). Both sides must be bucketed by the same key and count.
+    */
+  def writeBucketedTable(
+      df: DataFrame, table: String, bucketCol: String, buckets: Int,
+      sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, bucketCol)
+    sortCol.fold(w)(s => w.sortBy(s)).saveAsTable(table)
+  }
+
+  /** Re-run a year: overwrite ONLY that `ano` partition (dynamic
+    * partition overwrite), leaving other years untouched — the
+    * reprocessing story for the yearly survey batches.
+    */
+  def overwriteYearPartition(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ano")
+      .parquet(path)
 }
