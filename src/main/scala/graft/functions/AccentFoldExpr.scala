@@ -79,9 +79,40 @@ case class NormalizeTextExpr(child: Expression) extends UnaryExpression {
 }
 
 object NormalizeTextExpr {
+
+  /** ASCII fast path works directly on the UTF8String bytes (one output
+    * allocation, no java.lang.String, no regex): trim edges (<= 0x20,
+    * like String.trim), collapse interior whitespace runs, lowercase
+    * A-Z. Non-ASCII falls back to the shared kernel. Byte-for-byte parity
+    * with [[TextNorm.normalize]] on ASCII is pinned by ColsSpec.
+    */
   def normalize(s: UTF8String): UTF8String = {
     if (s == null) return UTF8String.EMPTY_UTF8
-    UTF8String.fromString(TextNorm.normalize(s.toString))
+    val n = s.numBytes()
+    if (n != s.numChars()) return UTF8String.fromString(TextNorm.normalize(s.toString))
+    val bytes = s.getBytes
+    var start = 0
+    var end = n
+    while (start < end && (bytes(start) & 0xFF) <= 0x20) start += 1
+    while (end > start && (bytes(end - 1) & 0xFF) <= 0x20) end -= 1
+    if (start == end) return UTF8String.EMPTY_UTF8
+    val out = new Array[Byte](end - start)
+    var i = start
+    var o = 0
+    var pendingSpace = false
+    while (i < end) {
+      val b = bytes(i)
+      val ws = b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+      if (ws) pendingSpace = true
+      else {
+        if (pendingSpace && o > 0) { out(o) = ' '; o += 1 }
+        pendingSpace = false
+        out(o) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+        o += 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, o)
   }
 
   def apply(c: Column): Column = {

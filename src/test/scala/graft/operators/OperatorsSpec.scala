@@ -125,14 +125,16 @@ class ColsSpec extends SparkSpec {
   import spark.implicits._
 
   test("column fns match TextNorm kernel on a sample") {
-    val d = Seq("Município de Águeda", "  CM  Porto ", "n/a", "", null)
+    val d = Seq("Município de Águeda", "  CM  Porto ", "n/a", "", null,
+      "A\tB\nC", " x ", "MiXeD CaSe 42", "\t \n", "a  b   c")
       .toDF("s")
     val got = d.select(
       Cols.normalizeText($"s").as("n"),
       Cols.removePrefixes($"s").as("p"),
       Cols.isInvalidName($"s").as("bad"))
       .collect()
-    val exp = Seq("Município de Águeda", "  CM  Porto ", "n/a", "", null).map { s =>
+    val exp = Seq("Município de Águeda", "  CM  Porto ", "n/a", "", null,
+      "A\tB\nC", " x ", "MiXeD CaSe 42", "\t \n", "a  b   c").map { s =>
       (graft.functions.TextNorm.normalize(s),
        graft.functions.TextNorm.removePrefixes(s),
        graft.functions.TextNorm.invalidNames.contains(graft.functions.TextNorm.normalize(s)))
