@@ -38,9 +38,16 @@ object Pipeline {
       duplicates: DataFrame,
       unmatched: DataFrame,
       badName: DataFrame,
-      plans: Seq[LabelOps.ColPlan]) {
+      plans: Seq[LabelOps.ColPlan],
+      private[etl] val cached: Seq[DataFrame] = Seq.empty) {
     def colsOfGroup(group: String): Seq[LabelOps.ColPlan] =
       plans.filter(_.group == group)
+
+    /** Release the pipeline's internal caches once the outputs are
+      * written — keeps long-lived sessions (many yearly batches) from
+      * accumulating cached frames.
+      */
+    def unpersist(): Unit = cached.foreach(_.unpersist())
   }
 
   private val helperCols =
@@ -181,6 +188,7 @@ object Pipeline {
       duplicates = clean(dd.duplicates),
       unmatched = clean(unmatched),
       badName = clean(badName),
-      plans = plans)
+      plans = plans,
+      cached = Seq(joined))
   }
 }

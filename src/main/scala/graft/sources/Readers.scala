@@ -15,13 +15,19 @@ object Readers {
 
   /** CSV survey source (S2): header row, every column ingested as string
     * (survey cells are heterogeneous; coercion happens per-column later,
-    * mirroring the reference's pandas `object` frames).
+    * mirroring the reference's pandas `object` frames). `multiLine` +
+    * `escape="` match pandas' default quoting behavior — survey comment
+    * cells legitimately contain newlines and quotes. multiLine makes a
+    * single file non-splittable, which is irrelevant at spreadsheet
+    * scale (and per-file parallelism still applies to directories).
     */
   def csv(spark: SparkSession, path: String): DataFrame =
     withRowId(
       spark.read
         .option("header", "true")
         .option("inferSchema", "false")
+        .option("multiLine", "true")
+        .option("escape", "\"")
         .csv(path))
 
   /** Parquet source (testdata / star-schema interchange). */
