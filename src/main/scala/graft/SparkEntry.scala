@@ -824,12 +824,28 @@ object SparkEntry {
              |      FROM documents)
              |WHERE valor > 0 ORDER BY doc_id""".stripMargin))
 
+    /** IVF ANN: k-means coarse quantizer + probe-cell exact cosine (the
+      * second scale path besides sign-LSH; recall pinned in ScalaTest —
+      * rows-only here, k-means cells aren't SQL-replicable).
+      */
+    private val q43 = Q(
+      "q43_ann_ivf_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.ivfTopK(
+            e, e.filter($"vec_id" < 5), idCol = "vec_id", vecCol = "embedding",
+            k = 5, nCentroids = 16, nProbe = 4)
+          .select($"query_id", $"rank", $"neighbor_id", round($"sim", 6).as("sim"))
+          .orderBy("query_id", "rank")
+      },
+      None)
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
       q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41, q42)
+      q41, q42, q43)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

@@ -107,6 +107,67 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    * partitions the corpus into `nCentroids` cells; each query probes its
+    * `nProbe` nearest cells and runs exact cosine only inside them —
+    * O(Q * N * nProbe / nCentroids) distance evaluations instead of
+    * O(Q * N). Centroids are model-sized (driver/broadcast); the corpus
+    * shuffles once at assignment time and can be written bucketed by
+    * cell for repeated query workloads.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+      .withColumn("__features", array_to_vector(col("__cv")))
+    val model = new KMeans()
+      .setK(nCentroids).setSeed(seed).setFeaturesCol("__features")
+      .fit(c)
+    val assigned = model.transform(c)
+      .withColumnRenamed(model.getPredictionCol, "__cell")
+      .drop("__features")
+
+    // centroids are tiny: rank a query's probe cells via a literal array
+    // of centroid vectors, by the same metric KMeans assigns with (L2)
+    val centroids = model.clusterCenters.map(_.toArray.toSeq)
+    def l2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    val centroidCols = centroids.zipWithIndex.map { case (ctr, i) =>
+      struct(lit(i).as("cell"), l2(col("__qv"), array(ctr.map(lit): _*)).as("d"))
+    }
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__cells",
+        slice(
+          transform(
+            array_sort(
+              array(centroidCols: _*),
+              (a, b) => when(a("d") < b("d"), -1).when(a("d") > b("d"), 1).otherwise(0)),
+            s => s("cell")),
+          1, nProbe))
+      .withColumn("__cell", explode(col("__cells")))
+      .drop("__cells")
+
+    val scored = assigned.join(broadcast(q), "__cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("__cv"), col("__qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .select("query_id", "neighbor_id", "sim").distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold within blocks
     * (block on an LSH bucket or a provided key to bound the quadratic
     * term).

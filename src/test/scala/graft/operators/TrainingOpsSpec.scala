@@ -116,6 +116,23 @@ class SimilaritySpec extends SparkSpec {
     assert(byQ(20L).forall(_ >= 20L))
     assert(byQ(0L).size == 5 && byQ(20L).size == 5)
   }
+
+  test("ivfTopK finds same-cluster neighbors via coarse quantizer") {
+    val rnd = new scala.util.Random(11)
+    def around(base: Array[Float]) =
+      base.map(v => v + (rnd.nextGaussian() * 0.01).toFloat)
+    val a = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val b = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val corpus = ((0 until 20).map(i => (i.toLong, around(a))) ++
+      (20 until 40).map(i => (i.toLong, around(b)))).toDF("vec_id", "embedding")
+    val ivf = Similarity.ivfTopK(corpus, corpus.filter($"vec_id".isin(0L, 20L)),
+      "vec_id", "embedding", k = 5, nCentroids = 4, nProbe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val byQ = ivf.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byQ(0L).forall(_ < 20L))
+    assert(byQ(20L).forall(_ >= 20L))
+    assert(byQ(0L).size == 5 && byQ(20L).size == 5)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
