@@ -840,12 +840,39 @@ object SparkEntry {
       },
       None)
 
+    /** BPE-ish subword token counting (tokenizer-cost proxy). */
+    private val q44 = Q(
+      "q44_bpe_token_count",
+      (s, dir) => t(s, dir, "documents")
+        .select($"doc_id",
+          Cols.bpeTokenCount($"text").as("n_subwords"),
+          Cols.tokenCount($"text").as("n_words"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[[:alpha:]]+|[0-9]+|[^[:alpha:]0-9[:space:]]')) AS INT) AS n_subwords,
+             |  CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             |       ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS n_words
+             |FROM documents ORDER BY doc_id""".stripMargin))
+
+    /** LSH-self-blocked embedding dedup (no external key; multi-probe
+      * buckets). Rows-only: murmur-free but hyperplane seeds aren't
+      * SQL-replicable.
+      */
+    private val q45 = Q(
+      "q45_embedding_dup_lsh",
+      (s, dir) => Similarity.embeddingDupPairsLsh(
+          t(s, dir, "embeddings"), idCol = "vec_id", vecCol = "embedding",
+          threshold = 0.35, dim = 64, bits = 8)
+        .select($"id_a", $"id_b", round($"sim", 6).as("sim"))
+        .orderBy("id_a", "id_b"),
+      None)
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
       q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41, q42, q43)
+      q41, q42, q43, q44, q45)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

@@ -94,4 +94,13 @@ object Cols {
     val t = trim(c)
     when(c.isNull || t === "", 0).otherwise(size(split(t, "\\s+")))
   }
+
+  /** BPE-ish subword token count: letter runs, digit runs, and single
+    * non-alphanumeric marks each count as one token — the usual cheap
+    * proxy for tokenizer cost when budgeting a training corpus.
+    */
+  val bpeTokenRe = "[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]"
+
+  def bpeTokenCount(c: Column): Column =
+    coalesce(regexp_count(c, lit(bpeTokenRe)), lit(0))
 }

@@ -188,4 +188,37 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
+
+  /** Self-blocked embedding dedup: sign-LSH buckets (with Hamming-1
+    * multi-probe so near-identical vectors straddling one hyperplane
+    * still meet) replace an external blocking key — the fully automatic
+    * scale path. High-cosine pairs share most hyperplane signs, so few
+    * probes recover them; exact cosine verifies.
+    */
+  def embeddingDupPairsLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      bits: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, bits, seed)
+    val v = df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__b", lshBucket(col("__v"), planes))
+    val probes = (0 until bits).map(i => lit(1L << i))
+    // each vector lands in its bucket plus all Hamming-1 buckets; a pair
+    // within Hamming distance 1 of each other is guaranteed to co-occur
+    val expanded = v.withColumn("__bucket",
+      explode(array_union(array(col("__b")),
+        array(probes.map(p => col("__b").bitwiseXOR(p)): _*))))
+    val a = expanded.select(col(idCol).as("id_a"), col("__v").as("__va"), col("__bucket"))
+    val b = expanded.select(col(idCol).as("id_b"), col("__v").as("__vb"), col("__bucket"))
+    a.join(b, Seq("__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "__va", "__vb").dropDuplicates("id_a", "id_b")
+      .withColumn("sim", cosine(col("__va"), col("__vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
 }

@@ -117,6 +117,26 @@ class SimilaritySpec extends SparkSpec {
     assert(byQ(0L).size == 5 && byQ(20L).size == 5)
   }
 
+  test("embeddingDupPairsLsh finds near-identical vectors without a block key") {
+    val rnd = new scala.util.Random(13)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val near = base.map(v => v + (rnd.nextGaussian() * 0.001).toFloat)
+    val corpus = (Seq((0L, base), (1L, near)) ++
+      (2 until 30).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingDupPairsLsh(corpus, "vec_id", "embedding",
+      threshold = 0.99, dim = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("bpeTokenCount splits words, digits, punctuation") {
+    import graft.functions.Cols
+    val d = Seq("hello world", "a1b2", "x, y!", "", null).toDF("t")
+    val got = d.select(Cols.bpeTokenCount($"t")).as[Int].collect().toSeq
+    assert(got == Seq(2, 4, 4, 0, 0))
+  }
+
   test("ivfTopK finds same-cluster neighbors via coarse quantizer") {
     val rnd = new scala.util.Random(11)
     def around(base: Array[Float]) =
