@@ -124,7 +124,8 @@ object TextDedup {
       numPerm: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucketSize: Int = 2000): DataFrame = {
     require(numPerm % bands == 0, "numPerm must divide into bands")
     val rows = numPerm / bands
     val sigDf = df.select(col(idCol), col(textCol))
@@ -136,8 +137,21 @@ object TextDedup {
         transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("__sig"), b * rows + 1, lit(rows)), b))) // band hash, salted by band idx
         .as(Seq("__band", "__bucket")))
-    val l = banded.select(col(idCol).as("id_a"), col("__band"), col("__bucket"))
-    val r = banded.select(col(idCol).as("id_b"), col("__band"), col("__bucket"))
+      .persist()
+    banded.count()
+    // Cap bucket sizes: a bucket holding a large fraction of the corpus
+    // carries no discriminative signal (template-heavy corpora produce
+    // them) but turns the self-join quadratic on one hot key — runtime
+    // then depends on whether AQE happens to split it (measured 25s vs
+    // 175s run-to-run). Dropping oversized buckets bounds the join
+    // deterministically; true near-dups still meet in their many small,
+    // discriminating buckets.
+    val smallBuckets = banded.groupBy("__band", "__bucket")
+      .count().filter(col("count") <= maxBucketSize)
+      .select("__band", "__bucket")
+    val pruned = banded.join(smallBuckets, Seq("__band", "__bucket"))
+    val l = pruned.select(col(idCol).as("id_a"), col("__band"), col("__bucket"))
+    val r = pruned.select(col(idCol).as("id_b"), col("__band"), col("__bucket"))
     val candidates = l.join(r, Seq("__band", "__bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
