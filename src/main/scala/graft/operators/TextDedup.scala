@@ -150,10 +150,10 @@ object TextDedup {
       .count().filter(col("count") <= maxBucketSize)
       .select("__band", "__bucket")
     val pruned = banded.join(smallBuckets, Seq("__band", "__bucket"))
-    val l = pruned.select(col(idCol).as("id_a"), col("__band"), col("__bucket"))
-    val r = pruned.select(col(idCol).as("id_b"), col("__band"), col("__bucket"))
-    val candidates = l.join(r, Seq("__band", "__bucket"))
-      .filter(col("id_a") < col("id_b"))
+    // chunked self-join: bounded key groups regardless of bucket skew
+    val candidates = SelfJoin.pairsWithinGroups(
+        pruned, Seq("__band", "__bucket"), idCol, payloadCols = Seq.empty,
+        chunkSize = 500)
       .select("id_a", "id_b").distinct()
     // Exact verify on hashed-int shingles: set semantics are identical
     // modulo murmur3 collisions (negligible at 3-gram cardinality), and
