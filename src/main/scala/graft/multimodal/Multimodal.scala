@@ -56,6 +56,34 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: a real codec would decode, scale, re-encode; the stub
+    * rewrites the metadata struct (the cluster-side contract: resize is
+    * a per-row map, never a shuffle) and truncates payload bytes
+    * proportionally so downstream size accounting stays consistent.
+    */
+  def resize(df: DataFrame, contentCol: String, w: Int, h: Int): DataFrame =
+    df
+      .withColumn(contentCol,
+        expr(s"substring($contentCol, 1, greatest(int(octet_length($contentCol) / 4), 1))"))
+      .withColumn("asset_meta", struct(
+        col("asset_meta.media_type").as("media_type"),
+        octet_length(col(contentCol)).cast("long").as("n_bytes"),
+        lit(w).as("width"),
+        lit(h).as("height")))
+
+  /** STUB frame sampling: treat the payload as `nFrames` equal slices
+    * ("video frames") and explode every k-th as its own asset row —
+    * the generator-shaped op of a video pipeline (row -> frames fan-out
+    * is a narrow explode, no shuffle).
+    */
+  def sampleFrames(df: DataFrame, contentCol: String, nFrames: Int, everyK: Int): DataFrame = {
+    val frameIdx = explode(sequence(lit(0), lit(nFrames - 1), lit(everyK)))
+    df.withColumn("frame_idx", frameIdx)
+      .withColumn("frame_bytes",
+        expr(s"substring($contentCol, int(frame_idx * octet_length($contentCol) / $nFrames) + 1, " +
+          s"greatest(int(octet_length($contentCol) / $nFrames), 1))"))
+  }
+
   /** Partition-wise feature extraction over the binary content column:
     * appends `features: array<float>`. Batch shape: one codec instance
     * per partition, rows streamed through it (no per-row setup, no

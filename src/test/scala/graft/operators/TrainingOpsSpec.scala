@@ -169,6 +169,26 @@ class MultimodalSpec extends SparkSpec {
     assert(m(1L) == ((4L, 5, 5)))
   }
 
+  test("resize rewrites metadata and shrinks payload") {
+    val d = Seq((1L, "abcdefghijklmnop")).toDF("id", "text")
+      .select($"id", $"text".cast("binary").as("content"))
+    val r = Multimodal.resize(
+      Multimodal.withAssetMetadata(d, "content", "image/stub"), "content", 32, 24)
+    val row = r.select($"asset_meta.n_bytes", $"asset_meta.width", $"asset_meta.height")
+      .as[(Long, Int, Int)].head()
+    assert(row == ((4L, 32, 24))) // 16 bytes -> 4
+  }
+
+  test("sampleFrames explodes every k-th slice") {
+    val d = Seq((1L, "0123456789abcdef")).toDF("id", "text")
+      .select($"id", $"text".cast("binary").as("content"))
+    val f = Multimodal.sampleFrames(d, "content", nFrames = 8, everyK = 2)
+    val frames = f.select($"frame_idx", $"frame_bytes".cast("string"))
+      .as[(Int, String)].collect().toSeq.sortBy(_._1)
+    assert(frames.map(_._1) == Seq(0, 2, 4, 6))
+    assert(frames.map(_._2) == Seq("01", "45", "89", "cd"))
+  }
+
   test("extractFeatures: per-partition batch, normalized histogram") {
     val d = Seq((1L, "aaaa"), (2L, "")).toDF("id", "text")
       .select($"id", $"text".cast("binary").as("content"))
