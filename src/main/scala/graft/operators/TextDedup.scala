@@ -130,7 +130,7 @@ object TextDedup {
     val rows = numPerm / bands
     val sigDf = df.select(col(idCol), col(textCol))
       .withColumn("__sig", minHashSignature(col(textCol), n, numPerm, seed))
-      .persist() // read once for banding, once per side of the estimate join
+      .persist() // signatures feed only the banding pass
     val banded = sigDf.select(
       col(idCol),
       posexplode(
@@ -139,6 +139,7 @@ object TextDedup {
         .as(Seq("__band", "__bucket")))
       .persist()
     banded.count()
+    sigDf.unpersist() // banded is materialized; free the signature cache
     // Cap bucket sizes: a bucket holding a large fraction of the corpus
     // carries no discriminative signal (template-heavy corpora produce
     // them) but turns the self-join quadratic on one hot key — runtime

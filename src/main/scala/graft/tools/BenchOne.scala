@@ -5,17 +5,18 @@ import org.apache.spark.sql.SparkSession
 /** Times a single SparkEntry query: runMain graft.tools.BenchOne <name> [sfDir] */
 object BenchOne {
   def main(args: Array[String]): Unit = {
-    val name = args.head
-    val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val t0 = System.nanoTime()
-    val n = graft.SparkEntry.queries(name)(spark, dir).count()
-    println(f"[bench1] $name rows=$n  ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    args.foreach { name =>
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(name)(spark, dir).count()
+      println(f"[bench1] $name rows=$n  ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }
