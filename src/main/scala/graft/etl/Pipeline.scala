@@ -179,7 +179,8 @@ object Pipeline {
       .withColumn("id_entidade", lit(null).cast("long"))
     val unmatched = rescaled.filter(!badNameP && col("id_entidade").isNull)
     val matched = rescaled.filter(!badNameP && col("id_entidade").isNotNull)
-    val dd = Dedup.keepFirst(matched, Seq(col("id_entidade")), col(Readers.RowId))
+    val dd = Dedup.keepFirst(matched, Seq(col("id_entidade")), col(Readers.RowId),
+      cacheRanked = true)
 
     def clean(df: DataFrame): DataFrame = df.drop(helperCols: _*)
 
@@ -189,6 +190,6 @@ object Pipeline {
       unmatched = clean(unmatched),
       badName = clean(badName),
       plans = plans,
-      cached = Seq(joined))
+      cached = Seq(joined) ++ dd.ranked)
   }
 }

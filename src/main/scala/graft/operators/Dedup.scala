@@ -15,31 +15,48 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  final case class Split(kept: DataFrame, duplicates: DataFrame)
+  /** `ranked` is the cached intermediate when `cacheRanked` was set —
+    * release it via [[Split.unpersist]] once both outputs are consumed.
+    */
+  final case class Split(
+      kept: DataFrame, duplicates: DataFrame,
+      ranked: Option[DataFrame] = None) {
+    def unpersist(): Unit = ranked.foreach(_.unpersist())
+  }
 
   private val RN = "__graft_rn"
 
-  private def split(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec): Split = {
-    val ranked = df.withColumn(RN, row_number().over(w))
+  private def split(
+      df: DataFrame,
+      w: org.apache.spark.sql.expressions.WindowSpec,
+      cacheRanked: Boolean): Split = {
+    val rankedRaw = df.withColumn(RN, row_number().over(w))
+    // both outputs read the ranked frame; caching it means one window
+    // execution instead of one per consumer (a 4M-row run spent ~70s on
+    // repeated windows without it)
+    val ranked = if (cacheRanked) rankedRaw.persist() else rankedRaw
     Split(
       kept = ranked.filter(col(RN) === 1).drop(RN),
-      duplicates = ranked.filter(col(RN) > 1).drop(RN))
+      duplicates = ranked.filter(col(RN) > 1).drop(RN),
+      ranked = if (cacheRanked) Some(ranked) else None)
   }
 
   /** W1: keep the first-arriving row per key (arrival order = `orderCol`,
     * typically the ingest row_id); the rest become the duplicates frame.
     * (Reference: `duplicated(subset=key, keep="first")`, etl_ui.py:110.)
     */
-  def keepFirst(df: DataFrame, key: Seq[Column], orderCol: Column): Split =
-    split(df, Window.partitionBy(key: _*).orderBy(orderCol.asc))
+  def keepFirst(df: DataFrame, key: Seq[Column], orderCol: Column,
+      cacheRanked: Boolean = false): Split =
+    split(df, Window.partitionBy(key: _*).orderBy(orderCol.asc), cacheRanked)
 
   /** W2: keep the "best" row per key — highest completeness then longest
     * duration, nulls losing (reference sorts with NA -> -1,
     * etl_ui.py:201-213).
     */
-  def keepBest(df: DataFrame, key: Seq[Column], quality: Seq[Column], tieBreak: Column): Split =
+  def keepBest(df: DataFrame, key: Seq[Column], quality: Seq[Column], tieBreak: Column,
+      cacheRanked: Boolean = false): Split =
     split(df, Window.partitionBy(key: _*)
-      .orderBy(quality.map(_.desc_nulls_last) :+ tieBreak.asc: _*))
+      .orderBy(quality.map(_.desc_nulls_last) :+ tieBreak.asc: _*), cacheRanked)
 
   /** Exact full-row (or column-subset) dedup for large corpora: one
     * hash-shuffle groupBy, keeping the minimum id per group. Unlike
