@@ -867,12 +867,36 @@ object SparkEntry {
         .orderBy("id_a", "id_b"),
       None)
 
+    /** Hierarchical rollup (region -> nation -> grand total): partial
+      * aggregation handles every grouping level in one pass.
+      */
+    private val q46 = Q(
+      "q46_rollup",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .rollup($"r_name", $"n_name")
+          .agg(count(lit(1)).as("n_customers"),
+            sum($"c_acctbal".cast("decimal(18,2)")).cast("double").as("total_bal"))
+          .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+      },
+      Some("""SELECT r_name, n_name, count(*) AS n_customers,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP (r_name, n_name)
+             |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
       q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41, q42, q43, q44, q45)
+      q41, q42, q43, q44, q45, q46)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.
