@@ -92,7 +92,8 @@ object Config {
         match { case s if s.nonEmpty => s; case _ => Seq("formandos") })
     EtlConfig(renames, groups, ents, kw,
       defaultTipo = if (adv != null && adv.has("default_entity_type"))
-        adv.get("default_entity_type").asText() else "Municípios")
+        adv.get("default_entity_type").asText() else "Municípios",
+      dropKeywords = arr(if (adv == null) null else adv.get("drop_keywords")).map(_.asText()))
   }
 
   def fromJsonFile(path: String): EtlConfig =

@@ -82,6 +82,11 @@ object LabelOps {
     for ((groupName, range) <- config.groups.toSeq.sortBy(_._2.start)) {
       val cols = headers.zipWithIndex
         .filter { case (_, i0) => i0 + 1 >= range.start && i0 + 1 <= range.end }
+        // P2 drop-by-keyword (etl_ui.py:1047-1054): a header containing any
+        // configured keyword (normalized comparison) is excluded from the
+        // plan. Positions stay pinned to the *original* header list — the
+        // group ranges were defined against it.
+        .filterNot { case (h, _) => containsAny(h, config.dropKeywords) }
       groupName match {
         case "identificacao" =>
           for ((h, _) <- cols; newName <- renameLabel(h, config.renameMap))

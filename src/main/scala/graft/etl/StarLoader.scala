@@ -39,7 +39,14 @@ object StarLoader {
       dimPreferencia: DataFrame,
       fatoPreferencia: DataFrame,
       dimHorario: DataFrame,
-      fatoDisponibilidade: DataFrame)
+      fatoDisponibilidade: DataFrame,
+      private val caches: Seq[DataFrame] = Seq.empty) {
+    /** Release every cache [[load]] created (valid input, inquerito ids,
+      * dims, fused interests) once the star frames are written — same
+      * lifecycle contract as [[Dedup.Split]]/[[Pipeline.EtlResult]].
+      */
+    def unpersist(): Unit = caches.foreach(_.unpersist())
+  }
 
   private def emptyDf(spark: SparkSession, fields: (String, DataType)*): DataFrame =
     spark.createDataFrame(
@@ -110,11 +117,13 @@ object StarLoader {
 
     val spark = result.valid.sparkSession
     import spark.implicits._
+    val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def cached(df: DataFrame): DataFrame = { caches += df.persist(); df }
     // Materialize eagerly: the inquerito surrogate-id window is a
     // single-partition exchange, and without a built cache AQE chains the
     // whole upstream dedup into that one task (measured 50s vs 2s at 1M
     // input rows).
-    val valid = result.valid.persist()
+    val valid = cached(result.valid)
     valid.count()
 
     // ---- FatoInquerito (X7, X23) -------------------------------------
@@ -132,17 +141,17 @@ object StarLoader {
         col("nome_responsavel"),
         col("percentagem_preenchido"),
         col("tempo_realizacao"))
-      .persist()
+    caches += inq.persist()
     val rid2inq = inq.select(col(Readers.RowId), col("id_inquerito"))
 
     // ---- M1 formations ----------------------------------------------
     val fPlans = result.colsOfGroup("formacoes")
     // dim rows come from the column labels (the reference inserts every
     // formation column, etl_ui.py:446-456), keyed by normalized name
-    val dimFormacao = dimGetOrCreate(
+    val dimFormacao = cached(dimGetOrCreate(
       existingFormacao,
       fPlans.map(_.label).distinct.toDF("nome_formacao"),
-      "id_formacao", "nome_formacao", Cols.normalizeText).persist()
+      "id_formacao", "nome_formacao", Cols.normalizeText))
     val fatoFormacao =
       if (fPlans.isEmpty)
         emptyDf(spark, "id_inquerito" -> LongType, "id_formacao" -> LongType,
@@ -159,9 +168,9 @@ object StarLoader {
     val iPlans = result.colsOfGroup("interesses").filter(_.role == LabelOps.Interest)
     val cPlans = result.colsOfGroup("interesses").filter(_.role == LabelOps.InterestComment)
 
-    val dimArea = dimGetOrCreate(
+    val dimArea = cached(dimGetOrCreate(
       None, iPlans.map(_.label).distinct.toDF("nome_area"),
-      "id_area_tematica", "nome_area", c => c).persist()
+      "id_area_tematica", "nome_area", c => c))
 
     val (fatoInteresse, comentario) =
       if (iPlans.isEmpty)
@@ -195,11 +204,10 @@ object StarLoader {
 
         // resposta ids follow the reference's (row, column) insert order;
         // single-partition window, survey-scale only (see scaladoc).
-        val interesse = fused
+        val interesse = cached(fused
           .withColumn("id_resposta",
             row_number().over(Window.orderBy(col(Readers.RowId).asc, col("pos").asc))
-              .cast("long"))
-          .persist()
+              .cast("long")))
 
         (interesse.select(
             col("id_resposta"), col("id_inquerito"), col("id_area_tematica"),
@@ -213,9 +221,9 @@ object StarLoader {
 
     // ---- M3 preferences ---------------------------------------------
     val pPlans = result.colsOfGroup("tipo de ensino")
-    val dimPreferencia = dimGetOrCreate(
+    val dimPreferencia = cached(dimGetOrCreate(
       None, pPlans.map(_.label).distinct.toDF("descricao_preferencia"),
-      "id_preferencia", "descricao_preferencia", c => c).persist()
+      "id_preferencia", "descricao_preferencia", c => c))
     val fatoPreferencia =
       if (pPlans.isEmpty)
         emptyDf(spark, "id_inquerito" -> LongType, "id_preferencia" -> LongType,
@@ -255,13 +263,12 @@ object StarLoader {
       col("descricao_horario") <=> col("__eh_desc") &&
         col("id_tipo_disp") <=> col("__eh_tipo"), "left_anti")
     val maxHor = exHor.agg(coalesce(max(col("id_horario")), lit(0L)).as("__m"))
-    val dimHorario = exHor.unionByName(
+    val dimHorario = cached(exHor.unionByName(
       SurrogateKeys.dense(freshHor, "id_horario",
           Seq(col("descricao_horario").asc, col("id_tipo_disp").asc_nulls_last))
         .crossJoin(broadcast(maxHor))
         .select((col("id_horario") + col("__m")).cast("long").as("id_horario"),
-          col("descricao_horario"), col("id_tipo_disp")))
-      .persist()
+          col("descricao_horario"), col("id_tipo_disp"))))
 
     val fatoDisponibilidade =
       if (dPlans.isEmpty)
@@ -294,6 +301,7 @@ object StarLoader {
       dimPreferencia = dimPreferencia,
       fatoPreferencia = fatoPreferencia,
       dimHorario = dimHorario,
-      fatoDisponibilidade = fatoDisponibilidade)
+      fatoDisponibilidade = fatoDisponibilidade,
+      caches = caches.toSeq)
   }
 }

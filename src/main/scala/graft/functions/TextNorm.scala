@@ -42,7 +42,9 @@ object TextNorm {
     if (s == null) return ""
     val t = s.trim
     if (t.isEmpty) ""
-    else wsRe.matcher(foldAccents(t)).replaceAll(" ").toLowerCase
+    // Locale.ROOT: default-locale lowercasing diverges under e.g. tr_TR
+    // ('I' -> 'ı'), silently changing join/dedup keys per deployment JVM.
+    else wsRe.matcher(foldAccents(t)).replaceAll(" ").toLowerCase(java.util.Locale.ROOT)
   }
 
   /** Entity prefixes stripped from normalized names (etl_ui.py:22-25):

@@ -73,10 +73,27 @@ object Dedup {
     * winning rows — a hot key costs a partial-aggregated shuffle instead
     * of materializing its entire group in one window partition. Use when
     * one key can hold a significant fraction of all rows.
+    *
+    * PRECONDITION (no tieBreakCol): `orderCol` must be unique within each
+    * key (e.g. the ingest row_id) — ties at the minimum would all survive,
+    * diverging from the window variant which keeps exactly one row. When
+    * orderCol can tie, pass a unique `tieBreakCol`: the winner is then
+    * min-by (orderCol, tieBreakCol), still one aggregation + semi-join.
     */
-  def keepFirstSkewAware(df: DataFrame, key: Seq[String], orderCol: String): DataFrame = {
-    val winners = df.groupBy(key.map(col): _*)
-      .agg(min(col(orderCol)).as(orderCol))
-    df.join(winners, key :+ orderCol, "left_semi")
-  }
+  def keepFirstSkewAware(
+      df: DataFrame, key: Seq[String], orderCol: String,
+      tieBreakCol: Option[String] = None): DataFrame =
+    tieBreakCol match {
+      case None =>
+        val winners = df.groupBy(key.map(col): _*)
+          .agg(min(col(orderCol)).as(orderCol))
+        df.join(winners, key :+ orderCol, "left_semi")
+      case Some(tb) =>
+        // min over a struct is lexicographic: min orderCol, then min
+        // tieBreakCol — exactly one unique winner per key.
+        val winners = df.groupBy(key.map(col): _*)
+          .agg(min(struct(col(orderCol), col(tb))).as("__w"))
+          .select((key.map(col) :+ col(s"__w.$tb").as(tb)): _*)
+        df.join(winners, key :+ tb, "left_semi")
+    }
 }

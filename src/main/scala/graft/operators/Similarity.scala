@@ -30,12 +30,41 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
 
-  /** Cosine similarity; 0 where either norm is 0. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val n = norm(a) * norm(b)
-    when(n > 0, d / n).otherwise(lit(0.0))
-  }
+  /** Cosine similarity; 0 where either norm is 0.
+    *
+    * Implemented as a JVM kernel, not the `aggregate`/`zip_with`
+    * expression fold: Catalyst evaluates higher-order-function lambdas
+    * interpreted (no codegen), so at |pairs| x dim evaluations the
+    * expression form dominates every verify stage (the same measured
+    * ~100x that moved the MinHash signatures to a kernel). The loop
+    * accumulates in the exact order of the expression fold —
+    * ((0+x_1y_1)+x_2y_2)+..., norms multiplied as sqrt(na)*sqrt(nb) —
+    * so results are bit-identical to the oracle's list_reduce.
+    */
+  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
+
+  private lazy val cosineUdf = udf((a: Seq[Double], b: Seq[Double]) => {
+    if (a == null || b == null) 0.0
+    else {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      var d = 0.0
+      var na = 0.0
+      var nb = 0.0
+      while (i < n) {
+        d += a(i) * b(i)
+        na += a(i) * a(i)
+        nb += b(i) * b(i)
+        i += 1
+      }
+      var j = n // squares of any tail elements still count toward norms
+      while (j < a.length) { na += a(j) * a(j); j += 1 }
+      j = n
+      while (j < b.length) { nb += b(j) * b(j); j += 1 }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom > 0) d / denom else 0.0
+    }
+  })
 
   /** Exact top-k neighbors for each query vector: broadcast the (small)
     * query set over the corpus, one window per query id. Self-matches
@@ -194,6 +223,17 @@ object Similarity {
     * still meet) replace an external blocking key — the fully automatic
     * scale path. High-cosine pairs share most hyperplane signs, so few
     * probes recover them; exact cosine verifies.
+    *
+    * Skew design (same scheme as [[TextDedup.minHashLshDedup]]): the
+    * multi-probe explode is a bits+1 amplification, and a near-dup-
+    * saturated corpus collapses most vectors into a few sign buckets, so
+    * the naive bucket self-join is quadratic on one hot key. Here the
+    * bucket assignment shuffles only (id, bucket) — never the vectors —
+    * oversized buckets are dropped (no discriminative signal; count
+    * surfaced via [[embeddingDupLsh]]), the per-bucket self-join is
+    * chunked so no join key exceeds `chunkSize` rows per side, and pairs
+    * are deduped *before* the two vector payloads are joined back for the
+    * cosine verify.
     */
   def embeddingDupPairsLsh(
       df: DataFrame,
@@ -202,23 +242,62 @@ object Similarity {
       threshold: Double,
       dim: Int,
       bits: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucketSize: Int = 2000): DataFrame =
+    embeddingDupLsh(df, idCol, vecCol, threshold, dim, bits, seed, maxBucketSize).pairs
+
+  /** [[embeddingDupPairsLsh]] plus dropped-bucket observability; `pairs`
+    * is persisted (intermediates released), call `unpersist()` when done.
+    */
+  def embeddingDupLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      bits: Int = 8,
+      seed: Long = 42L,
+      maxBucketSize: Int = 2000,
+      chunkSize: Int = 500): EmbeddingDupResult = {
     val planes = hyperplanes(dim, bits, seed)
     val v = df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
       .withColumn("__b", lshBucket(col("__v"), planes))
+      .persist() // read twice: bucket expansion + two-sided verify join
+    v.count()
+    // Each vector lands in its bucket plus all bits+1 Hamming-1 buckets.
+    // Because BOTH sides probe, a pair whose buckets differ in bits
+    // {i, j} meets in the middle (a emits bucket^i, b emits bucket^j ==
+    // bucket^i): symmetric probing guarantees co-occurrence up to
+    // Hamming distance 2, not just 1. Only (id, bucket) is exploded —
+    // the amplification never touches the vector payload.
     val probes = (0 until bits).map(i => lit(1L << i))
-    // each vector lands in its bucket plus all Hamming-1 buckets; a pair
-    // within Hamming distance 1 of each other is guaranteed to co-occur
-    val expanded = v.withColumn("__bucket",
+    val expanded = v.select(col(idCol),
       explode(array_union(array(col("__b")),
-        array(probes.map(p => col("__b").bitwiseXOR(p)): _*))))
-    val a = expanded.select(col(idCol).as("id_a"), col("__v").as("__va"), col("__bucket"))
-    val b = expanded.select(col(idCol).as("id_b"), col("__v").as("__vb"), col("__bucket"))
-    a.join(b, Seq("__bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "__va", "__vb").dropDuplicates("id_a", "id_b")
+        array(probes.map(p => col("__b").bitwiseXOR(p)): _*))).as("__bucket"))
+      .persist()
+    expanded.count()
+    val bucketSizes = expanded.groupBy("__bucket").count().persist()
+    val droppedBuckets = bucketSizes.filter(col("count") > maxBucketSize).count()
+    val small = bucketSizes.filter(col("count") <= maxBucketSize).select("__bucket")
+    val pruned = expanded.join(small, Seq("__bucket"))
+    val candidates = SelfJoin.pairsWithinGroups(
+        pruned, Seq("__bucket"), idCol, payloadCols = Seq.empty, chunkSize = chunkSize)
+      .select("id_a", "id_b").distinct()
+    val result = candidates
+      .join(v.select(col(idCol).as("id_a"), col("__v").as("__va")), "id_a")
+      .join(v.select(col(idCol).as("id_b"), col("__v").as("__vb")), "id_b")
       .withColumn("sim", cosine(col("__va"), col("__vb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
+      .persist()
+    result.count()
+    expanded.unpersist()
+    bucketSizes.unpersist()
+    v.unpersist()
+    EmbeddingDupResult(result, droppedBuckets)
+  }
+
+  final case class EmbeddingDupResult(pairs: DataFrame, droppedBuckets: Long) {
+    def unpersist(): Unit = pairs.unpersist()
   }
 }

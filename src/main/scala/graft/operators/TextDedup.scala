@@ -79,7 +79,7 @@ object TextDedup {
     (text: String) => {
       val sig = Array.fill(numPerm)(MersennePrime)
       if (text != null) {
-        val lc = text.toLowerCase
+        val lc = text.toLowerCase(java.util.Locale.ROOT)
         val seen = new scala.collection.mutable.HashSet[String]
         var i = 0
         while (i + n <= lc.length) {
@@ -108,15 +108,67 @@ object TextDedup {
   def minHashSignature(c: Column, n: Int = 3, numPerm: Int = 64, seed: Long = 42L): Column =
     udf(minHashKernel(n, numPerm, seed)).apply(c)
 
+  /** Same signature as [[minHashSignature]] but computed from the already
+    * murmur3-hashed shingle set ([[shingleHashes]]) — lets the LSH path
+    * shingle each document exactly once and share the hashes between
+    * signing and verification.
+    */
+  private def sigFromHashesKernel(numPerm: Int, seed: Long): Seq[Int] => Array[Long] = {
+    val ps = perms(numPerm, seed).toArray
+    (hs: Seq[Int]) => {
+      val sig = Array.fill(numPerm)(MersennePrime)
+      if (hs != null) {
+        val it = hs.iterator
+        while (it.hasNext) {
+          val h = java.lang.Math.floorMod(it.next().toLong, MersennePrime)
+          var j = 0
+          while (j < numPerm) {
+            val v = (h * ps(j)._1 + ps(j)._2) % MersennePrime
+            if (v < sig(j)) sig(j) = v
+            j += 1
+          }
+        }
+      }
+      sig
+    }
+  }
+
+  /** [[minHashLshPairs]] output plus the knobs' observability: how many
+    * LSH buckets were discarded by `maxBucketSize` and how many shingles
+    * by document-frequency pruning — "found all pairs" vs "found all
+    * pairs outside degenerate buckets" must be distinguishable to the
+    * caller. `pairs` is persisted (the operator's intermediates are
+    * already released); call [[unpersist]] when consumed.
+    */
+  final case class LshPairs(pairs: DataFrame, droppedBuckets: Long, prunedShingles: Int) {
+    def unpersist(): Unit = pairs.unpersist()
+  }
+
   /** LSH candidate pairs from banded MinHash signatures: signatures agree
     * on all rows of at least one band -> candidate. Returns verified
-    * pairs with true n-gram Jaccard >= threshold.
+    * pairs with true n-gram Jaccard >= threshold, computed over the
+    * document-frequency-pruned shingle sets.
     *
-    * Plan shape: explode to (bandIdx, bandHash, id) — one shuffle on the
-    * bucket key; the self-join is per-bucket (bounded groups), then one
-    * distinct on pairs and a broadcast-free verify join back to shingles.
+    * Document-frequency pruning (`maxDocFreqRatio`): shingles present in
+    * more than that fraction of documents are removed before signing AND
+    * verifying. On template-heavy corpora (the common web-scrape case)
+    * boilerplate shingles otherwise dominate every signature, collapsing
+    * the corpus into few buckets and flooding verification with pairs
+    * whose only similarity is the template. Pruned semantics: Jaccard is
+    * measured over each document's *distinctive* content. Exact template
+    * copies (identical after pruning both ways to the empty set) score 0
+    * — run [[Dedup.exactByColumns]] first for exact duplicates, as the
+    * dedup ladder prescribes. Set 1.0 to disable.
+    *
+    * Plan shape: one shingle-hash pass (persisted, shared by signing and
+    * verify), one int shuffle for document frequencies, explode to
+    * (bandIdx, bandHash, id) — one shuffle on the bucket key; the
+    * self-join is per-bucket and chunked, then one distinct on pairs and
+    * a verify join back to the pruned shingle hashes. All intermediate
+    * caches are released before returning; the returned result holds the
+    * only remaining cache.
     */
-  def minHashLshPairs(
+  def minHashLshDedup(
       df: DataFrame,
       idCol: String,
       textCol: String,
@@ -125,30 +177,63 @@ object TextDedup {
       bands: Int = 16,
       threshold: Double = 0.5,
       seed: Long = 42L,
-      maxBucketSize: Int = 2000): DataFrame = {
+      maxBucketSize: Int = 2000,
+      maxDocFreqRatio: Double = 0.5): LshPairs = {
     require(numPerm % bands == 0, "numPerm must divide into bands")
+    require(maxDocFreqRatio > 0.0, "maxDocFreqRatio must be positive")
     val rows = numPerm / bands
-    val sigDf = df.select(col(idCol), col(textCol))
-      .withColumn("__sig", minHashSignature(col(textCol), n, numPerm, seed))
-      .persist() // signatures feed only the banding pass
-    val banded = sigDf.select(
+
+    val shRaw = df.select(col(idCol), shingleHashes(col(textCol), n).as("__sh"))
+    val shCached = shRaw.persist()
+    val nDocs = shCached.count()
+    // Document-frequency pruning: the stop set is tiny by construction
+    // (at most totalShingleOccurrences / (ratio * nDocs) distinct values),
+    // so collecting it to the driver and baking it into a kernel closure
+    // is a broadcast-sized operation, same as an ML model's parameters.
+    val stop: Array[Int] =
+      if (maxDocFreqRatio >= 1.0) Array.empty
+      else {
+        val cutoff = (nDocs * maxDocFreqRatio).toLong
+        shCached.select(explode(col("__sh")).as("__h"))
+          .groupBy("__h").count()
+          .filter(col("count") > cutoff)
+          .select("__h").collect().map(_.getInt(0))
+      }
+    val sh =
+      if (stop.isEmpty) shCached
+      else {
+        val stopSet = stop.toSet
+        val pruneF = udf((hs: Seq[Int]) =>
+          if (hs == null) null else hs.filterNot(stopSet.contains).toArray)
+        val p = shCached.withColumn("__sh", pruneF(col("__sh"))).persist()
+        p.count()
+        shCached.unpersist()
+        p
+      }
+
+    val banded = sh.select(
       col(idCol),
-      posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("__sig"), b * rows + 1, lit(rows)), b))) // band hash, salted by band idx
-        .as(Seq("__band", "__bucket")))
+      col("__sh"),
+      udf(sigFromHashesKernel(numPerm, seed)).apply(col("__sh")).as("__sig"))
+      .select(
+        col(idCol),
+        posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => hash(slice(col("__sig"), b * rows + 1, lit(rows)), b))) // band hash, salted by band idx
+          .as(Seq("__band", "__bucket")))
       .persist()
     banded.count()
-    sigDf.unpersist() // banded is materialized; free the signature cache
     // Cap bucket sizes: a bucket holding a large fraction of the corpus
     // carries no discriminative signal (template-heavy corpora produce
     // them) but turns the self-join quadratic on one hot key — runtime
     // then depends on whether AQE happens to split it (measured 25s vs
     // 175s run-to-run). Dropping oversized buckets bounds the join
     // deterministically; true near-dups still meet in their many small,
-    // discriminating buckets.
-    val smallBuckets = banded.groupBy("__band", "__bucket")
-      .count().filter(col("count") <= maxBucketSize)
+    // discriminating buckets. The dropped count is surfaced on the
+    // result so callers can see the recall trade actually taken.
+    val bucketSizes = banded.groupBy("__band", "__bucket").count().persist()
+    val droppedBuckets = bucketSizes.filter(col("count") > maxBucketSize).count()
+    val smallBuckets = bucketSizes.filter(col("count") <= maxBucketSize)
       .select("__band", "__bucket")
     val pruned = banded.join(smallBuckets, Seq("__band", "__bucket"))
     // chunked self-join: bounded key groups regardless of bucket skew
@@ -161,15 +246,36 @@ object TextDedup {
     // integer set intersection is ~7x cheaper than UTF8String intersection
     // — it carries 6M candidate pairs in seconds where string shingles
     // took minutes.
-    val sh = df.select(col(idCol), shingleHashes(col(textCol), n).as("__sh")).persist()
-    sh.count() // materialize before the two-sided verify join
-    candidates
+    val result = candidates
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      .persist()
+    result.count()
+    banded.unpersist()
+    bucketSizes.unpersist()
+    sh.unpersist()
+    LshPairs(result, droppedBuckets, stop.length)
   }
+
+  /** DataFrame-only view of [[minHashLshDedup]] (call `.unpersist()` on
+    * the returned frame once consumed).
+    */
+  def minHashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      seed: Long = 42L,
+      maxBucketSize: Int = 2000,
+      maxDocFreqRatio: Double = 0.5): DataFrame =
+    minHashLshDedup(df, idCol, textCol, n, numPerm, bands, threshold, seed,
+      maxBucketSize, maxDocFreqRatio).pairs
 
   /** Distinct murmur3-hashed character n-gram shingles (JVM kernel, same
     * rationale as [[minHashKernel]]).
@@ -178,7 +284,7 @@ object TextDedup {
     val f = (text: String) => {
       if (text == null) Array.empty[Int]
       else {
-        val lc = text.toLowerCase
+        val lc = text.toLowerCase(java.util.Locale.ROOT)
         val seen = new scala.collection.mutable.LinkedHashSet[Int]
         var i = 0
         while (i + n <= lc.length) {

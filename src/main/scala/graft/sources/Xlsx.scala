@@ -53,8 +53,20 @@ object Xlsx {
     } finally zip.close()
   }
 
+  /** StAX factory with DTD and external-entity resolution disabled: a
+    * crafted workbook must not be able to read local files or trigger
+    * network fetches (XXE) — .xlsx frequently arrives from untrusted
+    * senders.
+    */
+  private def secureFactory(): XMLInputFactory = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
+    f
+  }
+
   private def parseSharedStrings(in: InputStream): Vector[String] = {
-    val reader = XMLInputFactory.newInstance().createXMLStreamReader(in)
+    val reader = secureFactory().createXMLStreamReader(in)
     val out = Vector.newBuilder[String]
     var current: StringBuilder = null
     var inT = false
@@ -94,7 +106,7 @@ object Xlsx {
   }
 
   private def parseSheet(in: InputStream, shared: Vector[String]): Vector[Array[String]] = {
-    val reader = XMLInputFactory.newInstance().createXMLStreamReader(in)
+    val reader = secureFactory().createXMLStreamReader(in)
     val rows = Vector.newBuilder[Array[String]]
     var row: ArrayBuffer[String] = null
     var cellCol = -1

@@ -22,4 +22,24 @@ class SelfJoinSpec extends SparkSpec {
     val withP = SelfJoin.pairsWithinGroups(df, Seq("g"), "id", Seq("payload"), chunkSize = 3)
     assert(withP.columns.toSet.intersect(Set("payload_a", "payload_b")).size == 2)
   }
+
+  test("join keys stay bounded by chunkSize even on one saturated group") {
+    // 1000 rows in ONE group: the naive self-join would put 1M pair
+    // candidates on a single key. Replicate the operator's chunk
+    // assignment (rank by id within group) and assert no (group, chunk)
+    // cell — i.e. no side of any join key — exceeds chunkSize rows.
+    val chunkSize = 100
+    val df = (0L until 1000L).map(i => ("hot", i)).toDF("g", "id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"g").orderBy($"id")
+    val cellSizes = df
+      .withColumn("__chunk", ((row_number().over(w) - 1) / chunkSize).cast("int"))
+      .groupBy("g", "__chunk").count()
+      .agg(max("count")).as[Long].head()
+    assert(cellSizes <= chunkSize.toLong)
+    // and the chunked operator still enumerates every pair exactly once
+    val n = 1000L
+    val got = SelfJoin.pairsWithinGroups(df, Seq("g"), "id", Seq.empty, chunkSize = chunkSize)
+    assert(got.count() == n * (n - 1) / 2)
+    assert(got.select("id_a", "id_b").distinct().count() == n * (n - 1) / 2)
+  }
 }

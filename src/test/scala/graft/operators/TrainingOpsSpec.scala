@@ -54,13 +54,58 @@ class TextDedupSpec extends SparkSpec {
 
   test("minHashLshPairs agrees with brute-force jaccard at the threshold") {
     val lsh = TextDedup.minHashLshPairs(docs, "id", "text",
-      n = 3, numPerm = 64, bands = 16, threshold = 0.6)
+      n = 3, numPerm = 64, bands = 16, threshold = 0.6, maxDocFreqRatio = 1.0)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val brute = TextDedup.ngramJaccardPairs(docs, "id", "text", 3, 0.6, Seq("block"))
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     // LSH verifies with true jaccard, so pairs ⊆ brute; high-sim pairs are found
     assert(lsh.subsetOf(brute))
     assert(lsh.contains((0L, 3L)))
+  }
+
+  test("document-frequency pruning keeps content dups, drops template-only pairs") {
+    val boiler = "subscribe to our newsletter for updates and offers today "
+    val tmpl = (1 to 4).map(_ => boiler).mkString
+    // 0/1: same distinctive article + template; 2/3: template only + tiny
+    // distinct tails; 4: different article + template.
+    val corpus = Seq(
+      (0L, tmpl + "giant pandas eat bamboo in the misty mountain forests"),
+      (1L, tmpl + "giant pandas eat bamboo in the misty mountain forestz"),
+      (2L, tmpl + "alpha"),
+      (3L, tmpl + "omega"),
+      (4L, tmpl + "quarterly earnings rose on strong cloud revenue growth")
+    ).toDF("id", "text")
+    val res = TextDedup.minHashLshDedup(corpus, "id", "text",
+      n = 3, numPerm = 64, bands = 16, threshold = 0.6, maxDocFreqRatio = 0.5)
+    val pairs = res.pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every template shingle is in 5/5 docs -> pruned
+    assert(res.prunedShingles > 0)
+    // the real content dup survives pruning
+    assert(pairs.contains((0L, 1L)))
+    // docs similar ONLY via the template no longer pair up
+    assert(!pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    res.unpersist()
+  }
+
+  test("minHashLshDedup reports buckets dropped by the size cap") {
+    // 30 exact copies: every band bucket holds all 30 docs, so a cap of 10
+    // drops every bucket (and with pruning disabled nothing else changes).
+    val corpus = (0L until 30L).map(i => (i, "identical text repeated verbatim"))
+      .toDF("id", "text")
+    val res = TextDedup.minHashLshDedup(corpus, "id", "text",
+      n = 3, numPerm = 64, bands = 16, threshold = 0.6,
+      maxBucketSize = 10, maxDocFreqRatio = 1.0)
+    assert(res.droppedBuckets == 16L) // all 16 bands, one bucket each
+    assert(res.pairs.isEmpty)
+    res.unpersist()
+
+    val open = TextDedup.minHashLshDedup(corpus, "id", "text",
+      n = 3, numPerm = 64, bands = 16, threshold = 0.6,
+      maxBucketSize = 2000, maxDocFreqRatio = 1.0)
+    assert(open.droppedBuckets == 0L)
+    assert(open.pairs.count() == 30L * 29L / 2) // all pairs verified
+    open.unpersist()
   }
 
   test("simHash: identical text -> distance 0; similar < dissimilar") {
@@ -128,6 +173,30 @@ class SimilaritySpec extends SparkSpec {
       threshold = 0.99, dim = 64)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
+  }
+
+  test("embeddingDupLsh survives a near-dup-saturated corpus and reports the cap") {
+    // 200 near-identical vectors: every vector lands in the same sign
+    // bucket (plus the same probe buckets) — the exact skew case that
+    // made the uncapped/unchunked self-join quadratic on one hot key.
+    val rnd = new scala.util.Random(29)
+    val base = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val corpus = (0L until 200L)
+      .map(i => (i, base.map(v => v + (rnd.nextGaussian() * 1e-4).toFloat)))
+      .toDF("vec_id", "embedding")
+    val res = Similarity.embeddingDupLsh(corpus, "vec_id", "embedding",
+      threshold = 0.99, dim = 8, bits = 8, chunkSize = 50)
+    assert(res.droppedBuckets == 0L)
+    assert(res.pairs.count() == 200L * 199L / 2) // all pairs found and verified
+    res.unpersist()
+
+    // a cap below the bucket population drops the degenerate buckets —
+    // and says so, instead of silently stalling on a hot join key
+    val capped = Similarity.embeddingDupLsh(corpus, "vec_id", "embedding",
+      threshold = 0.99, dim = 8, bits = 8, maxBucketSize = 100)
+    assert(capped.droppedBuckets > 0L)
+    assert(capped.pairs.isEmpty)
+    capped.unpersist()
   }
 
   test("bpeTokenCount splits words, digits, punctuation") {
