@@ -495,17 +495,38 @@ object SparkEntry {
         .orderBy("id_a", "id_b"),
       None)
 
-    /** SimHash near-dup pairs (murmur3 bits — rows-only check; ScalaTest
-      * pins golden values).
+    /** SimHash near-dup pairs. Token hashes are md5-based
+      * ([[TextDedup.md5TokenHash]]) so the oracle can rebuild the exact
+      * 32 SimHash bits in SQL; the production murmur3 default is pinned
+      * separately by ScalaTest goldens.
       */
+    private val q25Bits: String = (0 until 32).map { i =>
+      s"(CASE WHEN list_reduce(list_prepend(0, list_transform(th, x -> CASE WHEN (x >> $i) & 1 = 1 THEN 1 ELSE -1 END)), (a, b) -> a + b) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n    + ")
+
     private val q25 = Q(
       "q25_simhash_pairs",
       (s, dir) => TextDedup.simHashPairs(
           t(s, dir, "documents").filter($"doc_id" < 200),
           idCol = "doc_id", textCol = "text",
-          maxDistance = 8, blockCols = Seq("lang"))
+          maxDistance = 8, blockCols = Seq("lang"),
+          tokenHash = TextDedup.md5TokenHash)
         .orderBy("id_a", "id_b"),
-      None)
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN text IS NULL OR trim(text) = '' THEN []
+             |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS ts
+             |  FROM documents WHERE doc_id < 200),
+             |hashed AS (
+             |  SELECT doc_id, lang,
+             |    list_transform(ts, t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS th
+             |  FROM toks),
+             |sh AS (SELECT doc_id, lang, $q25Bits AS h FROM hashed)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+             |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.h, b.h)) <= 8
+             |ORDER BY id_a, id_b""".stripMargin))
 
     // ---- training-data pipeline: similarity search -------------------
 
@@ -596,8 +617,10 @@ object SparkEntry {
              |FROM documents ORDER BY doc_id""".stripMargin))
 
     /** Partition-wise stub feature extraction over binary content
-      * (mapPartitions batch shape). Feature math is JVM-side — rows-only
-      * check; golden values pinned in ScalaTest.
+      * (mapPartitions batch shape). The stub codec's byte histogram IS
+      * SQL-expressible (the corpus is ASCII, so UTF-8 bytes == code
+      * points, and float32 division is IEEE in both engines), giving the
+      * mapPartitions plumbing a real hash-checked oracle.
       */
     private val q30 = Q(
       "q30_multimodal_features",
@@ -605,12 +628,29 @@ object SparkEntry {
         val assets = t(s, dir, "documents")
           .select($"doc_id", $"text".cast("binary").as("content"))
         Multimodal.extractFeatures(assets, "content")
-          .select($"doc_id", round(element_at($"features", 1), 6).as("f0"),
-            round(element_at($"features", 2), 6).as("f1"),
+          .select($"doc_id",
+            round(element_at($"features", 1).cast("double"), 6).as("f0"),
+            round(element_at($"features", 2).cast("double"), 6).as("f1"),
             size($"features").as("dim"))
           .orderBy("doc_id")
       },
-      None)
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |    CASE WHEN text IS NULL OR text = '' THEN []
+             |         ELSE list_transform(string_split(text, ''), ch -> ord(ch)) END AS bys
+             |  FROM documents),
+             |h AS (
+             |  SELECT doc_id, len(bys) AS n,
+             |    len(list_filter(bys, x -> x // 32 = 0)) AS c0,
+             |    len(list_filter(bys, x -> x // 32 = 1)) AS c1
+             |  FROM b)
+             |SELECT doc_id,
+             |  round(CAST(CASE WHEN n = 0 THEN CAST(0 AS FLOAT)
+             |             ELSE CAST(c0 AS FLOAT) / CAST(n AS FLOAT) END AS DOUBLE), 6) AS f0,
+             |  round(CAST(CASE WHEN n = 0 THEN CAST(0 AS FLOAT)
+             |             ELSE CAST(c1 AS FLOAT) / CAST(n AS FLOAT) END AS DOUBLE), 6) AS f1,
+             |  CAST(8 AS INT) AS dim
+             |FROM h ORDER BY doc_id""".stripMargin))
 
     // ---- §2.2/§2.3/§2.8 remaining reference surface ------------------
 

@@ -57,12 +57,18 @@ object Pipeline {
     *                 already carrying `row_id`
     * @param registry entity registry `(id_entidades, ent_nome, ent_tipo)`
     * @param year     batch year (becomes the `ano` column / partition key)
+    * @param skewAware use [[Dedup.keepFirstSkewAware]] (aggregation +
+    *                 semi-join) instead of the per-key window for the W1
+    *                 dedup — same kept rows (row_id is unique, so the
+    *                 precondition holds); choose it when one entity can
+    *                 hold a significant fraction of all rows
     */
   def run(
       raw: DataFrame,
       registry: DataFrame,
       config: EtlConfig,
-      year: Int): EtlResult = {
+      year: Int,
+      skewAware: Boolean = false): EtlResult = {
 
     val withId =
       if (raw.columns.contains(Readers.RowId)) raw else Readers.withRowId(raw)
@@ -179,17 +185,27 @@ object Pipeline {
       .withColumn("id_entidade", lit(null).cast("long"))
     val unmatched = rescaled.filter(!badNameP && col("id_entidade").isNull)
     val matched = rescaled.filter(!badNameP && col("id_entidade").isNotNull)
-    val dd = Dedup.keepFirst(matched, Seq(col("id_entidade")), col(Readers.RowId),
-      cacheRanked = true)
+    val (kept, duplicates, dedupCaches) =
+      if (skewAware) {
+        val k = Dedup.keepFirstSkewAware(matched, Seq("id_entidade"), Readers.RowId)
+        // duplicates = everything the semi-join did not keep (row_id is a
+        // unique key, so the anti-join is exact); both read `joined`'s cache
+        val d = matched.join(k.select(Readers.RowId), Seq(Readers.RowId), "left_anti")
+        (k, d, Seq.empty[DataFrame])
+      } else {
+        val dd = Dedup.keepFirst(matched, Seq(col("id_entidade")), col(Readers.RowId),
+          cacheRanked = true)
+        (dd.kept, dd.duplicates, dd.ranked.toSeq)
+      }
 
     def clean(df: DataFrame): DataFrame = df.drop(helperCols: _*)
 
     EtlResult(
-      valid = clean(dd.kept),
-      duplicates = clean(dd.duplicates),
+      valid = clean(kept),
+      duplicates = clean(duplicates),
       unmatched = clean(unmatched),
       badName = clean(badName),
       plans = plans,
-      cached = Seq(joined) ++ dd.ranked)
+      cached = Seq(joined) ++ dedupCaches)
   }
 }

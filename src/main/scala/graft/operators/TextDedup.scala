@@ -297,15 +297,25 @@ object TextDedup {
     udf(f).apply(c)
   }
 
-  /** 32-bit SimHash over whitespace tokens (murmur3 token hashes, unit
-    * weights): bit i is set iff the sum over tokens of ±1 (by token-hash
-    * bit i) is positive. Pure expressions — per bit, a fold over tokens.
+  /** Engine-portable 32-bit token hash: the first 8 hex digits of md5.
+    * Unlike murmur3 (JVM-specific seeding) this is computable bit-for-bit
+    * in any SQL engine (`CAST('0x'||substr(md5(t),1,8) AS BIGINT)`), so a
+    * SimHash built on it can be verified against an external oracle.
     */
-  def simHash(c: Column): Column = {
+  def md5TokenHash(w: Column): Column =
+    conv(substring(md5(w), 1, 8), 16, 10).cast("long")
+
+  /** 32-bit SimHash over whitespace tokens (unit weights): bit i is set
+    * iff the sum over tokens of ±1 (by token-hash bit i) is positive.
+    * Pure expressions — per bit, a fold over tokens. `tokenHash` defaults
+    * to Spark's codegen'd murmur3; pass [[md5TokenHash]] for
+    * oracle-portable hashes.
+    */
+  def simHash(c: Column, tokenHash: Column => Column = w => hash(w)): Column = {
     val toks = TextAnalysis.tokens(c)
     val bitCols = (0 until 32).map { i =>
       val contrib = aggregate(toks, lit(0),
-        (acc, w) => acc + when(shiftright(hash(w), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        (acc, w) => acc + when(shiftright(tokenHash(w), i).bitwiseAND(1) === 1, 1).otherwise(-1))
       when(contrib > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
@@ -324,9 +334,10 @@ object TextDedup {
       idCol: String,
       textCol: String,
       maxDistance: Int,
-      blockCols: Seq[String]): DataFrame = {
+      blockCols: Seq[String],
+      tokenHash: Column => Column = w => hash(w)): DataFrame = {
     val withH = df.select(
-      (idCol +: blockCols).map(col) :+ simHash(col(textCol)).as("__sh"): _*)
+      (idCol +: blockCols).map(col) :+ simHash(col(textCol), tokenHash).as("__sh"): _*)
     val a = withH.select(
       col(idCol).as("id_a") +: col("__sh").as("__h_a") +: blockCols.map(col): _*)
     val b = withH.select(

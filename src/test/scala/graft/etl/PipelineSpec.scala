@@ -116,4 +116,15 @@ class PipelineSpec extends SparkSpec {
     assert(corrected.valid.count() == 4)
     assert(Review.summary(corrected).total == Review.summary(result).total)
   }
+
+  test("skewAware dedup path yields the identical 4-way split") {
+    val sk = Pipeline.run(survey, registry, config, 2026, skewAware = true)
+    def rowIds(df: DataFrame) = df.select("row_id").as[Long].collect().toSet
+    assert(rowIds(sk.valid) == rowIds(result.valid))
+    assert(rowIds(sk.duplicates) == rowIds(result.duplicates))
+    assert(rowIds(sk.unmatched) == rowIds(result.unmatched))
+    assert(rowIds(sk.badName) == rowIds(result.badName))
+    assert(Review.summary(sk).total == survey.count())
+    sk.unpersist()
+  }
 }
