@@ -482,18 +482,75 @@ object SparkEntry {
              |      / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.60
              |ORDER BY id_a, id_b""".stripMargin))
 
-    /** MinHash+LSH near-dup pairs (murmur3 signatures — not expressible
-      * in the oracle; ScalaTest verifies against brute-force Jaccard,
-      * driver records a rows-only check).
+    /** MinHash+LSH near-dup pairs, full replay in the oracle: portable
+      * md5-prefix shingle hashes ([[TextDedup.shingleHashesPortable]], the
+      * recipe q25 proved out) let DuckDB recompute shingle sets, the
+      * DF-pruning stop set, all 64 min-hash permutations (constants from
+      * [[TextDedup.permParams]] inlined as literals), band buckets,
+      * candidates and verified Jaccard bit-for-bit. The murmur3 production
+      * default stays pinned by TrainingOpsSpec's brute-force equivalence.
       */
+    private val q24Sigs: String =
+      TextDedup.permParams(64, 42L).zipWithIndex.map { case ((a, b), j) =>
+        s"coalesce(list_min(list_transform(hs, x -> ((x % 2147483647) * $a + $b) % 2147483647)), 2147483647) AS s$j"
+      }.mkString(",\n    ")
+
+    private val q24Bands: String = (0 until 16).map { bnd =>
+      val cols = (0 until 4).map(r => s"s${bnd * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, concat_ws(',', $cols) AS bucket FROM sigs"
+    }.mkString("\n  UNION ALL ")
+
     private val q24 = Q(
       "q24_minhash_lsh_pairs",
       (s, dir) => TextDedup.minHashLshPairs(
           t(s, dir, "documents"), idCol = "doc_id", textCol = "text",
-          n = 3, numPerm = 64, bands = 16, threshold = 0.7)
+          n = 3, numPerm = 64, bands = 16, threshold = 0.7,
+          portableHash = true)
         .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
         .orderBy("id_a", "id_b"),
-      None)
+      Some(s"""WITH sh0 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN text IS NULL THEN CAST([] AS BIGINT[]) ELSE
+             |      list_distinct([CAST('0x' || substr(md5(substr(lower(text), i, 3)), 1, 8) AS BIGINT)
+             |                     FOR i IN range(1, greatest(length(text) - 2, 0) + 1)]) END AS hs0
+             |  FROM documents),
+             |stop AS (
+             |  SELECT h FROM (SELECT unnest(hs0) AS h FROM sh0)
+             |  GROUP BY h
+             |  HAVING count(*) > floor((SELECT count(*) FROM documents) * 0.5)),
+             |pruned AS (
+             |  SELECT s.doc_id, coalesce(l.hs, CAST([] AS BIGINT[])) AS hs
+             |  FROM sh0 s LEFT JOIN (
+             |    SELECT doc_id, list(h) AS hs
+             |    FROM (SELECT doc_id, unnest(hs0) AS h FROM sh0)
+             |    WHERE h NOT IN (SELECT h FROM stop)
+             |    GROUP BY doc_id) l USING (doc_id)),
+             |sigs AS (
+             |  SELECT doc_id, hs,
+             |    $q24Sigs
+             |  FROM pruned),
+             |banded AS (
+             |  $q24Bands),
+             |ok_buckets AS (
+             |  SELECT band, bucket FROM banded
+             |  GROUP BY band, bucket HAVING count(*) <= 2000),
+             |cands AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM banded a
+             |  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+             |  JOIN ok_buckets ob ON ob.band = a.band AND ob.bucket = a.bucket),
+             |j AS (
+             |  SELECT c.id_a, c.id_b,
+             |    CAST(len(list_intersect(pa.hs, pb.hs)) AS DOUBLE) AS inter,
+             |    CAST(len(pa.hs) AS DOUBLE) + CAST(len(pb.hs) AS DOUBLE) AS tot
+             |  FROM cands c
+             |  JOIN pruned pa ON pa.doc_id = c.id_a
+             |  JOIN pruned pb ON pb.doc_id = c.id_b)
+             |SELECT id_a, id_b,
+             |  round(CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 0 END, 6) AS jaccard
+             |FROM j
+             |WHERE (CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 0 END) >= 0.7
+             |ORDER BY id_a, id_b""".stripMargin))
 
     /** SimHash near-dup pairs. Token hashes are md5-based
       * ([[TextDedup.md5TokenHash]]) so the oracle can rebuild the exact

@@ -109,18 +109,18 @@ object TextDedup {
     udf(minHashKernel(n, numPerm, seed)).apply(c)
 
   /** Same signature as [[minHashSignature]] but computed from the already
-    * murmur3-hashed shingle set ([[shingleHashes]]) — lets the LSH path
-    * shingle each document exactly once and share the hashes between
-    * signing and verification.
+    * hashed shingle set ([[shingleHashes]] / [[shingleHashesPortable]]) —
+    * lets the LSH path shingle each document exactly once and share the
+    * hashes between signing and verification.
     */
-  private def sigFromHashesKernel(numPerm: Int, seed: Long): Seq[Int] => Array[Long] = {
+  private def sigFromHashesKernel(numPerm: Int, seed: Long): Seq[Long] => Array[Long] = {
     val ps = perms(numPerm, seed).toArray
-    (hs: Seq[Int]) => {
+    (hs: Seq[Long]) => {
       val sig = Array.fill(numPerm)(MersennePrime)
       if (hs != null) {
         val it = hs.iterator
         while (it.hasNext) {
-          val h = java.lang.Math.floorMod(it.next().toLong, MersennePrime)
+          val h = java.lang.Math.floorMod(it.next(), MersennePrime)
           var j = 0
           while (j < numPerm) {
             val v = (h * ps(j)._1 + ps(j)._2) % MersennePrime
@@ -132,6 +132,12 @@ object TextDedup {
       sig
     }
   }
+
+  /** The fixed-seed permutation parameters (a_j, b_j), public so an
+    * external oracle can replay `sig_j = min (a_j*(h mod p) + b_j) mod p`
+    * with the exact constants the kernel uses.
+    */
+  def permParams(numPerm: Int, seed: Long): Seq[(Long, Long)] = perms(numPerm, seed)
 
   /** [[minHashLshPairs]] output plus the knobs' observability: how many
     * LSH buckets were discarded by `maxBucketSize` and how many shingles
@@ -178,32 +184,36 @@ object TextDedup {
       threshold: Double = 0.5,
       seed: Long = 42L,
       maxBucketSize: Int = 2000,
-      maxDocFreqRatio: Double = 0.5): LshPairs = {
+      maxDocFreqRatio: Double = 0.5,
+      portableHash: Boolean = false): LshPairs = {
     require(numPerm % bands == 0, "numPerm must divide into bands")
     require(maxDocFreqRatio > 0.0, "maxDocFreqRatio must be positive")
     val rows = numPerm / bands
 
-    val shRaw = df.select(col(idCol), shingleHashes(col(textCol), n).as("__sh"))
+    val shCol =
+      if (portableHash) shingleHashesPortable(col(textCol), n)
+      else shingleHashes(col(textCol), n)
+    val shRaw = df.select(col(idCol), shCol.as("__sh"))
     val shCached = shRaw.persist()
     val nDocs = shCached.count()
     // Document-frequency pruning: the stop set is tiny by construction
     // (at most totalShingleOccurrences / (ratio * nDocs) distinct values),
     // so collecting it to the driver and baking it into a kernel closure
     // is a broadcast-sized operation, same as an ML model's parameters.
-    val stop: Array[Int] =
+    val stop: Array[Long] =
       if (maxDocFreqRatio >= 1.0) Array.empty
       else {
         val cutoff = (nDocs * maxDocFreqRatio).toLong
         shCached.select(explode(col("__sh")).as("__h"))
           .groupBy("__h").count()
           .filter(col("count") > cutoff)
-          .select("__h").collect().map(_.getInt(0))
+          .select("__h").collect().map(_.getLong(0))
       }
     val sh =
       if (stop.isEmpty) shCached
       else {
         val stopSet = stop.toSet
-        val pruneF = udf((hs: Seq[Int]) =>
+        val pruneF = udf((hs: Seq[Long]) =>
           if (hs == null) null else hs.filterNot(stopSet.contains).toArray)
         val p = shCached.withColumn("__sh", pruneF(col("__sh"))).persist()
         p.count()
@@ -211,15 +221,22 @@ object TextDedup {
         p
       }
 
+    // Band bucket key: production uses codegen'd murmur3 of the signature
+    // slice (salted by band idx — int key, smallest shuffle). Portable
+    // mode keys on the literal signature values so an external engine
+    // groups bit-for-bit identically (no cross-engine hash, no collision
+    // asymmetry); only correctness replay pays the wider string key.
+    val bucketOf: Column => Column =
+      if (portableHash) b =>
+        concat_ws(",", transform(slice(col("__sig"), b * rows + 1, lit(rows)), _.cast("string")))
+      else b => hash(slice(col("__sig"), b * rows + 1, lit(rows)), b)
     val banded = sh.select(
       col(idCol),
       col("__sh"),
       udf(sigFromHashesKernel(numPerm, seed)).apply(col("__sh")).as("__sig"))
       .select(
         col(idCol),
-        posexplode(
-          transform(sequence(lit(0), lit(bands - 1)),
-            b => hash(slice(col("__sig"), b * rows + 1, lit(rows)), b))) // band hash, salted by band idx
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), bucketOf))
           .as(Seq("__band", "__bucket")))
       .persist()
     banded.count()
@@ -273,28 +290,49 @@ object TextDedup {
       threshold: Double = 0.5,
       seed: Long = 42L,
       maxBucketSize: Int = 2000,
-      maxDocFreqRatio: Double = 0.5): DataFrame =
+      maxDocFreqRatio: Double = 0.5,
+      portableHash: Boolean = false): DataFrame =
     minHashLshDedup(df, idCol, textCol, n, numPerm, bands, threshold, seed,
-      maxBucketSize, maxDocFreqRatio).pairs
+      maxBucketSize, maxDocFreqRatio, portableHash).pairs
 
   /** Distinct murmur3-hashed character n-gram shingles (JVM kernel, same
-    * rationale as [[minHashKernel]]).
+    * rationale as [[minHashKernel]]). Long-typed so the LSH path is
+    * hash-representation-agnostic (the portable md5 variant needs the
+    * unsigned 32-bit range).
     */
   def shingleHashes(c: Column, n: Int): Column = {
     val f = (text: String) => {
-      if (text == null) Array.empty[Int]
+      if (text == null) Array.empty[Long]
       else {
         val lc = text.toLowerCase(java.util.Locale.ROOT)
-        val seen = new scala.collection.mutable.LinkedHashSet[Int]
+        val seen = new scala.collection.mutable.LinkedHashSet[Long]
         var i = 0
         while (i + n <= lc.length) {
-          seen.add(scala.util.hashing.MurmurHash3.stringHash(lc.substring(i, i + n)))
+          seen.add(scala.util.hashing.MurmurHash3.stringHash(lc.substring(i, i + n)).toLong)
           i += 1
         }
         seen.toArray
       }
     }
     udf(f).apply(c)
+  }
+
+  /** Engine-portable variant of [[shingleHashes]]: distinct
+    * [[md5TokenHash]]es of the character n-gram shingles, in [0, 2^32).
+    * Built from codegen'd expressions (`substr`/`md5`/`conv`) rather than
+    * a JVM kernel so the bytes hashed are exactly what any SQL engine's
+    * `md5(substr(lower(text), i, n))` hashes — the recipe q25 proved out.
+    * Interpreted-HOF cost is per shingle (not per shingle x perm), so the
+    * 100x signature-kernel penalty does not apply here.
+    */
+  def shingleHashesPortable(c: Column, n: Int): Column = {
+    val lc = lower(c)
+    coalesce(
+      array_distinct(
+        transform(
+          sequence(lit(1), greatest(length(lc) - (n - 1), lit(0))),
+          i => md5TokenHash(lc.substr(i, lit(n))))),
+      array().cast("array<bigint>"))
   }
 
   /** Engine-portable 32-bit token hash: the first 8 hex digits of md5.
