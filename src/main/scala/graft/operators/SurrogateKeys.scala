@@ -26,17 +26,15 @@ object SurrogateKeys {
       (row_number().over(Window.orderBy(orderBy: _*)) + offset).cast("long"))
 
   /** Unique (non-contiguous) ids without any shuffle: partition-local
-    * sequence numbers striped by partition id. Survives any data scale.
+    * sequence numbers striped by partition id
+    * (`monotonically_increasing_id` = partitionId << 33 | localSeq).
+    * Same contract as a `zipWithUniqueId` round-trip — unique,
+    * non-contiguous, stable only for a fixed partitioning — but stays
+    * inside Tungsten/whole-stage codegen instead of deserializing every
+    * row out to an RDD and back. Survives any data scale.
     */
-  def scalable(df: DataFrame, idCol: String, offset: Long = 0L): DataFrame = {
-    val schema = df.schema
-    val withId = df.sparkSession.createDataFrame(
-      df.rdd.zipWithUniqueId().map { case (row, id) =>
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (id + offset + 1L))
-      },
-      schema.add(idCol, "long", nullable = false))
-    withId
-  }
+  def scalable(df: DataFrame, idCol: String, offset: Long = 0L): DataFrame =
+    df.withColumn(idCol, monotonically_increasing_id() + offset + 1L)
 
   /** Get-or-create for a dimension: keep existing (naturalKey -> id)
     * rows, assign fresh dense ids (continuing after max existing id) to
