@@ -62,6 +62,25 @@ object Writers {
     w(result.valid, "all_data")
   }
 
+  /** S7 export in the reference's actual artifact shape: ONE .xlsx
+    * workbook with a tab per logical sheet (`pd.ExcelWriter`,
+    * etl_ui.py:2144-2159) — the per-group frames plus `duplicados` /
+    * `entidades_invalidas` / `all_data`.
+    */
+  def exportSheetsXlsx(result: Pipeline.EtlResult, path: String): Unit = {
+    val groupSheets = result.plans.map(_.group).distinct.map { g =>
+      val cols = "row_id" +: result.colsOfGroup(g).map(_.uniqueName)
+      val present = cols.filter(result.valid.columns.contains)
+      g -> result.valid.selectExpr(present.map(c => s"`$c`"): _*)
+    }
+    Xlsx.writeSheets(
+      groupSheets ++ Seq(
+        "duplicados" -> result.duplicates,
+        "entidades_invalidas" -> result.unmatched,
+        "all_data" -> result.valid),
+      path)
+  }
+
   /** S6 JDBC sink: batched writes, no RETURNING round-trips (surrogate
     * keys are pre-assigned by [[graft.operators.SurrogateKeys]]).
     */

@@ -22,11 +22,11 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Xlsx {
 
-  /** Read `sheet1` of an .xlsx into a DataFrame: first row = headers,
-    * all-string schema, ingest `row_id` attached (file order).
+  /** Read sheet `sheet` (1-based) of an .xlsx into a DataFrame: first row
+    * = headers, all-string schema, ingest `row_id` attached (file order).
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val rows = readRows(path)
+  def read(spark: SparkSession, path: String, sheet: Int = 1): DataFrame = {
+    val rows = readRows(path, sheet)
     require(rows.nonEmpty, s"empty workbook: $path")
     val headers = rows.head.map(h => if (h == null) "" else h)
     val width = headers.length
@@ -40,16 +40,35 @@ object Xlsx {
     Readers.withRowId(df)
   }
 
-  /** Raw cell grid of sheet1 (driver-side). */
-  def readRows(path: String): Vector[Array[String]] = {
+  /** Raw cell grid of sheet `sheet` (1-based; driver-side). */
+  def readRows(path: String, sheet: Int = 1): Vector[Array[String]] = {
     val zip = new ZipFile(path)
     try {
       val shared = Option(zip.getEntry("xl/sharedStrings.xml"))
         .map(e => parseSharedStrings(zip.getInputStream(e)))
         .getOrElse(Vector.empty)
-      val sheetEntry = Option(zip.getEntry("xl/worksheets/sheet1.xml"))
-        .getOrElse(throw new IllegalArgumentException(s"no sheet1 in $path"))
+      val sheetEntry = Option(zip.getEntry(s"xl/worksheets/sheet$sheet.xml"))
+        .getOrElse(throw new IllegalArgumentException(s"no sheet$sheet in $path"))
       parseSheet(zip.getInputStream(sheetEntry), shared)
+    } finally zip.close()
+  }
+
+  /** Sheet names declared in the workbook manifest, in order. */
+  def sheetNames(path: String): Vector[String] = {
+    val zip = new ZipFile(path)
+    try {
+      val wb = Option(zip.getEntry("xl/workbook.xml"))
+        .getOrElse(throw new IllegalArgumentException(s"no workbook.xml in $path"))
+      val reader = secureFactory().createXMLStreamReader(zip.getInputStream(wb))
+      val out = Vector.newBuilder[String]
+      try {
+        while (reader.hasNext) {
+          if (reader.next() == XMLStreamConstants.START_ELEMENT &&
+              reader.getLocalName == "sheet")
+            out += Option(reader.getAttributeValue(null, "name")).getOrElse("")
+        }
+      } finally reader.close()
+      out.result()
     } finally zip.close()
   }
 
@@ -103,6 +122,132 @@ object Xlsx {
       i += 1
     }
     acc - 1
+  }
+
+  // ---- writer (S7: the reference's multi-sheet export,
+  //      etl_ui.py:2144-2159) -------------------------------------------
+
+  /** Write one DataFrame as a single-sheet workbook. Values are written
+    * as inline strings (`String.valueOf` of the cell), matching the
+    * all-string read convention; null cells are omitted.
+    */
+  def write(df: DataFrame, path: String, sheetName: String = "Sheet1"): Unit =
+    writeSheets(Seq(sheetName -> df), path)
+
+  /** Multi-sheet workbook export — the writer complement of [[read]].
+    * Like the reader, the workbook is assembled on the driver (MB-scale
+    * artifact for humans, not cluster data); rows stream through
+    * `toLocalIterator`, so only one partition is resident at a time.
+    * The output is a minimal but complete OPC package ([Content_Types],
+    * rels, workbook manifest, one worksheet part per sheet) that
+    * [[read]]/[[readRows]] round-trip and spreadsheet tools accept.
+    */
+  def writeSheets(sheets: Seq[(String, DataFrame)], path: String): Unit = {
+    require(sheets.nonEmpty, "writeSheets needs at least one sheet")
+    val out = new java.util.zip.ZipOutputStream(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def entry(name: String)(body: StringBuilder => Unit): Unit = {
+      out.putNextEntry(new java.util.zip.ZipEntry(name))
+      val sb = new StringBuilder
+      body(sb)
+      out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.closeEntry()
+    }
+    val n = sheets.length
+    try {
+      entry("[Content_Types].xml") { sb =>
+        sb ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
+        sb ++= """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">"""
+        sb ++= """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>"""
+        sb ++= """<Default Extension="xml" ContentType="application/xml"/>"""
+        sb ++= """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>"""
+        (1 to n).foreach(i => sb ++=
+          s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
+        sb ++= "</Types>"
+      }
+      entry("_rels/.rels") { sb =>
+        sb ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
+        sb ++= """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">"""
+        sb ++= """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>"""
+        sb ++= "</Relationships>"
+      }
+      entry("xl/workbook.xml") { sb =>
+        sb ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
+        sb ++= """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>"""
+        sheets.zipWithIndex.foreach { case ((name, _), i) =>
+          sb ++= s"""<sheet name="${escapeXml(sanitizeSheetName(name))}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+        }
+        sb ++= "</sheets></workbook>"
+      }
+      entry("xl/_rels/workbook.xml.rels") { sb =>
+        sb ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
+        sb ++= """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">"""
+        (1 to n).foreach(i => sb ++=
+          s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""")
+        sb ++= "</Relationships>"
+      }
+      sheets.zipWithIndex.foreach { case ((_, df), i) =>
+        out.putNextEntry(new java.util.zip.ZipEntry(s"xl/worksheets/sheet${i + 1}.xml"))
+        val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          out, java.nio.charset.StandardCharsets.UTF_8))
+        w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+        w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+        def writeRow(rowIdx: Int, cells: Seq[Any]): Unit = {
+          w.write(s"""<row r="$rowIdx">""")
+          cells.zipWithIndex.foreach { case (v, c) =>
+            if (v != null) {
+              w.write(s"""<c r="${colName(c)}$rowIdx" t="inlineStr"><is><t>""")
+              w.write(escapeXml(String.valueOf(v)))
+              w.write("</t></is></c>")
+            }
+          }
+          w.write("</row>")
+        }
+        writeRow(1, df.columns.toSeq)
+        var r = 2
+        val it = df.toLocalIterator()
+        while (it.hasNext) { writeRow(r, it.next().toSeq); r += 1 }
+        w.write("</sheetData></worksheet>")
+        w.flush()
+        out.closeEntry()
+      }
+    } finally out.close()
+  }
+
+  /** A1-style column name from a 0-based index (54 -> "BC"); inverse of
+    * [[colIndex]].
+    */
+  private[sources] def colName(idx: Int): String = {
+    var i = idx
+    val sb = new StringBuilder
+    while (i >= 0) {
+      sb.insert(0, ('A' + i % 26).toChar)
+      i = i / 26 - 1
+    }
+    sb.toString
+  }
+
+  /** XML 1.0 text/attribute escape; control chars XML forbids are
+    * dropped rather than emitted as ill-formed output.
+    */
+  private def escapeXml(s: String): String = {
+    val sb = new StringBuilder(s.length + 16)
+    s.foreach {
+      case '&' => sb ++= "&amp;"
+      case '<' => sb ++= "&lt;"
+      case '>' => sb ++= "&gt;"
+      case '"' => sb ++= "&quot;"
+      case c if c >= ' ' || c == '\t' || c == '\n' || c == '\r' => sb += c
+      case _ =>
+    }
+    sb.toString
+  }
+
+  /** Excel sheet-name constraints: no []:*?/\ and at most 31 chars. */
+  private def sanitizeSheetName(s: String): String = {
+    val cleaned = s.map(c => if ("[]:*?/\\".contains(c)) '_' else c).take(31)
+    if (cleaned.isEmpty) "Sheet" else cleaned
   }
 
   private def parseSheet(in: InputStream, shared: Vector[String]): Vector[Array[String]] = {

@@ -36,4 +36,19 @@ class WritersSpec extends SparkSpec {
     val dup = spark.read.option("header", "true").csv(s"$root/duplicados")
     assert(dup.count() == 1)
   }
+
+  test("exportSheetsXlsx writes ONE workbook with a tab per sheet") {
+    val path = Files.createTempFile("graft-export", ".xlsx").toString
+    Writers.exportSheetsXlsx(result, path)
+    val names = Xlsx.sheetNames(path)
+    assert(Set("identificacao", "formacoes", "interesses", "disponibilidade",
+      "tipo de ensino", "duplicados", "entidades_invalidas", "all_data")
+      .subsetOf(names.toSet))
+    // the all_data tab round-trips the valid partition's row count
+    val allIdx = names.indexOf("all_data") + 1
+    assert(Xlsx.read(spark, path, sheet = allIdx).count() == result.valid.count())
+    // quarantine tab holds the duplicate row
+    val dupIdx = names.indexOf("duplicados") + 1
+    assert(Xlsx.read(spark, path, sheet = dupIdx).count() == 1)
+  }
 }

@@ -71,4 +71,41 @@ class XlsxSpec extends SparkSpec {
     assert(df.schema.fields.init.forall(_.dataType.typeName == "string"))
     assert(df.schema.fields.last.name == "row_id")
   }
+
+  test("colName is the inverse of colIndex") {
+    assert(Xlsx.colName(0) == "A")
+    assert(Xlsx.colName(25) == "Z")
+    assert(Xlsx.colName(26) == "AA")
+    assert(Xlsx.colName(54) == "BC")
+    (0 until 1000).foreach(i => assert(Xlsx.colIndex(Xlsx.colName(i) + "1") == i))
+  }
+
+  test("write/read round-trips values incl nulls, accents, XML specials") {
+    import spark.implicits._
+    val f = Files.createTempFile("graft-wr", ".xlsx").toString
+    val df = Seq(
+      ("Município de Águeda", "80", "a < b & c > \"d\""),
+      (null, "42.5", ""),
+      ("Inline Lda", null, "fim")).toDF("Nome da Entidade", "Percentagem", "Obs")
+    Xlsx.write(df, f)
+    val back = Xlsx.read(spark, f)
+    assert(back.columns.toSeq == Seq("Nome da Entidade", "Percentagem", "Obs", "row_id"))
+    val got = back.orderBy("row_id").drop("row_id")
+      .collect().map(_.toSeq).toSeq
+    assert(got == df.collect().map(_.toSeq).toSeq)
+  }
+
+  test("writeSheets emits a multi-tab workbook, each tab readable") {
+    import spark.implicits._
+    val f = Files.createTempFile("graft-multi", ".xlsx").toString
+    val s1 = Seq(("x", "1")).toDF("k", "v")
+    val s2 = Seq(("y", "2"), ("z", "3")).toDF("col a", "col b")
+    Xlsx.writeSheets(Seq("dados" -> s1, "quarentena: inválidos/2026" -> s2), f)
+    assert(Xlsx.sheetNames(f) == Vector("dados", "quarentena_ inválidos_2026"))
+    assert(Xlsx.read(spark, f, sheet = 1).drop("row_id").collect().map(_.toSeq).toSeq
+      == s1.collect().map(_.toSeq).toSeq)
+    val b2 = Xlsx.read(spark, f, sheet = 2)
+    assert(b2.columns.toSeq == Seq("col a", "col b", "row_id"))
+    assert(b2.count() == 2)
+  }
 }
