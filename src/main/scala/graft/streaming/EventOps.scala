@@ -35,16 +35,25 @@ object EventOps {
   final case class Session(user_id: Long, n_events: Long, first_ts: java.sql.Timestamp,
       last_ts: java.sql.Timestamp, total_value: Double)
 
-  private case class SessionState(n: Long, first: Long, last: Long, total: Double)
+  /** Public (not `private`): the state encoder's generated code must be
+    * able to construct it outside this object's scope.
+    */
+  final case class SessionState(n: Long, first: Long, last: Long, total: Double)
 
   /** Stateful sessionization: one open session per user, closed (emitted)
     * after `gapMinutes` of inactivity via processing-time timeout. The
     * canonical `flatMapGroupsWithState` shape — explicit state, explicit
     * timeout, append output.
     */
+  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[Session] =
+    sessionize(events, s"$gapMinutes minutes")
+
+  /** [[sessionize]] with the inactivity gap as a duration string — test
+    * harnesses close sessions in seconds, production in minutes.
+    */
   def sessionize(
       events: Dataset[Event],
-      gapMinutes: Int = 30): Dataset[Session] = {
+      gapDuration: String = "30 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
@@ -63,7 +72,7 @@ object EventOps {
                 math.max(st.last, e.ts.getTime), st.total + e.value)
             }
             state.update(st)
-            state.setTimeoutDuration(s"$gapMinutes minutes")
+            state.setTimeoutDuration(gapDuration)
             Iterator.empty
           }
         })

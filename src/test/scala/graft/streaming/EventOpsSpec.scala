@@ -65,4 +65,46 @@ class EventOpsSpec extends SparkSpec {
     val out = EventOps.sessionize(events, gapMinutes = 30)
     assert(out.count() == 0)
   }
+
+  test("sessionize end-to-end: timeout-closed sessions match the batch twin") {
+    import EventOps.Event
+    def ev(id: Long, t: String, user: Long, v: Double) =
+      Event(id, java.sql.Timestamp.valueOf(t), user, "click", v)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-sessions").toString
+    val burstA = Seq(
+      ev(1, "2026-01-01 10:00:00", 1L, 1.0),
+      ev(2, "2026-01-01 10:05:00", 1L, 2.5),
+      ev(3, "2026-01-01 09:00:00", 2L, 4.0))
+    burstA.toDF().coalesce(1).write.mode("append").parquet(dir)
+
+    val stream = spark.readStream.schema(burstA.toDF().schema).parquet(dir).as[Event]
+    val q = EventOps.sessionize(stream, gapDuration = "2 seconds").writeStream
+      .outputMode("append").format("memory").queryName("sessions_out")
+      .trigger(Trigger.ProcessingTime("250 milliseconds")).start()
+    try {
+      def emitted = spark.table("sessions_out")
+      def awaitRows(n: Long): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (emitted.count() < n && System.nanoTime() < deadline) Thread.sleep(250)
+        assert(emitted.count() == n, s"expected $n emitted sessions")
+      }
+      // burst A drains, then 2s of silence -> both users' sessions close
+      awaitRows(2)
+      // a later burst for user 1 must open (and close) a SECOND session
+      val burstB = Seq(ev(4, "2026-01-01 12:00:00", 1L, 7.0))
+      burstB.toDF().coalesce(1).write.mode("append").parquet(dir)
+      awaitRows(3)
+
+      val cols = Seq("user_id", "n_events", "first_ts", "last_ts", "total_value")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+      // each burst lands within the event-time gap, so the batch twin
+      // yields exactly the sessions the stream's timeout closed
+      val expected =
+        rows(EventOps.sessionizeBatch(burstA.toDF())) ++
+        rows(EventOps.sessionizeBatch(burstB.toDF()))
+      assert(rows(emitted) == expected)
+    } finally q.stop()
+  }
 }
