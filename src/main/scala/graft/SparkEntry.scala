@@ -988,12 +988,41 @@ object SparkEntry {
              |GROUP BY ROLLUP (r_name, n_name)
              |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin))
 
+    /** Self-blocking SimHash pairs — no external block columns. The
+      * pigeonhole segment split has 100% candidate recall, so below the
+      * bucket cap the result is EXACTLY brute-force all-pairs: the
+      * oracle replays it as the quadratic join over the same md5 token
+      * hashes (q25's portable recipe, minus the lang blocking).
+      */
+    private val q47 = Q(
+      "q47_simhash_self_blocked",
+      (s, dir) => TextDedup.simHashPairsSelfBlocked(
+          t(s, dir, "documents").filter($"doc_id" < 200),
+          idCol = "doc_id", textCol = "text",
+          maxDistance = 8, tokenHash = TextDedup.md5TokenHash)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id,
+             |    CASE WHEN text IS NULL OR trim(text) = '' THEN []
+             |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS ts
+             |  FROM documents WHERE doc_id < 200),
+             |hashed AS (
+             |  SELECT doc_id,
+             |    list_transform(ts, t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS th
+             |  FROM toks),
+             |sh AS (SELECT doc_id, $q25Bits AS h FROM hashed)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.h, b.h)) <= 8
+             |ORDER BY id_a, id_b""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
       q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41, q42, q43, q44, q45, q46)
+      q41, q42, q43, q44, q45, q46, q47)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

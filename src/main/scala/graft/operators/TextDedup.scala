@@ -386,4 +386,64 @@ object TextDedup {
       .filter(col("hamming") <= maxDistance)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Self-blocking SimHash near-dup pairs — no external block columns.
+    *
+    * Standard Hamming-LSH: split the 32-bit hash into `segments`
+    * near-equal bit segments; two hashes within Hamming distance
+    * `maxDistance` differ in at most `maxDistance` segments, so with
+    * `segments > maxDistance` (pigeonhole) they agree EXACTLY on at
+    * least one segment — candidate generation has 100% recall, and the
+    * hamming verify makes the result exact (identical to brute-force
+    * all-pairs, modulo buckets dropped by `maxBucketSize`).
+    *
+    * Scale shape mirrors [[minHashLshDedup]]: explode to (segment,
+    * value) — one shuffle on the bucket key; degenerate buckets (a
+    * segment value shared by a huge corpus fraction carries no signal)
+    * are dropped deterministically by the cap; the per-bucket self-join
+    * is chunked ([[SelfJoin.pairsWithinGroups]]) so no join key ever
+    * exceeds `chunkSize` rows per side; pairs dedup BEFORE the two
+    * hash rejoins. Only (id, segment, value) shuffles — hashes stay
+    * out of the explode. Call `.unpersist()` on the result when done.
+    */
+  def simHashPairsSelfBlocked(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDistance: Int,
+      segments: Int = 0, // <=0 -> maxDistance + 1 (tightest guarantee)
+      tokenHash: Column => Column = w => hash(w),
+      maxBucketSize: Int = 2000,
+      chunkSize: Int = 500): DataFrame = {
+    val k = if (segments > 0) segments else maxDistance + 1
+    require(k > maxDistance, s"segments ($k) must exceed maxDistance ($maxDistance) for the pigeonhole guarantee")
+    require(k <= 32, "at most one segment per bit")
+
+    val withH = df.select(col(idCol), simHash(col(textCol), tokenHash).as("__h")).persist()
+    withH.count()
+    // near-equal bit ranges [32i/k, 32(i+1)/k)
+    val segCols = (0 until k).map { i =>
+      val start = 32 * i / k
+      val width = 32 * (i + 1) / k - start
+      shiftright(col("__h"), start).bitwiseAND(lit((1L << width) - 1))
+    }
+    val exploded = withH.select(
+      col(idCol), posexplode(array(segCols: _*)).as(Seq("__seg", "__val")))
+    val bucketSizes = exploded.groupBy("__seg", "__val").count()
+    val small = bucketSizes.filter(col("count") <= maxBucketSize).select("__seg", "__val")
+    val pruned = exploded.join(small, Seq("__seg", "__val"))
+    val cands = SelfJoin.pairsWithinGroups(
+        pruned, Seq("__seg", "__val"), idCol, payloadCols = Seq.empty, chunkSize)
+      .select("id_a", "id_b").distinct()
+    val result = cands
+      .join(withH.select(col(idCol).as("id_a"), col("__h").as("__h_a")), "id_a")
+      .join(withH.select(col(idCol).as("id_b"), col("__h").as("__h_b")), "id_b")
+      .withColumn("hamming", hamming(col("__h_a"), col("__h_b")))
+      .filter(col("hamming") <= maxDistance)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .persist()
+    result.count()
+    withH.unpersist()
+    result
+  }
 }

@@ -115,6 +115,44 @@ class TextDedupSpec extends SparkSpec {
     def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(dist(h(0L), h(1L)) < dist(h(0L), h(2L)))
   }
+
+  test("simHashPairsSelfBlocked == brute-force all-pairs (pigeonhole recall)") {
+    // varied corpus: near-dups, exact dups, unrelated docs, null/empty
+    val corpus = (docs.collect().map(r => (r.getLong(0), r.getString(2))) ++ Seq(
+      (5L, "the quick brown fox leaps over the lazy dog"),
+      (6L, null), (7L, ""),
+      (8L, "spark engines process completely different content"))
+    ).toSeq.toDF("id", "text")
+    for (d <- Seq(3, 8)) {
+      val blocked = TextDedup.simHashPairsSelfBlocked(
+        corpus, "id", "text", maxDistance = d)
+      val got = blocked.as[(Long, Long, Int)].collect().toSet
+      blocked.unpersist()
+      val h = corpus.select($"id",
+        TextDedup.simHash($"text").as("h"))
+      val brute = h.as("a").join(h.as("b"), $"a.id" < $"b.id")
+        .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+          TextDedup.hamming($"a.h", $"b.h").as("hamming"))
+        .filter($"hamming" <= d)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == brute, s"maxDistance=$d")
+      assert(brute.nonEmpty)
+    }
+  }
+
+  test("simHashPairsSelfBlocked drops degenerate buckets at the cap") {
+    // 20 identical docs: every segment bucket holds all 20
+    val corpus = (0L until 20L).map(i => (i, "same text everywhere"))
+      .toSeq.toDF("id", "text")
+    val capped = TextDedup.simHashPairsSelfBlocked(
+      corpus, "id", "text", maxDistance = 3, maxBucketSize = 10)
+    assert(capped.isEmpty)
+    capped.unpersist()
+    val open = TextDedup.simHashPairsSelfBlocked(
+      corpus, "id", "text", maxDistance = 3, maxBucketSize = 2000)
+    assert(open.count() == 20L * 19 / 2)
+    open.unpersist()
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
