@@ -119,6 +119,22 @@ class ReadersSpec extends SparkSpec {
     assert(r.select("row_id").distinct().count() == 100)
     assert(r.agg(min("row_id"), max("row_id")).as[(Long, Long)].head() == ((0L, 99L)))
   }
+
+  test("parquetWithRowId is dense, unique, and (file, position)-ordered") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rowid").toString
+    spark.range(1000).toDF("v").repartition(7)
+      .write.mode("overwrite").parquet(dir)
+    val r = Readers.parquetWithRowId(spark, dir)
+    assert(r.select("row_id").distinct().count() == 1000)
+    assert(r.agg(min("row_id"), max("row_id")).as[(Long, Long)].head() == ((0L, 999L)))
+    // ids follow (file_path, in-file position): re-derive and compare
+    val check = spark.read.parquet(dir)
+      .select($"v", $"_metadata.file_path".as("f"), $"_metadata.row_index".as("i"))
+      .orderBy("f", "i").select("v").as[Long].collect().toSeq
+    assert(r.orderBy("row_id").select("v").as[Long].collect().toSeq == check)
+    // the plan stays columnar: no RDD scan node
+    assert(!r.queryExecution.executedPlan.toString.contains("Scan ExistingRDD"))
+  }
 }
 
 class ColsSpec extends SparkSpec {
