@@ -567,7 +567,7 @@ object SparkEntry {
           t(s, dir, "documents").filter($"doc_id" < 200),
           idCol = "doc_id", textCol = "text",
           maxDistance = 8, blockCols = Seq("lang"),
-          tokenHash = TextDedup.md5TokenHash)
+          hasher = TextDedup.TokenHasher.PortableMd5)
         .orderBy("id_a", "id_b"),
       Some(s"""WITH toks AS (
              |  SELECT doc_id, lang,
@@ -999,7 +999,7 @@ object SparkEntry {
       (s, dir) => TextDedup.simHashPairsSelfBlocked(
           t(s, dir, "documents").filter($"doc_id" < 200),
           idCol = "doc_id", textCol = "text",
-          maxDistance = 8, tokenHash = TextDedup.md5TokenHash)
+          maxDistance = 8, hasher = TextDedup.TokenHasher.PortableMd5)
         .orderBy("id_a", "id_b"),
       Some(s"""WITH toks AS (
              |  SELECT doc_id,

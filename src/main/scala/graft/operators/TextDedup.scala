@@ -15,13 +15,21 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
-  /** Character n-gram shingles of the lowercased text (distinct). */
+  /** Character n-gram shingles of the lowercased text (distinct).
+    *
+    * Texts shorter than `n` (and nulls) yield an EMPTY set — the guard
+    * matters because `sequence(1, 0)` evaluates DESCENDING in Spark
+    * (`[1, 0]`), so the unguarded form would emit spurious truncated-text
+    * shingles for short docs and make all empty docs mutual near-dups.
+    */
   def shingles(c: Column, n: Int): Column = {
     val lc = lower(c)
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(length(lc) - (n - 1), lit(0))),
-        i => lc.substr(i, lit(n))))
+    when(length(lc) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), length(lc) - (n - 1)),
+          i => lc.substr(i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Jaccard similarity of two distinct-element arrays. Uses
@@ -327,12 +335,17 @@ object TextDedup {
     */
   def shingleHashesPortable(c: Column, n: Int): Column = {
     val lc = lower(c)
-    coalesce(
+    // Same short-text guard as [[shingles]]: sequence(1, 0) is the
+    // DESCENDING [1, 0] in Spark, which would hash the truncated text
+    // instead of producing the empty set the JVM kernel and the DuckDB
+    // oracle (`range(1, 1)` = empty) both produce. Null text also lands
+    // in the otherwise-branch (null >= n is null).
+    when(length(lc) >= n,
       array_distinct(
         transform(
-          sequence(lit(1), greatest(length(lc) - (n - 1), lit(0))),
-          i => md5TokenHash(lc.substr(i, lit(n))))),
-      array().cast("array<bigint>"))
+          sequence(lit(1), length(lc) - (n - 1)),
+          i => md5TokenHash(lc.substr(i, lit(n))))))
+      .otherwise(array().cast("array<bigint>"))
   }
 
   /** Engine-portable 32-bit token hash: the first 8 hex digits of md5.
@@ -343,17 +356,107 @@ object TextDedup {
   def md5TokenHash(w: Column): Column =
     conv(substring(md5(w), 1, 8), 16, 10).cast("long")
 
+  /** Token-hash mode for [[simHash]]: each mode carries both its
+    * expression form (the oracle recipe, kept for parity testing and SQL
+    * generation) and the compiled per-token JVM form the kernel uses.
+    */
+  sealed trait TokenHasher extends Serializable {
+    /** Column-level hash — what an external SQL engine replays. */
+    def expr: Column => Column
+    /** The same hash as a compiled JVM function over the token string. */
+    def hashToken(t: String): Long
+  }
+  object TokenHasher {
+    /** Production default: Spark's `hash()` (murmur3_x86_32, seed 42,
+      * over the token's UTF-8 bytes) — fastest, not SQL-portable.
+      */
+    case object Murmur3 extends TokenHasher {
+      val expr: Column => Column = w => hash(w)
+      def hashToken(t: String): Long = {
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+          u.getBaseObject, u.getBaseOffset, u.numBytes, 42).toLong
+      }
+    }
+    /** Engine-portable: [[md5TokenHash]] (first 8 md5 hex digits), the
+      * mode the DuckDB oracle replays bit-for-bit.
+      */
+    case object PortableMd5 extends TokenHasher {
+      val expr: Column => Column = w => md5TokenHash(w)
+      private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+        override def initialValue(): java.security.MessageDigest =
+          java.security.MessageDigest.getInstance("MD5")
+      }
+      def hashToken(t: String): Long = {
+        val md = mdLocal.get(); md.reset()
+        val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      }
+    }
+  }
+
   /** 32-bit SimHash over whitespace tokens (unit weights): bit i is set
     * iff the sum over tokens of ±1 (by token-hash bit i) is positive.
-    * Pure expressions — per bit, a fold over tokens. `tokenHash` defaults
-    * to Spark's codegen'd murmur3; pass [[md5TokenHash]] for
-    * oracle-portable hashes.
+    *
+    * Implemented as a JVM kernel: the expression form
+    * ([[simHashExpr]]) is 32 interpreted `aggregate()` folds per row
+    * (Catalyst higher-order-function lambdas don't codegen — the same
+    * measured ~100x that moved MinHash signatures to a kernel at
+    * [[minHashKernel]]); the kernel hashes each token ONCE and updates
+    * all 32 bit counters in one pass. Bit-for-bit equal to the
+    * expression form (parity-tested) and to the DuckDB oracle in
+    * portable mode.
     */
-  def simHash(c: Column, tokenHash: Column => Column = w => hash(w)): Column = {
+  def simHash(c: Column, hasher: TokenHasher = TokenHasher.Murmur3): Column =
+    udf(simHashKernel(hasher)).apply(c)
+
+  /** Whitespace regex of Spark's `split(_, "\\s+")`. */
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  private def simHashKernel(hasher: TokenHasher): String => Long = {
+    (text: String) => {
+      val counts = new Array[Int](32)
+      if (text != null) {
+        // Replicate TextAnalysis.tokens exactly: Spark `trim` strips
+        // ASCII 0x20 only (not \t/\n), and `split` keeps trailing empty
+        // strings (limit -1) — both differ from the java.lang defaults.
+        var from = 0
+        var to = text.length
+        while (from < to && text.charAt(from) == ' ') from += 1
+        while (to > from && text.charAt(to - 1) == ' ') to -= 1
+        if (to > from) {
+          val toks = WsPattern.split(
+            text.substring(from, to).toLowerCase(java.util.Locale.ROOT), -1)
+          var ti = 0
+          while (ti < toks.length) {
+            val h = hasher.hashToken(toks(ti))
+            var i = 0
+            while (i < 32) {
+              if (((h >> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+              i += 1
+            }
+            ti += 1
+          }
+        }
+      }
+      var out = 0L
+      var i = 0
+      while (i < 32) { if (counts(i) > 0) out |= (1L << i); i += 1 }
+      out
+    }
+  }
+
+  /** The expression-tree form of [[simHash]] — 32 interpreted folds per
+    * row, so NOT for hot paths; kept as the executable statement of the
+    * recipe the SQL oracle replays, and as the parity baseline the
+    * kernel is tested against.
+    */
+  def simHashExpr(c: Column, hasher: TokenHasher = TokenHasher.Murmur3): Column = {
     val toks = TextAnalysis.tokens(c)
     val bitCols = (0 until 32).map { i =>
       val contrib = aggregate(toks, lit(0),
-        (acc, w) => acc + when(shiftright(tokenHash(w), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        (acc, w) => acc + when(shiftright(hasher.expr(w), i).bitwiseAND(1) === 1, 1).otherwise(-1))
       when(contrib > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
@@ -373,9 +476,9 @@ object TextDedup {
       textCol: String,
       maxDistance: Int,
       blockCols: Seq[String],
-      tokenHash: Column => Column = w => hash(w)): DataFrame = {
+      hasher: TokenHasher = TokenHasher.Murmur3): DataFrame = {
     val withH = df.select(
-      (idCol +: blockCols).map(col) :+ simHash(col(textCol), tokenHash).as("__sh"): _*)
+      (idCol +: blockCols).map(col) :+ simHash(col(textCol), hasher).as("__sh"): _*)
     val a = withH.select(
       col(idCol).as("id_a") +: col("__sh").as("__h_a") +: blockCols.map(col): _*)
     val b = withH.select(
@@ -412,14 +515,14 @@ object TextDedup {
       textCol: String,
       maxDistance: Int,
       segments: Int = 0, // <=0 -> maxDistance + 1 (tightest guarantee)
-      tokenHash: Column => Column = w => hash(w),
+      hasher: TokenHasher = TokenHasher.Murmur3,
       maxBucketSize: Int = 2000,
       chunkSize: Int = 500): DataFrame = {
     val k = if (segments > 0) segments else maxDistance + 1
     require(k > maxDistance, s"segments ($k) must exceed maxDistance ($maxDistance) for the pigeonhole guarantee")
     require(k <= 32, "at most one segment per bit")
 
-    val withH = df.select(col(idCol), simHash(col(textCol), tokenHash).as("__h")).persist()
+    val withH = df.select(col(idCol), simHash(col(textCol), hasher).as("__h")).persist()
     withH.count()
     // near-equal bit ranges [32i/k, 32(i+1)/k)
     val segCols = (0 until k).map { i =>

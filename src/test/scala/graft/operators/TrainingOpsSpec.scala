@@ -108,6 +108,51 @@ class TextDedupSpec extends SparkSpec {
     open.unpersist()
   }
 
+  test("texts shorter than n shingle to the EMPTY set in every variant") {
+    // sequence(1, 0) evaluates DESCENDING in Spark ([1, 0]); without the
+    // length guard, short/empty docs would hash the truncated text and
+    // all empty docs would pair up at jaccard 1.0 in portable mode.
+    val d = Seq((0L, "ab"), (1L, ""), (2L, null.asInstanceOf[String]),
+      (3L, "abc")).toDF("id", "text")
+    val got = d.select($"id",
+        size(TextDedup.shingles($"text", 3)).as("s"),
+        size(TextDedup.shingleHashesPortable($"text", 3)).as("p"))
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0L) == ((0, 0)) && got(1L) == ((0, 0)) && got(2L) == ((0, 0)))
+    assert(got(3L) == ((1, 1)))
+
+    // end-to-end: empty/short docs never become near-dup pairs, in
+    // either hash mode
+    val corpus = Seq((0L, ""), (1L, ""), (2L, "ab"), (3L, null.asInstanceOf[String]),
+      (4L, "some genuinely long enough text to shingle"),
+      (5L, "some genuinely long enough text to shinglz")).toDF("id", "text")
+    for (portable <- Seq(true, false)) {
+      val pairs = TextDedup.minHashLshPairs(corpus, "id", "text",
+        n = 3, numPerm = 64, bands = 16, threshold = 0.6,
+        maxDocFreqRatio = 1.0, portableHash = portable)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((4L, 5L)), s"portableHash=$portable")
+    }
+  }
+
+  test("simHash kernel == expression form, both token-hash modes") {
+    // edge shapes the kernel must replicate from TextAnalysis.tokens:
+    // Spark trim strips 0x20 only; split("\s+") keeps trailing empties;
+    // lower() after trim; null/empty -> zero hash
+    val texts = Seq(
+      "the quick brown fox", "  padded  with   spaces  ", "\tleading tab",
+      "trailing tab\t", "word", "UPPER Case MiXeD", "açúcar é bom café",
+      "line\nbreak and\r\nmore", "", "   ", null.asInstanceOf[String])
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (h <- Seq(TextDedup.TokenHasher.Murmur3, TextDedup.TokenHasher.PortableMd5)) {
+      val got = d.select($"id", TextDedup.simHash($"text", h).as("k"),
+          TextDedup.simHashExpr($"text", h).as("e"))
+        .as[(Long, Long, Long)].collect()
+      for ((id, kernel, expression) <- got)
+        assert(kernel == expression, s"hasher=$h id=$id text=${texts(id.toInt)}")
+    }
+  }
+
   test("simHash: identical text -> distance 0; similar < dissimilar") {
     val h = docs.select($"id", TextDedup.simHash($"text").as("h"))
       .as[(Long, Long)].collect().toMap
