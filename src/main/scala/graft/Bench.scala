@@ -4,20 +4,28 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver bench surface: prints ONE JSON line on stdout.
   *
-  * Round-2 lesson: timing all 46 queries through one long-lived session made
+  * Round-2 lesson: timing all queries through one long-lived session made
   * the per-query numbers GC/ordering noise — q15/q18/q27/q45 looked 3-6x
-  * slower in-session while flat-or-faster when re-run isolated. Each query now
-  * runs in its own `spark.newSession()` (fresh catalog / temp views / session
-  * conf on the shared context) and runs TWICE: the cold run pays codegen,
-  * file listing and JIT; the warm second run is the reported number. Between
-  * queries every lingering cache is dropped (`catalog.clearCache()` hits the
-  * context-level cache manager) and a GC is requested, so one query's heap
-  * leftovers cannot bill the next. The cold times stay in the artifact
-  * (`queries_cold`) for drift diagnosis.
+  * slower in-session while flat-or-faster when re-run isolated. Each query
+  * runs in its own `spark.newSession()` (fresh catalog / temp views /
+  * session conf on the shared context) and runs TWICE: the cold run pays
+  * codegen, file listing and JIT; the warm second run is the reported
+  * number. Between queries every lingering cache is dropped
+  * (`catalog.clearCache()` hits the context-level cache manager) and a GC
+  * is requested, so one query's heap leftovers cannot bill the next.
   *
-  * `pipeline_1m` is the end-to-end FEFAL workload at volume: 1M-row synthetic
-  * wide survey -> Pipeline.run (identify/split/dedup) -> StarLoader.load, all
-  * outputs materialized (same workload as graft.tools.ScalePipeline).
+  * Round-3 lesson: a bench that swallows exceptions reports a broken query
+  * as a fast success. Failures are now recorded per query in an `errors`
+  * JSON field, a failed query's time does NOT count toward the total, and
+  * the process exits nonzero if anything failed. The cold-run map made the
+  * stdout line long enough that the driver's tail capture truncated it, so
+  * cold times go to `bench_cold.json` (cwd) instead, and all seconds are
+  * rounded to ms.
+  *
+  * `pipeline_1m` is the end-to-end FEFAL workload at volume: 1M-row
+  * synthetic wide survey -> Pipeline.run (identify/split/dedup) ->
+  * StarLoader.load, all outputs materialized (same workload as
+  * graft.tools.ScalePipeline).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,45 +39,77 @@ object Bench {
       .getOrCreate()
     root.sparkContext.setLogLevel("WARN")
 
-    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def ms(v: Double): Double = math.round(v * 1000).toDouble / 1000
+
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
       val s = root.newSession()
       val t0 = System.nanoTime()
-      try { fn(s, sfDir).count() } catch { case _: Throwable => () }
+      val err =
+        try { fn(s, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")
+        }
       val secs = (System.nanoTime() - t0) / 1e9
       s.catalog.clearCache() // context-level: drops anything the query left persisted
       System.gc()
-      secs
+      (secs, err)
     }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val cold = timed(fn)
-      val warm = timed(fn)
-      name -> (cold, warm)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (cold, coldErr) = timed(fn)
+      val (warm, warmErr) = timed(fn)
+      (name, cold, warm, coldErr.orElse(warmErr))
     }
 
-    val pipeline1m = {
+    val (pipeline1m, pipelineErr) = {
       val s = root.newSession()
       val t0 = System.nanoTime()
-      val res = graft.etl.Pipeline.run(
-        tools.SyntheticSurvey.survey(s, 1000000L),
-        tools.SyntheticSurvey.registry(s),
-        tools.SyntheticSurvey.config, 2026)
-      val star = graft.etl.StarLoader.load(res)
-      Seq(res.valid, res.duplicates, res.unmatched, res.badName,
-        star.fatoInquerito, star.fatoFormacao, star.fatoInteresse,
-        star.fatoDisponibilidade, star.comentario).foreach(_.count())
-      val secs = (System.nanoTime() - t0) / 1e9
-      star.unpersist(); res.unpersist()
-      secs
+      val err =
+        try {
+          val res = graft.etl.Pipeline.run(
+            tools.SyntheticSurvey.survey(s, 1000000L),
+            tools.SyntheticSurvey.registry(s),
+            tools.SyntheticSurvey.config, 2026)
+          val star = graft.etl.StarLoader.load(res)
+          Seq(res.valid, res.duplicates, res.unmatched, res.badName,
+            star.fatoInquerito, star.fatoFormacao, star.fatoInteresse,
+            star.fatoDisponibilidade, star.comentario).foreach(_.count())
+          star.unpersist(); res.unpersist()
+          None
+        } catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")
+        }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
 
-    def jsonMap(m: Iterable[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jsonStr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      } + "\""
+    def jsonNumMap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => jsonStr(k) + ":" + ms(v) }.mkString("{", ",", "}")
 
-    val warm = results.map { case (k, (_, w)) => k -> w }
-    val cold = results.map { case (k, (c, _)) => k -> c }
-    val total = if (warm.nonEmpty) warm.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(warm)},"queries_cold":${jsonMap(cold)},"pipeline_1m":$pipeline1m,"sf":"$sfDir"}""")
+    val errors: Seq[(String, String)] =
+      results.collect { case (n, _, _, Some(e)) => n -> e } ++
+        pipelineErr.map("pipeline_1m" -> _)
+    val ok = results.filter(_._4.isEmpty)
+    val warm = ok.map { case (n, _, w, _) => n -> w }
+    val total = warm.map(_._2).sum
+
+    // cold times: diagnostic only — file, not the driver-captured line
+    val coldJson = jsonNumMap(results.map { case (n, c, _, _) => n -> c })
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_cold.json"),
+      s"""{"queries_cold":$coldJson,"sf":${jsonStr(sfDir)}}""".getBytes("UTF-8"))
+
+    val errJson = errors.map { case (n, e) => jsonStr(n) + ":" + jsonStr(e) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${jsonNumMap(warm)},"pipeline_1m":${ms(pipeline1m)},"errors":$errJson,"sf":${jsonStr(sfDir)}}""")
     root.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

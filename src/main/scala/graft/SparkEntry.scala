@@ -552,6 +552,25 @@ object SparkEntry {
              |WHERE (CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 0 END) >= 0.7
              |ORDER BY id_a, id_b""".stripMargin))
 
+    /** The murmur3 production configuration of the same MinHash+LSH
+      * pipeline as q24. q24 pins `portableHash = true` so DuckDB can
+      * replay it bit-for-bit, but that mode pays interpreted md5-HOF
+      * shingling and a wide string band-bucket key — benching only q24
+      * would leave the production kernel (codegen murmur3 shingle
+      * hashes, int bucket keys) unmeasured and let a regression in it go
+      * unnoticed. Rows-only here: murmur3 is not SQL-replicable; the
+      * mode's correctness is pinned by TrainingOpsSpec's brute-force
+      * equivalence and the shared pipeline with the fully-oracled q24.
+      */
+    private val q24b = Q(
+      "q24_production",
+      (s, dir) => TextDedup.minHashLshPairs(
+          t(s, dir, "documents"), idCol = "doc_id", textCol = "text",
+          n = 3, numPerm = 64, bands = 16, threshold = 0.7)
+        .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+        .orderBy("id_a", "id_b"),
+      None)
+
     /** SimHash near-dup pairs. Token hashes are md5-based
       * ([[TextDedup.md5TokenHash]]) so the oracle can rebuild the exact
       * 32 SimHash bits in SQL; the production murmur3 default is pinned
@@ -1020,7 +1039,7 @@ object SparkEntry {
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-      q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
+      q21, q22, q23, q24, q24b, q25, q26, q27, q28, q29, q30,
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47)
   }
