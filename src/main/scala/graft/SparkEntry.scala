@@ -654,8 +654,37 @@ object SparkEntry {
              |SELECT id_a, id_b, round(sim, 6) AS sim FROM pairs
              |WHERE sim >= 0.35 ORDER BY id_a, id_b""".stripMargin))
 
-    /** LSH-bucketed approximate top-k (scale path; recall vs brute force
-      * is pinned in ScalaTest — rows-only here).
+    // Sign-LSH replay pieces shared by q28 and q45: the fixed-seed
+    // hyperplane matrix inlined as SQL literals (the q24 permParams
+    // recipe), the bucket id as a sum of sign CASEs over the same
+    // left-fold dot product Spark's `Similarity.dot` evaluates, and the
+    // symmetric Hamming-1 probe expansion.
+    private def sqlDot(vecExpr: String, plane: Seq[Double]): String =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($vecExpr, [${plane.mkString(", ")}]), x -> x[1] * x[2])), (a, b) -> a + b)"
+
+    private val lshPlanes: Seq[Seq[Double]] = Similarity.hyperplaneParams(64, 8, 42L)
+
+    private def sqlLshBucket(vecExpr: String): String =
+      lshPlanes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN ${sqlDot(vecExpr, p)} > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("\n    + ")
+
+    private val sqlProbeList: String =
+      ("bkt" +: (0 until 8).map(i => s"xor(bkt, ${1L << i})")).mkString("[", ", ", "]")
+
+    private val sqlCosine: String =
+      """list_reduce(list_prepend(0.0, list_transform(list_zip(%A, %B), x -> x[1] * x[2])), (p, q) -> p + q)
+        |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(%A, x -> x * x)), (p, q) -> p + q))
+        |       * sqrt(list_reduce(list_prepend(0.0, list_transform(%B, x -> x * x)), (p, q) -> p + q)))""".stripMargin
+
+    private def sqlCos(a: String, b: String): String =
+      sqlCosine.replace("%A", a).replace("%B", b)
+
+    /** LSH-bucketed approximate top-k (scale path). Full oracle replay:
+      * the hyperplanes are inlined as double literals, so DuckDB
+      * recomputes sign buckets, the query-side Hamming-1 multi-probe,
+      * and the exact cosine + rank inside the candidate set bit-for-bit
+      * (recall vs brute force stays pinned in ScalaTest).
       */
     private val q28 = Q(
       "q28_ann_lsh_topk",
@@ -667,7 +696,26 @@ object SparkEntry {
           .select($"query_id", $"rank", $"neighbor_id", round($"sim", 6).as("sim"))
           .orderBy("query_id", "rank")
       },
-      None)
+      Some(s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+             |           FROM embeddings),
+             |b AS (
+             |  SELECT vec_id, vec,
+             |    ${sqlLshBucket("vec")} AS bkt
+             |  FROM v),
+             |probes AS (
+             |  SELECT vec_id AS query_id, vec AS qv,
+             |    unnest($sqlProbeList) AS bucket
+             |  FROM b WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+             |    ${sqlCos("c.vec", "p.qv")} AS sim
+             |  FROM b c JOIN probes p ON c.bkt = p.bucket AND c.vec_id != p.query_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, sim,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(sim, 6) AS sim
+             |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
     // ---- training-data pipeline: multimodal columns ------------------
 
@@ -971,8 +1019,12 @@ object SparkEntry {
              |FROM documents ORDER BY doc_id""".stripMargin))
 
     /** LSH-self-blocked embedding dedup (no external key; multi-probe
-      * buckets). Rows-only: murmur-free but hyperplane seeds aren't
-      * SQL-replicable.
+      * buckets). Full oracle replay via the inlined hyperplane literals
+      * (see q28): DuckDB recomputes sign buckets, BOTH-sides Hamming-1
+      * probe expansion, the 2000-cap on bucket sizes, candidate pairs
+      * and the exact cosine verify bit-for-bit. (The chunked self-join
+      * is an execution detail — candidate generation within a bucket is
+      * exhaustive, so the plain SQL join replays it.)
       */
     private val q45 = Q(
       "q45_embedding_dup_lsh",
@@ -981,7 +1033,29 @@ object SparkEntry {
           threshold = 0.35, dim = 64, bits = 8)
         .select($"id_a", $"id_b", round($"sim", 6).as("sim"))
         .orderBy("id_a", "id_b"),
-      None)
+      Some(s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+             |           FROM embeddings),
+             |b AS (
+             |  SELECT vec_id, vec,
+             |    ${sqlLshBucket("vec")} AS bkt
+             |  FROM v),
+             |expanded AS (
+             |  SELECT vec_id, unnest($sqlProbeList) AS bucket FROM b),
+             |ok_buckets AS (
+             |  SELECT bucket FROM expanded GROUP BY bucket HAVING count(*) <= 2000),
+             |cands AS (
+             |  SELECT DISTINCT e1.vec_id AS id_a, e2.vec_id AS id_b
+             |  FROM expanded e1
+             |  JOIN expanded e2 ON e1.bucket = e2.bucket AND e1.vec_id < e2.vec_id
+             |  JOIN ok_buckets ob ON ob.bucket = e1.bucket),
+             |j AS (
+             |  SELECT c.id_a, c.id_b,
+             |    ${sqlCos("va.vec", "vb.vec")} AS sim
+             |  FROM cands c
+             |  JOIN b va ON va.vec_id = c.id_a
+             |  JOIN b vb ON vb.vec_id = c.id_b)
+             |SELECT id_a, id_b, round(sim, 6) AS sim FROM j
+             |WHERE sim >= 0.35 ORDER BY id_a, id_b""".stripMargin))
 
     /** Hierarchical rollup (region -> nation -> grand total): partial
       * aggregation handles every grouping level in one pass.

@@ -94,6 +94,15 @@ object Similarity {
     Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** The fixed-seed hyperplane matrix (bits x dim), public so an external
+    * oracle can replay sign-bucket assignment with the exact constants —
+    * same contract as [[TextDedup.permParams]]. Double.toString literals
+    * round-trip exactly (shortest-repr), so inlining them into SQL
+    * reproduces each `sign(v . h_i)` bit-for-bit.
+    */
+  def hyperplaneParams(dim: Int, bits: Int, seed: Long): Seq[Seq[Double]] =
+    hyperplanes(dim, bits, seed)
+
   /** Sign-LSH bucket id: bit i = sign(v . h_i). */
   def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (h, i) =>
