@@ -78,6 +78,72 @@ object EventOps {
         })
   }
 
+  /** Event-time sessionization — the true streaming twin of
+    * [[sessionizeBatch]]. [[sessionize]] closes a session after
+    * `gapDuration` of processing-time silence, which matches the batch
+    * twin only when ingestion keeps up with event time; under ingestion
+    * lag or replay, a late-but-within-gap burst arrives after the
+    * processing-time timer fired and wrongly opens a second session.
+    * Here the timeout is an event-time timestamp (`last event + gap`)
+    * measured against the WATERMARK, so a burst that is within the gap
+    * in event time merges into the open session no matter how late it
+    * arrives in processing time — as long as it beats the watermark
+    * delay, which is the standard Structured Streaming lateness
+    * contract (state stays bounded by watermark + gap).
+    *
+    * Sessions close when the watermark (max event time seen minus
+    * `watermarkDelay`) passes `last + gap`; a bounded stream's final
+    * sessions stay open until later events (any user) advance the
+    * watermark — the price of correctness under lag.
+    */
+  def sessionizeEventTime(
+      events: Dataset[Event],
+      gapDuration: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = durationMs(gapDuration)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, s.n, new java.sql.Timestamp(s.first),
+              new java.sql.Timestamp(s.last), s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption.getOrElse(SessionState(0, Long.MaxValue, Long.MinValue, 0d))
+            sorted.foreach { e =>
+              st = SessionState(st.n + 1, math.min(st.first, e.ts.getTime),
+                math.max(st.last, e.ts.getTime), st.total + e.value)
+            }
+            state.update(st)
+            // the timeout must sit strictly beyond the current watermark
+            // (late rows can put last+gap behind it; close at the next tick)
+            state.setTimeoutTimestamp(
+              math.max(st.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+        })
+  }
+
+  /** "5 seconds" / "30 minutes" / "1 hour" -> milliseconds. */
+  private def durationMs(d: String): Long = {
+    val m = """(\d+)\s*(millisecond|second|minute|hour)s?""".r
+    d.trim match {
+      case m(n, unit) =>
+        n.toLong * (unit match {
+          case "millisecond" => 1L
+          case "second" => 1000L
+          case "minute" => 60000L
+          case "hour" => 3600000L
+        })
+      case other => throw new IllegalArgumentException(s"unparseable duration: '$other'")
+    }
+  }
+
   /** Batch twin of [[sessionize]] for verification: same session
     * definition computed with a gap-split window cascade (the standard
     * batch sessionization: lag -> gap flag -> running session id).

@@ -107,4 +107,58 @@ class EventOpsSpec extends SparkSpec {
       assert(rows(emitted) == expected)
     } finally q.stop()
   }
+
+  test("sessionizeEventTime merges a late-but-within-gap burst; matches batch twin") {
+    import EventOps.Event
+    def ev(id: Long, t: String, user: Long, v: Double) =
+      Event(id, java.sql.Timestamp.valueOf(t), user, "click", v)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-et-sessions").toString
+    // burst A: user 1's session opens at 10:00
+    val burstA = Seq(
+      ev(1, "2026-01-01 10:00:00", 1L, 1.0),
+      ev(2, "2026-01-01 10:05:00", 1L, 2.5))
+    burstA.toDF().coalesce(1).write.mode("append").parquet(dir)
+
+    val stream = spark.readStream.schema(burstA.toDF().schema).parquet(dir).as[Event]
+    val q = EventOps.sessionizeEventTime(stream,
+        gapDuration = "30 minutes", watermarkDelay = "0 seconds").writeStream
+      .outputMode("append").format("memory").queryName("et_sessions_out")
+      .trigger(Trigger.ProcessingTime("250 milliseconds")).start()
+    try {
+      def inputRows = q.recentProgress.map(_.numInputRows).sum
+      def awaitInput(n: Long): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (inputRows < n && System.nanoTime() < deadline) Thread.sleep(250)
+        assert(inputRows >= n, s"expected $n input rows processed")
+      }
+      awaitInput(2)
+      Thread.sleep(1000) // real processing-time silence between bursts
+      // burst B arrives SECONDS later in processing time but only 15 event-
+      // time minutes after the last event — within the gap. A processing-
+      // time timer would long since have fired had the gap been measured
+      // in arrival time; event-time semantics must MERGE it instead.
+      val burstB = Seq(ev(3, "2026-01-01 10:20:00", 1L, 7.0))
+      burstB.toDF().coalesce(1).write.mode("append").parquet(dir)
+      awaitInput(3)
+      // burst C: another user far in the future pushes the watermark past
+      // user 1's last+gap, closing (emitting) the merged session
+      val burstC = Seq(ev(4, "2026-01-01 23:00:00", 2L, 0.0))
+      burstC.toDF().coalesce(1).write.mode("append").parquet(dir)
+      def emitted = spark.table("et_sessions_out")
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (emitted.count() < 1 && System.nanoTime() < deadline) Thread.sleep(250)
+      assert(emitted.count() == 1, "expected user 1's merged session to close")
+
+      val cols = Seq("user_id", "n_events", "first_ts", "last_ts", "total_value")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+      // ONE session spanning both bursts — exactly what the batch twin
+      // computes from the union of the event-time data
+      val expected = rows(EventOps.sessionizeBatch(
+        (burstA ++ burstB).toDF(), gapMinutes = 30))
+      assert(rows(emitted) == expected)
+      assert(emitted.select("n_events").as[Long].head() == 3L)
+    } finally q.stop()
+  }
 }
