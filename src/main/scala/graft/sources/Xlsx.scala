@@ -40,17 +40,83 @@ object Xlsx {
     Readers.withRowId(df)
   }
 
-  /** Raw cell grid of sheet `sheet` (1-based; driver-side). */
+  /** Raw cell grid of sheet `sheet` (1-based; driver-side). Numeric cells
+    * whose style carries a date number format are surfaced as ISO strings
+    * (pd.read_excel parity — etl_ui.py:861 sees datetimes, not raw
+    * serial numbers); everything else stays the literal cell text.
+    */
   def readRows(path: String, sheet: Int = 1): Vector[Array[String]] = {
     val zip = new ZipFile(path)
     try {
       val shared = Option(zip.getEntry("xl/sharedStrings.xml"))
         .map(e => parseSharedStrings(zip.getInputStream(e)))
         .getOrElse(Vector.empty)
-      val sheetEntry = Option(zip.getEntry(s"xl/worksheets/sheet$sheet.xml"))
-        .getOrElse(throw new IllegalArgumentException(s"no sheet$sheet in $path"))
-      parseSheet(zip.getInputStream(sheetEntry), shared)
+      val dateStyles = Option(zip.getEntry("xl/styles.xml"))
+        .map(e => parseDateStyles(zip.getInputStream(e)))
+        .getOrElse(Set.empty[Int])
+      val part = sheetPart(zip, sheet)
+      val sheetEntry = Option(zip.getEntry(part))
+        .getOrElse(throw new IllegalArgumentException(s"no worksheet part $part in $path"))
+      parseSheet(zip.getInputStream(sheetEntry), shared, dateStyles)
     } finally zip.close()
+  }
+
+  /** Physical worksheet part for a 1-based manifest position, resolved
+    * through the workbook manifest's `r:id` -> `workbook.xml.rels`
+    * indirection: Excel re-numbers `sheetN.xml` parts after sheet
+    * delete/reorder, so manifest order need not match part numbering in
+    * externally authored workbooks. Falls back to the conventional
+    * `sheetN.xml` name when the indirection is absent (our own writer,
+    * minimal test workbooks).
+    */
+  private def sheetPart(zip: ZipFile, sheet: Int): String = {
+    val viaRels =
+      for {
+        wb <- Option(zip.getEntry("xl/workbook.xml"))
+        rels <- Option(zip.getEntry("xl/_rels/workbook.xml.rels"))
+        rid <- sheetRelIds(zip.getInputStream(wb)).lift(sheet - 1).flatten
+        target <- relTargets(zip.getInputStream(rels)).get(rid)
+      } yield if (target.startsWith("/")) target.drop(1) else "xl/" + target
+    viaRels.getOrElse(s"xl/worksheets/sheet$sheet.xml")
+  }
+
+  /** The `r:id` of each sheet in the workbook manifest, in order (None
+    * for sheets without one).
+    */
+  private def sheetRelIds(in: InputStream): Vector[Option[String]] = {
+    val reader = secureFactory().createXMLStreamReader(in)
+    val out = Vector.newBuilder[Option[String]]
+    try {
+      while (reader.hasNext) {
+        if (reader.next() == XMLStreamConstants.START_ELEMENT &&
+            reader.getLocalName == "sheet") {
+          // the attribute is namespaced (r:id); match by local name
+          val rid = (0 until reader.getAttributeCount)
+            .find(i => reader.getAttributeLocalName(i) == "id")
+            .map(reader.getAttributeValue)
+          out += rid
+        }
+      }
+    } finally reader.close()
+    out.result()
+  }
+
+  /** Relationship Id -> Target of a .rels part. */
+  private def relTargets(in: InputStream): Map[String, String] = {
+    val reader = secureFactory().createXMLStreamReader(in)
+    val out = Map.newBuilder[String, String]
+    try {
+      while (reader.hasNext) {
+        if (reader.next() == XMLStreamConstants.START_ELEMENT &&
+            reader.getLocalName == "Relationship") {
+          for {
+            id <- Option(reader.getAttributeValue(null, "Id"))
+            target <- Option(reader.getAttributeValue(null, "Target"))
+          } out += id -> target
+        }
+      }
+    } finally reader.close()
+    out.result()
   }
 
   /** Sheet names declared in the workbook manifest, in order. */
@@ -113,6 +179,75 @@ object Xlsx {
     out.result()
   }
 
+  /** Style indices (positions in `cellXfs`) whose number format renders
+    * as a date/time. Builtin date format ids plus custom `numFmt`s whose
+    * code contains date tokens outside quoted/bracketed/escaped spans —
+    * the same heuristic pd.read_excel inherits from openpyxl.
+    */
+  private[sources] def parseDateStyles(in: InputStream): Set[Int] = {
+    val reader = secureFactory().createXMLStreamReader(in)
+    val custom = scala.collection.mutable.Map.empty[Int, String]
+    val xfFmts = Vector.newBuilder[Int]
+    var inCellXfs = false
+    try {
+      while (reader.hasNext) {
+        reader.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            reader.getLocalName match {
+              case "cellXfs" => inCellXfs = true
+              case "numFmt" =>
+                for {
+                  id <- Option(reader.getAttributeValue(null, "numFmtId"))
+                  code <- Option(reader.getAttributeValue(null, "formatCode"))
+                  i <- id.toIntOption
+                } custom(i) = code
+              case "xf" if inCellXfs =>
+                xfFmts += Option(reader.getAttributeValue(null, "numFmtId"))
+                  .flatMap(_.toIntOption).getOrElse(0)
+              case _ =>
+            }
+          case XMLStreamConstants.END_ELEMENT if reader.getLocalName == "cellXfs" =>
+            inCellXfs = false
+          case _ =>
+        }
+      }
+    } finally reader.close()
+    xfFmts.result().zipWithIndex
+      .collect { case (fmt, idx) if isDateFormat(fmt, custom.get(fmt)) => idx }
+      .toSet
+  }
+
+  /** Builtin date/time numFmtIds (ECMA-376 §18.8.30). */
+  private val BuiltinDateFmts: Set[Int] =
+    ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
+
+  private[sources] def isDateFormat(id: Int, code: Option[String]): Boolean =
+    BuiltinDateFmts.contains(id) || code.exists { c =>
+      val stripped = c.replaceAll("\"[^\"]*\"", "")
+        .replaceAll("\\[[^\\]]*\\]", "")
+        .replaceAll("\\\\.", "")
+      stripped.exists(ch => "ymdhsYMDHS".indexOf(ch.toInt) >= 0)
+    }
+
+  /** Excel serial date -> ISO string ("yyyy-MM-dd" for whole days, else
+    * "yyyy-MM-dd HH:mm:ss", rounded to the second). 1900 date system,
+    * including the phantom 1900-02-29: serials below 61 are offset from
+    * 1899-12-31, later ones from 1899-12-30.
+    */
+  private[sources] def serialToIso(v: String): Option[String] =
+    v.trim.toDoubleOption.filter(_ >= 0).map { serial =>
+      val base =
+        if (serial < 61) java.time.LocalDate.of(1899, 12, 31)
+        else java.time.LocalDate.of(1899, 12, 30)
+      val totalSec = math.round(serial * 86400.0)
+      val dt = base.atStartOfDay().plusSeconds(totalSec)
+      if (totalSec % 86400 == 0) dt.toLocalDate.toString
+      else IsoDateTimeFmt.format(dt)
+    }
+
+  private val IsoDateTimeFmt =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
   /** Column index from an A1-style reference ("BC12" -> 54). */
   private[sources] def colIndex(ref: String): Int = {
     var i = 0
@@ -155,6 +290,24 @@ object Xlsx {
       out.closeEntry()
     }
     val n = sheets.length
+    // Sanitize AND deduplicate up front: two names that sanitize/truncate
+    // to the same 31-char string would otherwise emit duplicate <sheet
+    // name> entries, which Excel rejects as an invalid workbook. Excel
+    // compares names case-insensitively.
+    val tabNames: Seq[String] = {
+      val used = scala.collection.mutable.Set.empty[String]
+      sheets.map { case (name, _) =>
+        val base = sanitizeSheetName(name)
+        var cand = base
+        var k = 2
+        while (!used.add(cand.toLowerCase(java.util.Locale.ROOT))) {
+          val suffix = s"_$k"
+          cand = base.take(31 - suffix.length) + suffix
+          k += 1
+        }
+        cand
+      }
+    }
     try {
       entry("[Content_Types].xml") { sb =>
         sb ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
@@ -175,8 +328,8 @@ object Xlsx {
       entry("xl/workbook.xml") { sb =>
         sb ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
         sb ++= """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>"""
-        sheets.zipWithIndex.foreach { case ((name, _), i) =>
-          sb ++= s"""<sheet name="${escapeXml(sanitizeSheetName(name))}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+        tabNames.zipWithIndex.foreach { case (name, i) =>
+          sb ++= s"""<sheet name="${escapeXml(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
         }
         sb ++= "</sheets></workbook>"
       }
@@ -250,12 +403,16 @@ object Xlsx {
     if (cleaned.isEmpty) "Sheet" else cleaned
   }
 
-  private def parseSheet(in: InputStream, shared: Vector[String]): Vector[Array[String]] = {
+  private def parseSheet(
+      in: InputStream,
+      shared: Vector[String],
+      dateStyles: Set[Int] = Set.empty): Vector[Array[String]] = {
     val reader = secureFactory().createXMLStreamReader(in)
     val rows = Vector.newBuilder[Array[String]]
     var row: ArrayBuffer[String] = null
     var cellCol = -1
     var cellType: String = null
+    var cellStyle = -1
     var cellValue: StringBuilder = null
     var inV = false
     var inIs = false
@@ -269,6 +426,8 @@ object Xlsx {
                 cellCol = Option(reader.getAttributeValue(null, "r"))
                   .map(colIndex).getOrElse(row.length)
                 cellType = reader.getAttributeValue(null, "t")
+                cellStyle = Option(reader.getAttributeValue(null, "s"))
+                  .flatMap(_.toIntOption).getOrElse(-1)
                 cellValue = null
               case "v" => inV = true; cellValue = new StringBuilder
               case "is" => inIs = true
@@ -287,6 +446,10 @@ object Xlsx {
                   if (cellValue == null) null
                   else cellType match {
                     case "s" => shared.lift(cellValue.toString.trim.toInt).orNull
+                    case null | "n" if dateStyles.contains(cellStyle) =>
+                      // date-formatted numeric cell: surface the date the
+                      // user sees, not the raw serial number
+                      serialToIso(cellValue.toString).getOrElse(cellValue.toString)
                     case _ => cellValue.toString
                   }
                 if (v != null) {

@@ -95,6 +95,90 @@ class XlsxSpec extends SparkSpec {
     assert(got == df.collect().map(_.toSeq).toSeq)
   }
 
+  test("date-formatted numeric cells surface as ISO strings (pd.read_excel parity)") {
+    val f = Files.createTempFile("graft-dates", ".xlsx").toFile
+    val zip = new ZipOutputStream(new FileOutputStream(f))
+    def put(name: String, content: String): Unit = {
+      zip.putNextEntry(new ZipEntry(name)); zip.write(content.getBytes(StandardCharsets.UTF_8)); zip.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheets><sheet name="S" sheetId="1"/></sheets></workbook>""".stripMargin)
+    // style 0: General; style 1: builtin date (14); style 2: custom
+    // datetime code; style 3: custom NON-date code
+    put("xl/styles.xml",
+      """<?xml version="1.0"?><styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<numFmts count="2">
+        |<numFmt numFmtId="164" formatCode="dd/mm/yyyy hh:mm"/>
+        |<numFmt numFmtId="165" formatCode="0.00&quot;kg&quot;"/>
+        |</numFmts>
+        |<cellXfs count="4">
+        |<xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/>
+        |<xf numFmtId="164" applyNumberFormat="1"/><xf numFmtId="165" applyNumberFormat="1"/>
+        |</cellXfs></styleSheet>""".stripMargin)
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>data</t></is></c><c r="B1" t="inlineStr"><is><t>quando</t></is></c><c r="C1" t="inlineStr"><is><t>peso</t></is></c><c r="D1" t="inlineStr"><is><t>raw</t></is></c></row>
+        |<row r="2"><c r="A2" s="1"><v>44927</v></c><c r="B2" s="2"><v>44927.5</v></c><c r="C2" s="3"><v>42.5</v></c><c r="D2"><v>44927</v></c></row>
+        |<row r="3"><c r="A3" s="1"><v>1</v></c><c r="B3" s="2"><v>61.25</v></c><c r="C3" s="3"><v>0.5</v></c><c r="D3"><v>7</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zip.close()
+    val rows = Xlsx.readRows(f.getAbsolutePath)
+    assert(rows(1).toSeq == Seq("2023-01-01", "2023-01-01 12:00:00", "42.5", "44927"))
+    // serial 1 = 1900-01-01 (pre-phantom-leap-day offset);
+    // 61.25 = 1900-03-01 06:00; non-date styles keep the literal text
+    assert(rows(2).toSeq == Seq("1900-01-01", "1900-03-01 06:00:00", "0.5", "7"))
+  }
+
+  test("sheet index resolves through r:id -> rels, not part numbering") {
+    val f = Files.createTempFile("graft-rels", ".xlsx").toFile
+    val zip = new ZipOutputStream(new FileOutputStream(f))
+    def put(name: String, content: String): Unit = {
+      zip.putNextEntry(new ZipEntry(name)); zip.write(content.getBytes(StandardCharsets.UTF_8)); zip.closeEntry()
+    }
+    // manifest position 1 points (via rId7) at the part named sheet2.xml:
+    // the naive sheetNames(path).indexOf + "sheet$i.xml" pattern would
+    // silently read the wrong sheet
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="First" sheetId="1" r:id="rId7"/><sheet name="Second" sheetId="2" r:id="rId3"/></sheets></workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId7" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>
+        |<Relationship Id="rId3" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+    def sheetXml(marker: String) =
+      s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+         |<row r="1"><c r="A1" t="inlineStr"><is><t>$marker</t></is></c></row>
+         |</sheetData></worksheet>""".stripMargin
+    put("xl/worksheets/sheet1.xml", sheetXml("IN_PART_1"))
+    put("xl/worksheets/sheet2.xml", sheetXml("IN_PART_2"))
+    zip.close()
+    assert(Xlsx.readRows(f.getAbsolutePath, 1).head.toSeq == Seq("IN_PART_2"))
+    assert(Xlsx.readRows(f.getAbsolutePath, 2).head.toSeq == Seq("IN_PART_1"))
+  }
+
+  test("colliding sanitized sheet names are disambiguated, workbook stays valid") {
+    import spark.implicits._
+    val f = Files.createTempFile("graft-collide", ".xlsx").toString
+    val df1 = Seq(("1")).toDF("v")
+    val df2 = Seq(("2")).toDF("v")
+    val df3 = Seq(("3")).toDF("v")
+    val longA = "quarentena de registos invalidados em 2026" // truncates to 31
+    val longB = "quarentena de registos invalidados em 2025"
+    Xlsx.writeSheets(Seq("a/b" -> df1, "a_b" -> df2, longA -> df3,
+      longB -> df1, "DADOS" -> df2, "dados" -> df3), f)
+    val names = Xlsx.sheetNames(f)
+    assert(names.size == 6)
+    assert(names.map(_.toLowerCase).distinct.size == 6) // Excel-style uniqueness
+    assert(names.forall(_.length <= 31))
+    assert(names(0) == "a_b" && names(1) == "a_b_2")
+    assert(names(4) == "DADOS" && names(5) == "dados_2")
+    // every tab still readable and mapped to the right data
+    assert(Xlsx.read(spark, f, sheet = 2).select("v").collect().head.getString(0) == "2")
+    assert(Xlsx.read(spark, f, sheet = 6).select("v").collect().head.getString(0) == "3")
+  }
+
   test("writeSheets emits a multi-tab workbook, each tab readable") {
     import spark.implicits._
     val f = Files.createTempFile("graft-multi", ".xlsx").toString
