@@ -1110,12 +1110,64 @@ object SparkEntry {
              |WHERE bit_count(xor(a.h, b.h)) <= 8
              |ORDER BY id_a, id_b""".stripMargin))
 
+    /** PII redaction (URL -> email -> phone placeholder chain). The
+      * corpus itself is synthetic word-salad with no PII, so the query
+      * appends deterministic PII-bearing tails (doc_id-derived email,
+      * phone, URL) before redacting — both engines build and scrub the
+      * same text, making the oracle exercise every pattern on every row.
+      */
+    private val q48 = Q(
+      "q48_pii_redact",
+      (s, dir) => t(s, dir, "documents")
+        .select($"doc_id",
+          TextAnalysis.redactPii(concat(
+            $"text", lit(" contact user"), $"doc_id".cast("string"),
+            lit("@example.com or call +351 21 555 00"), $"doc_id".cast("string"),
+            lit(" or visit https://example.com/doc/"), $"doc_id".cast("string")))
+            .as("clean"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(
+             |    text || ' contact user' || doc_id || '@example.com or call +351 21 555 00' || doc_id || ' or visit https://example.com/doc/' || doc_id,
+             |    'https?://[^\s]+', '<URL>', 'g'),
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\+?\(?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS clean
+             |FROM documents ORDER BY doc_id""".stripMargin))
+
+    /** Intra-document repetition score (duplicate word-trigram
+      * fraction) — the Gopher-style repetition quality filter. The
+      * word-salad corpus is repetition-heavy, so the signal is
+      * non-trivial on every row.
+      */
+    private val q49 = Q(
+      "q49_repetition_score",
+      (s, dir) => t(s, dir, "documents")
+        .select($"doc_id",
+          round(TextAnalysis.repetitionScore($"text", 3), 6).as("rep3"))
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    CASE WHEN text IS NULL OR trim(text) = '' THEN []
+             |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS ts
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(ts) >= 3
+             |      THEN [array_to_string(ts[i+1:i+3], ' ') FOR i IN range(0, len(ts) - 3 + 1)]
+             |      ELSE [] END AS gs
+             |  FROM toks)
+             |SELECT doc_id,
+             |  round(CASE WHEN len(gs) > 0
+             |    THEN 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / CAST(len(gs) AS DOUBLE)
+             |    ELSE 0.0 END, 6) AS rep3
+             |FROM grams ORDER BY doc_id""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
       q21, q22, q23, q24, q24b, q25, q26, q27, q28, q29, q30,
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41, q42, q43, q44, q45, q46, q47)
+      q41, q42, q43, q44, q45, q46, q47, q48, q49)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

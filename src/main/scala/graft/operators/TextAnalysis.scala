@@ -76,6 +76,44 @@ object TextAnalysis {
     aggregate(codes, lit(0L), (acc, v) => (acc * 131 + v) % M)
   }
 
+  /** PII scrubbing for pretraining corpora: URLs, emails and
+    * phone-shaped digit runs replaced by typed placeholder tokens, in
+    * that order (URLs first so an address inside a URL is not half-
+    * redacted). A pure `regexp_replace` chain — codegen'd linear scans,
+    * no UDF — and every pattern is RE2-safe (no lookaround), so any SQL
+    * engine replays the redaction bit-for-bit.
+    */
+  val UrlRe = "https?://[^\\s]+"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?\\(?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
+  /** Intra-document repetition: the fraction of word `n`-grams that are
+    * duplicates (`1 - distinct/total`) — the Gopher/MassiveText-style
+    * repetition-filter signal (docs above ~0.2 are boilerplate/spam
+    * candidates). Shorter-than-n docs score 0.
+    *
+    * Expression-tree HOFs evaluate interpreted, but the cost here is
+    * per n-gram (linear in tokens, like [[TextDedup.shingleHashesPortable]]),
+    * not tokens x constants — the 100x kernel rationale does not apply.
+    */
+  def repetitionScore(c: Column, n: Int = 3): Column = {
+    val toks = tokens(c)
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    when(size(grams) > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Token statistics: count + mean token length (0-safe). */
   def tokenStats(c: Column): (Column, Column) = {
     val toks = tokens(c)

@@ -25,6 +25,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) != fps(1))
   }
 
+  test("redactPii scrubs urls, emails, phones; leaves clean text alone") {
+    val d = Seq(
+      "write to ana.silva+spam@mail.example.pt today",
+      "see https://example.com/a?q=1 and http://x.io",
+      "call +351 21 555 0000 or (212) 555-1234 now",
+      "email inside url https://h.io/u@v.com stays one URL",
+      "plain text with no pii at all",
+      "order 1234567890 is a bare digit run").toDF("text")
+    val got = d.select(TextAnalysis.redactPii($"text")).as[String].collect().toSeq
+    assert(got(0) == "write to <EMAIL> today")
+    assert(got(1) == "see <URL> and <URL>")
+    assert(got(2) == "call <PHONE> or <PHONE> now")
+    assert(got(3) == "email inside url <URL> stays one URL")
+    assert(got(4) == "plain text with no pii at all")
+    assert(got(5) == "order <PHONE> is a bare digit run") // digit runs redact conservatively
+  }
+
+  test("repetitionScore: boilerplate high, varied text low, short text 0") {
+    val d = Seq(
+      (0L, "buy now buy now buy now buy now buy now"), // heavy trigram repeats
+      (1L, "each word here appears exactly once only"),
+      (2L, "one two"), (3L, ""), (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = d.select($"id", TextAnalysis.repetitionScore($"text", 3).as("r"))
+      .as[(Long, Double)].collect().toMap
+    // 10 tokens -> 8 trigrams, distinct = {"buy now buy","now buy now"} = 2
+    assert(math.abs(got(0L) - (1.0 - 2.0 / 8.0)) < 1e-12)
+    assert(got(1L) == 0.0)
+    assert(got(2L) == 0.0 && got(3L) == 0.0 && got(4L) == 0.0)
+  }
+
   test("qualityScore bounds and degenerate inputs") {
     val d = Seq("", null.asInstanceOf[String], "the and is of to in plain text with words").toDF("text")
     val got = d.select(TextAnalysis.qualityScore($"text")).as[Double].collect().toSeq
