@@ -53,6 +53,26 @@ class TextNormPropSpec extends AnyFunSuite {
 class PartitionInvariantSpec extends SparkSpec {
   import spark.implicits._
 
+  test("simHash kernel == expression for random unicode-ish strings, both hashers") {
+    import graft.operators.TextDedup
+    // mixed alphabet incl. accents, digits, ALL whitespace classes and
+    // XML-ish specials — the shapes where a hand-rolled tokenizer would
+    // diverge from Spark's trim/split semantics
+    val alphabet = "abcXYZ áçÉ 0123 \t\n\r  .,<>&\"'".toSeq
+    val rnd = new scala.util.Random(17)
+    val texts = (0 until 300).map { i =>
+      (i.toLong, (0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString)
+    } :+ (300L -> null.asInstanceOf[String])
+    val d = texts.toDF("id", "text")
+    for (h <- Seq(TextDedup.TokenHasher.Murmur3, TextDedup.TokenHasher.PortableMd5)) {
+      val mismatches = d.select($"id",
+          TextDedup.simHash($"text", h).as("k"),
+          TextDedup.simHashExpr($"text", h).as("e"))
+        .filter($"k" =!= $"e").count()
+      assert(mismatches == 0, s"hasher=$h")
+    }
+  }
+
   test("dedup split partitions the input for random frames") {
     val rnd = new scala.util.Random(3)
     val rows = (0 until 500).map(i => (rnd.nextInt(50).toLong, i.toLong))
