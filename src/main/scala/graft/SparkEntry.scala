@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Cols
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, EntityResolution, Reshape, Similarity, SurrogateKeys, TextAnalysis, TextDedup}
+import graft.operators.{ConnectedComponents, Dedup, EntityResolution, Reshape, Similarity, SurrogateKeys, TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1162,12 +1162,55 @@ object SparkEntry {
              |    ELSE 0.0 END, 6) AS rep3
              |FROM grams ORDER BY doc_id""".stripMargin))
 
+    /** Near-dup clusters -> canonical survivors: n-gram Jaccard pairs
+      * (the q23 recipe) fed through alternating-star connected
+      * components ([[graft.operators.ConnectedComponents]]). The oracle
+      * replays the pairs in SQL and resolves components with a
+      * recursive-CTE min-label propagation — exhaustive reachable-label
+      * enumeration is fine at oracle scale; the Spark side is the
+      * O(log n)-round algorithm that holds at 100 TB.
+      */
+    private val q50 = Q(
+      "q50_dup_clusters",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter($"doc_id" < 100)
+        val pairs = TextDedup.ngramJaccardPairs(
+          docs, idCol = "doc_id", textCol = "text", n = 3,
+          threshold = 0.60, blockCols = Seq("lang"))
+        ConnectedComponents
+          .canonicalize(docs.select("doc_id"), pairs, "doc_id")
+          .select($"doc_id", $"cluster_id", $"cluster_size", $"is_canonical")
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id, lang,
+             |    list_distinct([substr(lower(text), i, 3)
+             |                   FOR i IN range(1, greatest(length(text) - 2, 0) + 1)]) AS g
+             |  FROM documents WHERE doc_id < 100),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             |        / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.60),
+             |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+             |          UNION SELECT id_b, id_a FROM pairs),
+             |reach(id, lbl) AS (
+             |  SELECT doc_id, doc_id FROM sh
+             |  UNION
+             |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v),
+             |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+             |sized AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+             |SELECT cc.id AS doc_id, cc.cluster_id, sized.cluster_size,
+             |  CAST(cc.id = cc.cluster_id AS INT) AS is_canonical
+             |FROM cc JOIN sized USING (cluster_id)
+             |ORDER BY doc_id""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
       q21, q22, q23, q24, q24b, q25, q26, q27, q28, q29, q30,
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41, q42, q43, q44, q45, q46, q47, q48, q49)
+      q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side union-find reference. */
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("matches union-find on a random graph (multiple components)") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300) {
+      // Three disjoint id ranges -> guaranteed >= 3 components.
+      val block = rnd.nextInt(3) * 1000L
+      (block + rnd.nextInt(40), block + rnd.nextInt(40))
+    }.filter(e => e._1 != e._2)
+    val got = ConnectedComponents
+      .connectedComponents(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    val want = unionFind(0, edges)
+    assert(got == want)
+    // Component labels are the component minimum.
+    got.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.keys.min == comp)
+    }
+  }
+
+  test("converges on a 1000-node chain (worst-case diameter)") {
+    val edges = (1L until 1000L).map(i => (i, i + 1))
+    val got = ConnectedComponents
+      .connectedComponents(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 1000 && got.values.forall(_ == 1L))
+  }
+
+  test("empty edge set yields empty result") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(ConnectedComponents.connectedComponents(empty).isEmpty)
+  }
+
+  test("self-loops and duplicate/reversed pairs are tolerated") {
+    val edges = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L), (9L, 9L)).toDF("src", "dst")
+    val got = ConnectedComponents.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+  }
+
+  test("canonicalize keeps one survivor per cluster, singletons canonical") {
+    val docs = (1L to 8L).toDF("doc_id")
+    val pairs = Seq((2L, 5L), (5L, 7L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = ConnectedComponents.canonicalize(docs, pairs, "doc_id")
+      .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._1)
+    val want = Seq(
+      (1L, 1L, 1L, 1), (2L, 2L, 3L, 1), (3L, 3L, 2L, 1), (4L, 3L, 2L, 0),
+      (5L, 2L, 3L, 0), (6L, 6L, 1L, 1), (7L, 2L, 3L, 0), (8L, 8L, 1L, 1))
+    assert(got.toSeq == want)
+    // Keeping is_canonical rows dedups to one doc per cluster.
+    assert(got.count(_._4 == 1) == 5)
+  }
+}
