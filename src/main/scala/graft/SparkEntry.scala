@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Cols
 import graft.multimodal.Multimodal
-import graft.operators.{ConnectedComponents, Dedup, EntityResolution, Reshape, Similarity, SurrogateKeys, TextAnalysis, TextDedup}
+import graft.operators.{ConnectedComponents, Contamination, Dedup, EntityResolution, Reshape, Similarity, SurrogateKeys, TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1205,12 +1205,54 @@ object SparkEntry {
              |FROM cc JOIN sized USING (cluster_id)
              |ORDER BY doc_id""".stripMargin))
 
+    /** Train/eval contamination: distinct 13-gram overlap of every
+      * training doc against a held-out benchmark slice (docs with
+      * doc_id % 97 == 0), the GPT-3-style decontamination filter. The
+      * benchmark gram set broadcasts; the training side never shuffles
+      * ([[graft.operators.Contamination]]).
+      */
+    private val q51 = Q(
+      "q51_contamination",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Contamination.ngramContamination(
+            docs.filter($"doc_id" % 97 =!= 0),
+            docs.filter($"doc_id" % 97 === 0),
+            idCol = "doc_id", textCol = "text", n = 13)
+          .select($"doc_id", $"total_ngrams", $"overlap_ngrams",
+            round($"contamination", 6).as("contamination"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tr AS (
+             |  SELECT doc_id, CASE WHEN length(text) >= 13
+             |    THEN list_distinct([substr(lower(text), i, 13)
+             |                        FOR i IN range(1, greatest(length(text) - 12, 0) + 1)])
+             |    ELSE [] END AS g
+             |  FROM documents WHERE doc_id % 97 <> 0),
+             |bg AS (
+             |  SELECT DISTINCT unnest(CASE WHEN length(text) >= 13
+             |    THEN list_distinct([substr(lower(text), i, 13)
+             |                        FOR i IN range(1, greatest(length(text) - 12, 0) + 1)])
+             |    ELSE [] END) AS g
+             |  FROM documents WHERE doc_id % 97 = 0),
+             |hits AS (
+             |  SELECT t.doc_id, count(*) AS overlap
+             |  FROM (SELECT doc_id, unnest(g) AS g FROM tr) t JOIN bg USING (g)
+             |  GROUP BY t.doc_id)
+             |SELECT tr.doc_id, len(tr.g) AS total_ngrams,
+             |  coalesce(hits.overlap, 0) AS overlap_ngrams,
+             |  round(CASE WHEN len(tr.g) > 0
+             |    THEN CAST(coalesce(hits.overlap, 0) AS DOUBLE) / CAST(len(tr.g) AS DOUBLE)
+             |    ELSE 0.0 END, 6) AS contamination
+             |FROM tr LEFT JOIN hits USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
       q21, q22, q23, q24, q24b, q25, q26, q27, q28, q29, q30,
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
+      q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

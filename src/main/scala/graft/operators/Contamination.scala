@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Train/eval contamination detection: how many of a training document's
+  * character n-grams appear anywhere in a held-out benchmark corpus.
+  * This is the decontamination filter every LLM data pipeline runs before
+  * training (GPT-3 appendix C / PaLM style: 13-gram overlap), expressed
+  * as one broadcast join.
+  *
+  * Scale shape: benchmarks are tiny next to the corpus (MBs vs 100 TB),
+  * so the benchmark's distinct n-gram set is collected into a broadcast
+  * hash relation and the training side streams through it map-side —
+  * no shuffle of the big side. Set `broadcastBench = false` only if the
+  * benchmark side genuinely exceeds broadcast size; the join then
+  * becomes a regular shuffled hash join on the n-gram key.
+  */
+object Contamination {
+
+  /** Per-training-doc overlap stats against `bench`.
+    *
+    * @return one row per `train` doc: idCol, `total_ngrams` (distinct
+    *         n-grams in the doc), `overlap_ngrams` (of those, how many
+    *         occur in any benchmark doc), `contamination` (ratio, 0.0
+    *         for gram-less docs).
+    */
+  def ngramContamination(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      broadcastBench: Boolean = true): DataFrame = {
+    val grams = TextDedup.shingles(col(textCol), n)
+    val trGrams = train.select(col(idCol), explode(grams).as("__g"))
+    val benchGramsRaw = bench.select(explode(grams).as("__g")).distinct()
+    val benchGrams =
+      if (broadcastBench) broadcast(benchGramsRaw) else benchGramsRaw
+    val hits = trGrams.join(benchGrams, "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__overlap"))
+    train.select(col(idCol), size(grams).cast("long").as("total_ngrams"))
+      .join(hits, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("total_ngrams"),
+        coalesce(col("__overlap"), lit(0L)).as("overlap_ngrams"),
+        when(col("total_ngrams") > 0,
+          coalesce(col("__overlap"), lit(0L)).cast("double")
+            / col("total_ngrams").cast("double"))
+          .otherwise(lit(0.0)).as("contamination"))
+  }
+}

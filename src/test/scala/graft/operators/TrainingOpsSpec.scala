@@ -383,3 +383,33 @@ class MultimodalSpec extends SparkSpec {
     assert(f.values.forall(_.size == Multimodal.StubCodec.featureDim))
   }
 }
+
+class ContaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("counts distinct n-gram overlap against the benchmark set") {
+    val train = Seq(
+      (1L, "abcdefgh"),     // shares abcd..defg? with bench doc "abcdefxx"
+      (2L, "zzzzzz"),       // distinct grams: zzzz only
+      (3L, "qq"),           // shorter than n -> 0 grams
+      (4L, (null: String))) // null -> 0 grams
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "abcdefxx"), (101L, "zzzz")).toDF("doc_id", "text")
+    val got = Contamination
+      .ngramContamination(train, bench, "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc 1: grams abcd bcde cdef defg efgh (5); bench has abcd bcde cdef (+ defx efxx, zzzz) -> 3 hits
+    // doc 2: grams zzzz (distinct) -> 1 hit of 1
+    assert(got == Seq(
+      (1L, 5L, 3L, 0.6), (2L, 1L, 1L, 1.0), (3L, 0L, 0L, 0.0), (4L, 0L, 0L, 0.0)))
+  }
+
+  test("benchmark side broadcasts (no shuffle of the training side)") {
+    val train = (0L until 50L).map(i => (i, s"document number $i with shared words")).toDF("doc_id", "text")
+    val bench = Seq((900L, "document number 7 with shared words")).toDF("doc_id", "text")
+    val plan = Contamination.ngramContamination(train, bench, "doc_id", "text", 13)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+}
