@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Cols
 import graft.multimodal.Multimodal
-import graft.operators.{ConnectedComponents, Contamination, Dedup, EntityResolution, Reshape, Similarity, SurrogateKeys, TextAnalysis, TextDedup}
+import graft.operators.{ConnectedComponents, Contamination, Dedup, Sampling, EntityResolution, Reshape, Similarity, SurrogateKeys, TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1247,12 +1247,30 @@ object SparkEntry {
              |FROM tr LEFT JOIN hits USING (doc_id)
              |ORDER BY doc_id""".stripMargin))
 
+    /** Deterministic stratified sampling — the training-mix knob. Hash
+      * of the doc id (not rand(): retry-idempotent, layout-independent)
+      * against per-language keep rates. Membership replays exactly in
+      * any engine with md5 ([[graft.operators.Sampling]]).
+      */
+    private val q52 = Q(
+      "q52_stratified_sample",
+      (s, dir) => Sampling.stratifiedSample(
+          t(s, dir, "documents"),
+          idCol = "doc_id", strataCol = "lang",
+          rates = Map("en" -> 0.5, "es" -> 0.25), defaultRate = 0.1)
+        .select($"doc_id", $"lang")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 <
+             |  CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 2500 ELSE 1000 END
+             |ORDER BY doc_id""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
       q21, q22, q23, q24, q24b, q25, q26, q27, q28, q29, q30,
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51)
+      q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

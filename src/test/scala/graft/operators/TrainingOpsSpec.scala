@@ -413,3 +413,42 @@ class ContaminationSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 }
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids = (0L until 20000L).toDF("id")
+
+  test("hashSample keeps ~rate of rows and is deterministic") {
+    val a = Sampling.hashSample(ids, "id", 0.25).as[Long].collect().toSet
+    val b = Sampling.hashSample(ids.repartition(7), "id", 0.25).as[Long].collect().toSet
+    assert(a == b) // partitioning-independent membership
+    assert(math.abs(a.size / 20000.0 - 0.25) < 0.02)
+  }
+
+  test("nested rates: a lower-rate sample is a subset of a higher-rate one") {
+    val small = Sampling.hashSample(ids, "id", 0.1).as[Long].collect().toSet
+    val big = Sampling.hashSample(ids, "id", 0.5).as[Long].collect().toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("stratifiedSample applies per-stratum rates with default fallback") {
+    val df = (0L until 30000L).map(i => (i, Seq("en", "es", "de")((i % 3).toInt)))
+      .toDF("id", "lang")
+    val got = Sampling.stratifiedSample(
+      df, "id", "lang", Map("en" -> 0.5, "es" -> 0.1), defaultRate = 0.0)
+    val byLang = got.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(!byLang.contains("de")) // default 0.0 drops the stratum
+    assert(math.abs(byLang("en") / 10000.0 - 0.5) < 0.03)
+    assert(math.abs(byLang("es") / 10000.0 - 0.1) < 0.03)
+    // Membership equals applying hashSample per stratum.
+    val enOnly = Sampling.hashSample(df.filter($"lang" === "en"), "id", 0.5)
+    assert(got.filter($"lang" === "en").as[(Long, String)].collect().toSet ==
+      enOnly.as[(Long, String)].collect().toSet)
+  }
+
+  test("rate 0 and 1 are exact") {
+    assert(Sampling.hashSample(ids, "id", 0.0).isEmpty)
+    assert(Sampling.hashSample(ids, "id", 1.0).count() == 20000L)
+  }
+}
