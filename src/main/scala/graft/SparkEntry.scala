@@ -1265,12 +1265,30 @@ object SparkEntry {
              |  CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 2500 ELSE 1000 END
              |ORDER BY doc_id""".stripMargin))
 
+    /** Vocabulary building: top-k tokens by document frequency. The
+      * group-count partial-aggregates map-side and the top-k runs as
+      * TakeOrdered (per-partition heaps, no global sort) — the 100-TB
+      * path never materializes the full sorted token distribution.
+      * Total-ordered tie-break on the token makes the cut deterministic.
+      */
+    private val q53 = Q(
+      "q53_vocab_topk",
+      (s, dir) => TextAnalysis.topTokensByDocFreq(
+        t(s, dir, "documents"), textCol = "text", k = 200),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_distinct(
+             |    CASE WHEN text IS NULL OR trim(text) = '' THEN []
+             |         ELSE string_split_regex(lower(trim(text)), '\s+') END)) AS token
+             |  FROM documents)
+             |SELECT token, count(*) AS doc_freq FROM toks GROUP BY token
+             |ORDER BY doc_freq DESC, token LIMIT 200""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
       q21, q22, q23, q24, q24b, q25, q26, q27, q28, q29, q30,
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52)
+      q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

@@ -122,4 +122,22 @@ object TextAnalysis {
       lit(0L), (a, v) => a + v)
     (n, when(n > 0, totalLen.cast("double") / n.cast("double")).otherwise(lit(0.0)))
   }
+
+  /** Top-k vocabulary by document frequency: for tokenizer/vocab
+    * construction and corpus profiling. One explode of distinct
+    * per-doc tokens, a partial-agg group-count on the token, and a
+    * TakeOrdered top-k (per-partition heaps merged on the driver — the
+    * full token distribution is never globally sorted). Ties break on
+    * the token string so results are total-ordered and replayable.
+    */
+  def topTokensByDocFreq(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    df.select(explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("token"))
+      .limit(k)
+  }
 }

@@ -452,3 +452,26 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashSample(ids, "id", 1.0).count() == 20000L)
   }
 }
+
+class VocabSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topTokensByDocFreq counts docs (not occurrences), ties on token") {
+    val df = Seq(
+      "apple apple banana",   // apple df 1 despite 2 occurrences
+      "apple cherry",
+      "banana cherry",
+      "", (null: String).asInstanceOf[String])
+      .toDF("text")
+    val got = TextAnalysis.topTokensByDocFreq(df, "text", 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("apple", 2L), ("banana", 2L), ("cherry", 2L)))
+  }
+
+  test("top-k plan is TakeOrdered, not a global sort") {
+    val df = Seq("a b", "b c").toDF("text")
+    val plan = TextAnalysis.topTokensByDocFreq(df, "text", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+}
