@@ -41,9 +41,15 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     import spark.implicits._
 
+    // Materialize the pair list ONCE up front: the upstream that feeds
+    // this operator (MinHash/Jaccard pair generation) is expensive, and
+    // without this checkpoint every downstream action — star init, the
+    // node list, cluster sizing, the final collect — re-runs it from
+    // scratch (measured 4x the pair-gen cost on q50).
     val raw = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter($"u".isNotNull && $"v".isNotNull)
+      .localCheckpoint()
     // Nodes from the UNfiltered pairs: a node seen only in a self-loop
     // is still a (singleton) component.
     val nodes = raw.select($"u".as("id"))
@@ -57,8 +63,8 @@ object ConnectedComponents {
       .localCheckpoint()
 
     var iter = 0
-    var converged = star.isEmpty
     var signature = fingerprint(star)
+    var converged = signature._1 == 0L
     while (!converged && iter < maxIter) {
       // Large-star: every strictly-larger neighbor of u links to the
       // minimum of u's neighborhood (including u itself).
