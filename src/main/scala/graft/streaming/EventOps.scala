@@ -144,6 +144,24 @@ object EventOps {
     }
   }
 
+  /** Streaming twin of exact dedup ([[graft.operators.Dedup]], SURVEY
+    * T1): first occurrence per key wins, duplicates arriving within the
+    * watermark window are dropped. `dropDuplicatesWithinWatermark`
+    * (not plain `dropDuplicates`) is the 100-TB-stream shape — the
+    * dedup state evicts once the watermark passes, so state tracks the
+    * lateness window instead of growing with the whole stream history.
+    * A duplicate arriving later than `watermarkDelay` after the
+    * original re-emits; size the delay to the source's replay window.
+    */
+  def dedupStream(
+      events: DataFrame,
+      keys: Seq[String],
+      tsCol: String = "ts",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Batch twin of [[sessionize]] for verification: same session
     * definition computed with a gap-split window cascade (the standard
     * batch sessionization: lag -> gap flag -> running session id).

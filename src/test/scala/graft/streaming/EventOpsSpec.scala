@@ -161,4 +161,29 @@ class EventOpsSpec extends SparkSpec {
       assert(emitted.select("n_events").as[Long].head() == 3L)
     } finally q.stop()
   }
+
+  test("dedupStream drops within-watermark duplicates: stream == batch distinct") {
+    // Two files with the SAME rows: every event arrives twice across
+    // microbatch boundaries; the survivor set must equal batch distinct.
+    val dir = java.nio.file.Files.createTempDirectory("dedup_stream").toString
+    val rows = eventsBatch.limit(200).select("event_id", "ts", "user_id", "event_type", "value")
+    rows.write.parquet(s"$dir/f1.parquet")
+    rows.write.parquet(s"$dir/f2.parquet")
+
+    val batchDistinct = rows.dropDuplicates("event_id")
+      .orderBy("event_id").collect().toSeq
+
+    val schema = rows.schema
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*/")
+    val q = EventOps.dedupStream(stream, Seq("event_id"), watermarkDelay = "2 hours")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(120000)
+      val streamed = spark.table("dedup_out").orderBy("event_id").collect().toSeq
+      assert(streamed == batchDistinct)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
