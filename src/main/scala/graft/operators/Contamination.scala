@@ -33,22 +33,28 @@ object Contamination {
       n: Int,
       broadcastBench: Boolean = true): DataFrame = {
     val grams = TextDedup.shingles(col(textCol), n)
-    val trGrams = train.select(col(idCol), explode(grams).as("__g"))
     val benchGramsRaw = bench.select(explode(grams).as("__g")).distinct()
     val benchGrams =
       if (broadcastBench) broadcast(benchGramsRaw) else benchGramsRaw
-    val hits = trGrams.join(benchGrams, "__g")
+    // One scan of the training side: carry the per-doc gram count
+    // through the explode (explode_outer keeps gram-less docs), mark
+    // benchmark hits with a left join, fold back with a single
+    // groupBy-on-id shuffle. The naive totals-join shape scans the
+    // 100-TB side twice and shuffles twice.
+    train
+      .select(col(idCol), size(grams).cast("long").as("total_ngrams"),
+        explode_outer(grams).as("__g"))
+      .join(benchGrams.withColumn("__hit", lit(1L)), Seq("__g"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("__overlap"))
-    train.select(col(idCol), size(grams).cast("long").as("total_ngrams"))
-      .join(hits, Seq(idCol), "left")
+      .agg(
+        first(col("total_ngrams")).as("total_ngrams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("overlap_ngrams"))
       .select(
         col(idCol),
         col("total_ngrams"),
-        coalesce(col("__overlap"), lit(0L)).as("overlap_ngrams"),
+        col("overlap_ngrams"),
         when(col("total_ngrams") > 0,
-          coalesce(col("__overlap"), lit(0L)).cast("double")
-            / col("total_ngrams").cast("double"))
+          col("overlap_ngrams").cast("double") / col("total_ngrams").cast("double"))
           .otherwise(lit(0.0)).as("contamination"))
   }
 }

@@ -31,6 +31,24 @@ class PlanSpec extends SparkSpec {
       s"scan should read exactly the 4 referenced columns, got $cols")
   }
 
+  test("stratified sample scan prunes to id + stratum columns") {
+    val q = SparkEntry.queries("q52_stratified_sample")(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan).map(_.group(1))
+    assert(readSchema.isDefined, s"no scan in plan:\n$plan")
+    val cols = readSchema.get.split(",").map(_.split(":")(0).trim).toSet
+    assert(cols == Set("doc_id", "lang"),
+      s"sampling must not read the text column, got $cols")
+  }
+
+  test("contamination reads the training side exactly once") {
+    val q = SparkEntry.queries("q51_contamination")(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    val scans = "ReadSchema".r.findAllIn(plan).size
+    assert(scans == 2, s"expected one scan per side (train + bench), got $scans:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "benchmark gram set must broadcast")
+  }
+
   test("normalize runs as a native expression, not a UDF") {
     val q = SparkEntry.queries("q14_normalize_text")(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString
