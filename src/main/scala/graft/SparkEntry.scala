@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Cols
 import graft.multimodal.Multimodal
-import graft.operators.{ConnectedComponents, Contamination, Dedup, Sampling, EntityResolution, Reshape, Similarity, SurrogateKeys, TextAnalysis, TextDedup}
+import graft.operators.{ConnectedComponents, Contamination, Dedup, Packing, Sampling, EntityResolution, Reshape, Similarity, SurrogateKeys, TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1283,12 +1283,40 @@ object SparkEntry {
              |SELECT token, count(*) AS doc_freq FROM toks GROUP BY token
              |ORDER BY doc_freq DESC, token LIMIT 200""".stripMargin))
 
+    /** Sequence packing (concat-and-chunk): md5-sharded, per-shard
+      * running token sum, budget-512 chunk spans. One shuffle (on the
+      * shard); no global sort — shard count is the parallelism knob at
+      * 100 TB ([[graft.operators.Packing]]).
+      */
+    private val q54 = Q(
+      "q54_pack_sequences",
+      (s, dir) => Packing.packSequences(
+          t(s, dir, "documents"),
+          idCol = "doc_id", textCol = "text", budget = 512, nShards = 8)
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |    (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000) % 8 AS shard,
+             |    CAST(len(CASE WHEN text IS NULL OR trim(text) = '' THEN []
+             |                  ELSE string_split_regex(lower(trim(text)), '\s+') END) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, shard, n_tokens,
+             |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_start
+             |  FROM tk)
+             |SELECT doc_id, shard, n_tokens, token_start,
+             |  token_start // 512 AS chunk_first,
+             |  CASE WHEN n_tokens > 0 THEN (token_start + n_tokens - 1) // 512
+             |       ELSE token_start // 512 END AS chunk_last
+             |FROM c ORDER BY doc_id""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
       q21, q22, q23, q24, q24b, q25, q26, q27, q28, q29, q30,
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53)
+      q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

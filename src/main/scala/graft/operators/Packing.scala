@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Sequence packing for training prep: lay documents end-to-end and cut
+  * fixed token-budget chunks (GPT-style concat-and-chunk — documents may
+  * straddle a chunk boundary). The output maps every doc to its token
+  * span and the chunk range [chunk_first, chunk_last] it lands in, which
+  * is what a loader needs to materialize packed sequences.
+  *
+  * Scale shape: a GLOBAL running sum would serialize the corpus through
+  * one partition, so packing is sharded — a deterministic md5 shard of
+  * the doc id, then one shuffle on the shard and a per-shard
+  * (window) running sum ordered by id. Chunks are per-shard; shard
+  * count scales with the cluster while membership stays layout- and
+  * retry-independent (same md5-bucket argument as [[Sampling]]).
+  */
+object Packing {
+
+  /** Per-doc packed span: shard, n_tokens, token_start (offset of the
+    * doc's first token inside its shard's concat stream), chunk_first /
+    * chunk_last (budget-sized chunks the doc touches).
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Int,
+      nShards: Int): DataFrame = {
+    require(budget > 0 && nShards > 0, s"budget/nShards must be positive")
+    val id = col(idCol)
+    val shard = Sampling.hashBucket(id) % nShards
+    val nTokens = size(TextAnalysis.tokens(col(textCol))).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(id, shard.as("shard"), nTokens.as("n_tokens"))
+      .withColumn("token_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        id, col("shard"), col("n_tokens"), col("token_start"),
+        expr(s"token_start div $budget").as("chunk_first"),
+        when(col("n_tokens") > 0,
+          expr(s"(token_start + n_tokens - 1) div $budget"))
+          .otherwise(expr(s"token_start div $budget")).as("chunk_last"))
+  }
+}

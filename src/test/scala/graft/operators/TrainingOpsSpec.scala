@@ -475,3 +475,45 @@ class VocabSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 }
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("spans tile each shard contiguously and chunk math is exact") {
+    val df = (0L until 400L).map(i => (i, ("tok " * ((i % 7) + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val got = Packing.packSequences(df, "doc_id", "text", budget = 10, nShards = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 400)
+    got.groupBy(_._2).foreach { case (_, docs) =>
+      val sorted = docs.sortBy(_._1)
+      // token_start of each doc == sum of the previous docs' n_tokens
+      sorted.foldLeft(0L) { case (expectStart, (_, _, n, start, cf, cl)) =>
+        assert(start == expectStart)
+        assert(cf == start / 10)
+        assert(cl == (if (n > 0) (start + n - 1) / 10 else start / 10))
+        expectStart + n
+      }
+    }
+  }
+
+  test("empty and null docs occupy zero tokens but keep a chunk position") {
+    val df = Seq((1L, "one two"), (2L, ""), (3L, (null: String)), (4L, "three"))
+      .toDF("doc_id", "text")
+    val got = Packing.packSequences(df, "doc_id", "text", budget = 2, nShards = 1)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(2L)._3 == 0L && byId(2L)._5 == byId(2L)._6) // 0 tokens, degenerate chunk
+    assert(got.map(_._3).sum == 3L)
+  }
+
+  test("shard assignment is deterministic across repartition") {
+    val df = (0L until 1000L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val a = Packing.packSequences(df, "doc_id", "text", 512, 8)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toSet
+    val b = Packing.packSequences(df.repartition(13), "doc_id", "text", 512, 8)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+}
