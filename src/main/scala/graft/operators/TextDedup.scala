@@ -327,13 +327,40 @@ object TextDedup {
 
   /** Engine-portable variant of [[shingleHashes]]: distinct
     * [[md5TokenHash]]es of the character n-gram shingles, in [0, 2^32).
-    * Built from codegen'd expressions (`substr`/`md5`/`conv`) rather than
-    * a JVM kernel so the bytes hashed are exactly what any SQL engine's
-    * `md5(substr(lower(text), i, n))` hashes — the recipe q25 proved out.
-    * Interpreted-HOF cost is per shingle (not per shingle x perm), so the
-    * 100x signature-kernel penalty does not apply here.
+    * A JVM kernel (MessageDigest MD5, first 4 digest bytes unsigned =
+    * `CAST('0x'||substr(md5(t),1,8) AS BIGINT)`), bit-identical to the
+    * expression recipe [[shingleHashesPortableExpr]] — parity-tested —
+    * but one compiled pass per row instead of an interpreted
+    * `transform`+`md5`+`conv` HOF chain per shingle (measured: the HOF
+    * form made oracle-mode q24 2x the murmur3 production path).
     */
   def shingleHashesPortable(c: Column, n: Int): Column = {
+    val f = (text: String) => {
+      if (text == null) Array.empty[Long]
+      else {
+        val lc = text.toLowerCase(java.util.Locale.ROOT)
+        if (lc.length < n) Array.empty[Long]
+        else {
+          val seen = new scala.collection.mutable.LinkedHashSet[Long]
+          var i = 0
+          while (i + n <= lc.length) {
+            seen.add(TokenHasher.PortableMd5.hashToken(lc.substring(i, i + n)))
+            i += 1
+          }
+          seen.toArray
+        }
+      }
+    }
+    udf(f).apply(c)
+  }
+
+  /** Expression form of [[shingleHashesPortable]] — the oracle RECIPE:
+    * built from `substr`/`md5`/`conv` so the bytes hashed are exactly
+    * what any SQL engine's `md5(substr(lower(text), i, n))` hashes.
+    * Kept as the documented replay contract and the kernel's parity
+    * reference; the hot path uses the kernel.
+    */
+  def shingleHashesPortableExpr(c: Column, n: Int): Column = {
     val lc = lower(c)
     // Same short-text guard as [[shingles]]: sequence(1, 0) is the
     // DESCENDING [1, 0] in Spark, which would hash the truncated text

@@ -73,6 +73,24 @@ class PartitionInvariantSpec extends SparkSpec {
     }
   }
 
+  test("portable shingle-hash kernel == expression for random unicode-ish strings") {
+    import graft.operators.TextDedup
+    val alphabet = "abcXYZ áçÉ 0123 \t\n\r  .,<>&\"'".toSeq
+    val rnd = new scala.util.Random(23)
+    val texts = (0 until 300).map { i =>
+      (i.toLong, (0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString)
+    } ++ Seq(300L -> null.asInstanceOf[String], 301L -> "", 302L -> "ab") // short-text guard
+    val d = texts.toDF("id", "text")
+    // compare as SETS: distinct-ordering differs (LinkedHashSet vs
+    // array_distinct keep first occurrence — same order in fact, but the
+    // LSH path is order-agnostic, so pin the contract actually relied on)
+    val mismatches = d.select($"id",
+        TextDedup.shingleHashesPortable($"text", 3).as("k"),
+        TextDedup.shingleHashesPortableExpr($"text", 3).as("e"))
+      .filter(!(array_sort($"k") <=> array_sort($"e"))).count()
+    assert(mismatches == 0)
+  }
+
   test("dedup split partitions the input for random frames") {
     val rnd = new scala.util.Random(3)
     val rows = (0 until 500).map(i => (rnd.nextInt(50).toLong, i.toLong))
