@@ -32,7 +32,9 @@ object Contamination {
       textCol: String,
       n: Int,
       broadcastBench: Boolean = true): DataFrame = {
-    val grams = TextDedup.shingles(col(textCol), n)
+    // Kernel form: this runs once per row over the full 100-TB corpus,
+    // where the interpreted-HOF expression form is a linear CPU tax.
+    val grams = TextDedup.shinglesKernel(col(textCol), n)
     val benchGramsRaw = bench.select(explode(grams).as("__g")).distinct()
     val benchGrams =
       if (broadcastBench) broadcast(benchGramsRaw) else benchGramsRaw

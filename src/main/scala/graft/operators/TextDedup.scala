@@ -32,6 +32,32 @@ object TextDedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** JVM-kernel twin of [[shingles]] — identical string sets (parity-
+    * tested), one compiled pass per row instead of an interpreted
+    * `transform` HOF per shingle. Use on corpus-linear paths (e.g.
+    * contamination scans every training doc); the expression form
+    * remains the oracle recipe.
+    */
+  def shinglesKernel(c: Column, n: Int): Column = {
+    val f = (text: String) => {
+      if (text == null) Array.empty[String]
+      else {
+        val lc = text.toLowerCase(java.util.Locale.ROOT)
+        if (lc.length < n) Array.empty[String]
+        else {
+          val seen = new scala.collection.mutable.LinkedHashSet[String]
+          var i = 0
+          while (i + n <= lc.length) {
+            seen.add(lc.substring(i, i + n))
+            i += 1
+          }
+          seen.toArray
+        }
+      }
+    }
+    udf(f).apply(c)
+  }
+
   /** Jaccard similarity of two distinct-element arrays. Uses
     * |A∪B| = |A|+|B|-|A∩B| — one hash-set pass instead of two (array_union
     * over large shingle sets doubles the per-pair cost).

@@ -91,6 +91,21 @@ class PartitionInvariantSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("shingles kernel == expression for random unicode-ish strings") {
+    import graft.operators.TextDedup
+    val alphabet = "abcXYZ áçÉ 0123 \t\n\r  .,<>&\"'".toSeq
+    val rnd = new scala.util.Random(29)
+    val texts = (0 until 300).map { i =>
+      (i.toLong, (0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString)
+    } ++ Seq(300L -> null.asInstanceOf[String], 301L -> "", 302L -> "ab")
+    val d = texts.toDF("id", "text")
+    val mismatches = d.select($"id",
+        TextDedup.shinglesKernel($"text", 3).as("k"),
+        TextDedup.shingles($"text", 3).as("e"))
+      .filter(!(array_sort($"k") <=> array_sort($"e"))).count()
+    assert(mismatches == 0)
+  }
+
   test("dedup split partitions the input for random frames") {
     val rnd = new scala.util.Random(3)
     val rows = (0 until 500).map(i => (rnd.nextInt(50).toLong, i.toLong))
