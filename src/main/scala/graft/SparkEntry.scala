@@ -1311,12 +1311,47 @@ object SparkEntry {
              |       ELSE token_start // 512 END AS chunk_last
              |FROM c ORDER BY doc_id""".stripMargin))
 
+    /** Corpus length profile: per-language token-count distribution
+      * with EXACT quantiles (`percentile`, which sorts within the
+      * group — right for bounded group counts like languages; switch to
+      * `percentile_approx` when the grouping key is unbounded).
+      * Interpolation parity with DuckDB's quantile_cont pinned by the
+      * oracle.
+      */
+    private val q55 = Q(
+      "q55_length_profile",
+      (s, dir) => t(s, dir, "documents")
+        .select($"lang",
+          size(TextAnalysis.tokens($"text")).cast("long").as("n_tokens"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min($"n_tokens").as("min_tokens"),
+          round(expr("percentile(n_tokens, 0.25)"), 6).as("p25"),
+          round(expr("percentile(n_tokens, 0.5)"), 6).as("p50"),
+          round(expr("percentile(n_tokens, 0.75)"), 6).as("p75"),
+          max($"n_tokens").as("max_tokens"),
+          round(avg($"n_tokens"), 6).as("mean_tokens"))
+        .orderBy("lang"),
+      Some("""WITH tk AS (
+             |  SELECT lang, CAST(len(CASE WHEN text IS NULL OR trim(text) = '' THEN []
+             |    ELSE string_split_regex(lower(trim(text)), '\s+') END) AS BIGINT) AS n_tokens
+             |  FROM documents)
+             |SELECT lang, count(*) AS n_docs,
+             |  min(n_tokens) AS min_tokens,
+             |  round(quantile_cont(n_tokens, 0.25), 6) AS p25,
+             |  round(quantile_cont(n_tokens, 0.5), 6) AS p50,
+             |  round(quantile_cont(n_tokens, 0.75), 6) AS p75,
+             |  max(n_tokens) AS max_tokens,
+             |  round(avg(n_tokens), 6) AS mean_tokens
+             |FROM tk GROUP BY lang ORDER BY lang""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
       q21, q22, q23, q24, q24b, q25, q26, q27, q28, q29, q30,
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54)
+      q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.
