@@ -4,10 +4,12 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.AccentFoldExpr
+import graft.functions.{AccentFoldExpr, NormalizeTextExpr, RemovePrefixesExpr}
 
 /** Session extensions: registers the engine's native expressions for SQL
-  * use (`spark.sql("SELECT accent_fold(c) ...")`).
+  * use (`spark.sql("SELECT accent_fold(c) ...")`) — the full
+  * text-normalization kernel a `spark.sql`-only user needs to replay the
+  * FEFAL entity-matching semantics without touching the Scala API.
   *
   * Wire up with:
   * {{{
@@ -18,9 +20,13 @@ import graft.functions.AccentFoldExpr
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("accent_fold"),
-      new ExpressionInfo(classOf[AccentFoldExpr].getName, "accent_fold"),
-      (children: Seq[Expression]) => AccentFoldExpr(children.head)))
+    def unary(name: String, clazz: Class[_], build: Expression => Expression): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        (children: Seq[Expression]) => build(children.head)))
+    unary("accent_fold", classOf[AccentFoldExpr], AccentFoldExpr(_))
+    unary("normalize_text", classOf[NormalizeTextExpr], NormalizeTextExpr(_))
+    unary("remove_prefixes", classOf[RemovePrefixesExpr], RemovePrefixesExpr(_))
   }
 }

@@ -16,6 +16,16 @@ class GraftExtensionsSpec extends SparkSpec {
       .selectExpr("lower(accent_fold(s)) AS f").as[String].collect().toSeq
     assert(got == Seq("agueda x", "plain"))
   }
+
+  test("normalize_text and remove_prefixes are callable from SQL") {
+    import spark.implicits._
+    val norm = spark.sql("SELECT normalize_text('  Câmara  MUNICIPAL ') AS f")
+      .collect().head.getString(0)
+    assert(norm == graft.functions.TextNorm.normalize("  Câmara  MUNICIPAL "))
+    val pref = Seq("Município de Águeda").toDF("s")
+      .selectExpr("remove_prefixes(s) AS f").as[String].collect().head
+    assert(pref == graft.functions.TextNorm.removePrefixes("Município de Águeda"))
+  }
 }
 
 class SkewDedupSpec extends SparkSpec {
