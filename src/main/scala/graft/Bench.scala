@@ -83,6 +83,35 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, err)
     }
 
+    // curate_docs: the composed training-data pipeline (annotate ->
+    // exact dedup -> LSH near-dup canonicalize -> decontaminate ->
+    // sample -> pack) end-to-end over the SF documents table.
+    val (curateDocs, curateErr) = {
+      val s = root.newSession()
+      val t0 = System.nanoTime()
+      val err =
+        try {
+          // one small file -> 1-partition scan; repartition restores
+          // the parallelism a real (multi-split) corpus scan provides
+          val docs = s.read.parquet(s"$sfDir/documents.parquet")
+            .repartition(s.sparkContext.defaultParallelism)
+          val bench = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 === 0)
+          val train = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 =!= 0)
+          val res = graft.operators.Curation.curate(
+            train, bench, "doc_id", "text", "lang",
+            graft.operators.Curation.CurationParams(
+              minQuality = 0.0, maxRepetition = 1.0, maxContamination = 0.5))
+          res.docs.count()
+          res.unpersist()
+          None
+        } catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")
+        }
+      val secs = (System.nanoTime() - t0) / 1e9
+      s.catalog.clearCache()
+      (secs, err)
+    }
+
     def jsonStr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -95,7 +124,8 @@ object Bench {
 
     val errors: Seq[(String, String)] =
       results.collect { case (n, _, _, Some(e)) => n -> e } ++
-        pipelineErr.map("pipeline_1m" -> _)
+        pipelineErr.map("pipeline_1m" -> _) ++
+        curateErr.map("curate_docs" -> _)
     val ok = results.filter(_._4.isEmpty)
     val warm = ok.map { case (n, _, w, _) => n -> w }
     val total = warm.map(_._2).sum
@@ -108,7 +138,7 @@ object Bench {
 
     val errJson = errors.map { case (n, e) => jsonStr(n) + ":" + jsonStr(e) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${jsonNumMap(warm)},"pipeline_1m":${ms(pipeline1m)},"errors":$errJson,"sf":${jsonStr(sfDir)}}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${jsonNumMap(warm)},"pipeline_1m":${ms(pipeline1m)},"curate_docs":${ms(curateDocs)},"errors":$errJson,"sf":${jsonStr(sfDir)}}""")
     root.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

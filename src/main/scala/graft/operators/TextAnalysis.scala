@@ -29,6 +29,22 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est", "de", "que", "dans", "pour", "avec"),
     "pt" -> Seq("o", "a", "os", "as", "e", "é", "de", "que", "em", "para"))
 
+  /** JVM twin of [[tokens]] for the score kernels: Spark `trim` strips
+    * ASCII 0x20 only (not \t/\n) and `split` keeps trailing empty
+    * strings (limit -1) — replicated exactly (the same contract the
+    * SimHash kernel pins).
+    */
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+  private[operators] def kernelTokens(text: String): Array[String] = {
+    var from = 0
+    var to = text.length
+    while (from < to && text.charAt(from) == ' ') from += 1
+    while (to > from && text.charAt(to - 1) == ' ') to -= 1
+    if (to <= from) Array.empty[String]
+    else WsPattern.split(
+      text.substring(from, to).toLowerCase(java.util.Locale.ROOT), -1)
+  }
+
   /** Distinct-stopword hit count for one language. */
   def stopwordHits(c: Column, words: Seq[String]): Column =
     size(array_intersect(array_distinct(tokens(c)),
@@ -49,10 +65,45 @@ object TextAnalysis {
 
   /** Heuristic quality score in [0,1]: balanced mix of length, stopword
     * density and punctuation sanity (the usual pre-training corpus
-    * filters). Deterministic double arithmetic, identical op order to the
-    * SQL oracle.
+    * filters). JVM kernel — the expression form ([[qualityScoreExpr]])
+    * re-evaluates its interpreted-HOF subtrees at every reference site
+    * (filter + project + both sides of a join), which made the composed
+    * curation pipeline ~17x slower than the sum of its stages. Identical
+    * arithmetic order, parity-tested; the q20 oracle pins it to SQL.
     */
   def qualityScore(c: Column): Column = {
+    val allStops = stopwords.flatMap(_._2).distinct.toSet
+    val f = (text: String) => {
+      if (text == null) 0.0
+      else {
+        val toks = kernelTokens(text)
+        val nTok = toks.length.toDouble
+        if (nTok == 0) 0.0
+        else {
+          val distinct = toks.toSet
+          val stopHits = distinct.count(allStops.contains).toDouble
+          var punct = 0
+          var i = 0
+          while (i < text.length) {
+            val ch = text.charAt(i)
+            if (ch == '.' || ch == ',' || ch == ';' || ch == ':' || ch == '!' || ch == '?')
+              punct += 1
+            i += 1
+          }
+          val lenScore = math.min(nTok / 64.0, 1.0)
+          val stopScore = math.min(stopHits / 4.0, 1.0)
+          val punctScore = math.min(punct.toDouble / nTok, 1.0)
+          0.5 * lenScore + 0.3 * stopScore + 0.2 * (1.0 - punctScore)
+        }
+      }
+    }
+    udf(f).apply(c)
+  }
+
+  /** Expression form of [[qualityScore]] — the SQL oracle recipe, kept
+    * for parity testing and replay documentation.
+    */
+  def qualityScoreExpr(c: Column): Column = {
     val nTok = size(tokens(c)).cast("double")
     val nChars = length(c).cast("double")
     val stopHits = stopwordHits(c, stopwords.flatMap(_._2).distinct).cast("double")
@@ -99,11 +150,45 @@ object TextAnalysis {
     * repetition-filter signal (docs above ~0.2 are boilerplate/spam
     * candidates). Shorter-than-n docs score 0.
     *
-    * Expression-tree HOFs evaluate interpreted, but the cost here is
-    * per n-gram (linear in tokens, like [[TextDedup.shingleHashesPortable]]),
-    * not tokens x constants — the 100x kernel rationale does not apply.
+    * JVM kernel for the same reason as [[qualityScore]]: the
+    * expression form's HOF subtrees re-evaluate at every reference
+    * site when composed into a larger plan. [[repetitionScoreExpr]]
+    * remains the oracle recipe (q49 pins parity to SQL).
     */
   def repetitionScore(c: Column, n: Int = 3): Column = {
+    val f = (text: String) => {
+      if (text == null) 0.0
+      else {
+        val toks = kernelTokens(text)
+        val total = toks.length - n + 1
+        if (total <= 0) 0.0
+        else {
+          val seen = new scala.collection.mutable.HashSet[String]
+          val sb = new java.lang.StringBuilder
+          var i = 0
+          var distinct = 0
+          while (i < total) {
+            sb.setLength(0)
+            var j = 0
+            while (j < n) {
+              if (j > 0) sb.append(' ')
+              sb.append(toks(i + j))
+              j += 1
+            }
+            if (seen.add(sb.toString)) distinct += 1
+            i += 1
+          }
+          1.0 - distinct.toDouble / total.toDouble
+        }
+      }
+    }
+    udf(f).apply(c)
+  }
+
+  /** Expression form of [[repetitionScore]] — the SQL oracle recipe,
+    * kept for parity testing and replay documentation.
+    */
+  def repetitionScoreExpr(c: Column, n: Int = 3): Column = {
     val toks = tokens(c)
     val grams = when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),

@@ -91,6 +91,26 @@ class PartitionInvariantSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("quality/repetition kernels == expressions for random unicode-ish strings") {
+    import graft.operators.TextAnalysis
+    val alphabet = "abc the de el la XYZ áçÉ 0123 \t\n\r  .,;:!?<>&\"'".toSeq
+    val rnd = new scala.util.Random(31)
+    val texts = (0 until 300).map { i =>
+      (i.toLong, (0 until rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString)
+    } ++ Seq(300L -> null.asInstanceOf[String], 301L -> "", 302L -> "   ", 303L -> "a b")
+    val d = texts.toDF("id", "text")
+    val qMis = d.select(
+        TextAnalysis.qualityScore($"text").as("k"),
+        TextAnalysis.qualityScoreExpr($"text").as("e"))
+      .filter(!($"k" <=> $"e")).count()
+    assert(qMis == 0, "qualityScore kernel != expression")
+    val rMis = d.select(
+        TextAnalysis.repetitionScore($"text", 3).as("k"),
+        TextAnalysis.repetitionScoreExpr($"text", 3).as("e"))
+      .filter(!($"k" <=> $"e")).count()
+    assert(rMis == 0, "repetitionScore kernel != expression")
+  }
+
   test("shingles kernel == expression for random unicode-ish strings") {
     import graft.operators.TextDedup
     val alphabet = "abcXYZ áçÉ 0123 \t\n\r  .,<>&\"'".toSeq

@@ -517,3 +517,47 @@ class PackingSpec extends SparkSpec {
     assert(a == b)
   }
 }
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+  import Curation.CurationParams
+
+  private def docs = {
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  }
+
+  test("curate end-to-end: survivors are clean, deduped, uncontaminated") {
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    val train = docs.filter($"doc_id" % 97 =!= 0)
+    val params = CurationParams(
+      minQuality = 0.0, maxRepetition = 1.0, // no quality gate: corpus is word salad
+      maxContamination = 0.5,
+      sampleRates = Map.empty, defaultSampleRate = 1.0)
+    val res = Curation.curate(train, bench, "doc_id", "text", "lang", params)
+    val out = res.docs.cache()
+
+    assert(out.count() > 0)
+    // no exact text duplicates survive
+    assert(out.groupBy("text").count().filter($"count" > 1).isEmpty)
+    // contamination bound holds against an independent recomputation
+    val contam = Contamination.ngramContamination(
+      out.select("doc_id", "text"), bench, "doc_id", "text", 13)
+    assert(contam.filter($"contamination" > 0.5).isEmpty)
+    // packing spans cover every survivor exactly once
+    assert(out.select("doc_id").distinct().count() == out.count())
+    out.unpersist(); res.unpersist()
+  }
+
+  test("curate is deterministic: two runs produce identical survivor sets") {
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    val train = docs.filter($"doc_id" % 97 =!= 0)
+    val params = CurationParams(minQuality = 0.0, maxRepetition = 1.0)
+    val ra = Curation.curate(train, bench, "doc_id", "text", "lang", params)
+    val a = ra.docs.select("doc_id").as[Long].collect().toSet
+    ra.unpersist()
+    val rb = Curation.curate(train.repartition(11), bench, "doc_id", "text", "lang", params)
+    val b = rb.docs.select("doc_id").as[Long].collect().toSet
+    rb.unpersist()
+    assert(a == b && a.nonEmpty)
+  }
+}
