@@ -72,11 +72,12 @@ object ConnectedComponents {
       val mins = sym.groupBy($"u")
         .agg(min($"v").as("mn"))
         .select($"u", least($"u", $"mn").as("m"))
+      // No distinct here: duplicates collapse in small-star's groupBy
+      // and final distinct — skipping it saves a full shuffle per
+      // round. (v > u >= m, so u != v needs no filter either.)
       val large = sym.join(mins, "u")
         .filter($"v" > $"u")
         .select($"v".as("u"), $"m".as("v"))
-        .filter($"u" =!= $"v")
-        .distinct()
 
       // Small-star: every node and its smaller neighbors link to the
       // minimum of that (child > parent invariant holds afterwards).
