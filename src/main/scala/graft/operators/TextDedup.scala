@@ -311,6 +311,127 @@ object TextDedup {
     LshPairs(result, droppedBuckets, stop.length)
   }
 
+  /** Cross-corpus near-dup pairs: every (existing, incoming) pair whose
+    * verified Jaccard reaches `threshold` — the incremental-ingest shape
+    * (dedup a new crawl AGAINST the corpus already kept, dropping only
+    * incoming docs). Same machinery as [[minHashLshDedup]] — shared
+    * shingle pass, DF pruning and bucket caps over the UNION of both
+    * corpora, chunked skew-proof bucket join — but candidates pair
+    * across sides only: existing-existing and incoming-incoming
+    * duplicates are not this operator's business.
+    *
+    * PRECONDITION: ids are unique across BOTH frames together (disjoint
+    * id ranges — true for any ingest pipeline with monotonic ids).
+    *
+    * @return (id_existing, id_incoming, jaccard)
+    */
+  def minHashLshPairsAgainst(
+      existing: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      seed: Long = 42L,
+      maxBucketSize: Int = 2000,
+      maxDocFreqRatio: Double = 0.5,
+      portableHash: Boolean = false): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    val rows = numPerm / bands
+    val tagged = existing
+      .select(col(idCol), col(textCol)).withColumn("__side", lit(0))
+      .union(incoming.select(col(idCol), col(textCol)).withColumn("__side", lit(1)))
+
+    val shCol =
+      if (portableHash) shingleHashesPortable(col(textCol), n)
+      else shingleHashes(col(textCol), n)
+    val shCached = tagged
+      .select(col(idCol), col("__side"), shCol.as("__sh")).persist()
+    val nDocs = shCached.count()
+    val stop: Array[Long] =
+      if (maxDocFreqRatio >= 1.0) Array.empty
+      else {
+        val cutoff = (nDocs * maxDocFreqRatio).toLong
+        shCached.select(explode(col("__sh")).as("__h"))
+          .groupBy("__h").count()
+          .filter(col("count") > cutoff)
+          .select("__h").collect().map(_.getLong(0))
+      }
+    val sh =
+      if (stop.isEmpty) shCached
+      else {
+        val stopSet = stop.toSet
+        val pruneF = udf((hs: Seq[Long]) =>
+          if (hs == null) null else hs.filterNot(stopSet.contains).toArray)
+        val p = shCached.withColumn("__sh", pruneF(col("__sh"))).persist()
+        p.count()
+        shCached.unpersist()
+        p
+      }
+
+    val bucketOf: Column => Column =
+      if (portableHash) b =>
+        concat_ws(",", transform(slice(col("__sig"), b * rows + 1, lit(rows)), _.cast("string")))
+      else b => hash(slice(col("__sig"), b * rows + 1, lit(rows)), b)
+    val banded = sh.select(
+      col(idCol), col("__side"),
+      udf(sigFromHashesKernel(numPerm, seed)).apply(col("__sh")).as("__sig"))
+      .select(
+        col(idCol), col("__side"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), bucketOf))
+          .as(Seq("__band", "__bucket")))
+      .persist()
+    banded.count()
+    val bucketSizes = banded.groupBy("__band", "__bucket").count()
+    val smallBuckets = bucketSizes.filter(col("count") <= maxBucketSize)
+      .select("__band", "__bucket")
+    val pruned = banded.join(smallBuckets, Seq("__band", "__bucket"))
+    // cross-side candidates, oriented (existing, incoming)
+    val candidates = SelfJoin.pairsWithinGroups(
+        pruned, Seq("__band", "__bucket"), idCol, payloadCols = Seq("__side"),
+        chunkSize = 500)
+      .filter(col("__side_a") =!= col("__side_b"))
+      .select(
+        when(col("__side_a") === 0, col("id_a")).otherwise(col("id_b")).as("id_existing"),
+        when(col("__side_a") === 0, col("id_b")).otherwise(col("id_a")).as("id_incoming"))
+      .distinct()
+    val result = candidates
+      .join(sh.select(col(idCol).as("id_existing"), col("__sh").as("__sh_a")), "id_existing")
+      .join(sh.select(col(idCol).as("id_incoming"), col("__sh").as("__sh_b")), "id_incoming")
+      .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_existing"), col("id_incoming"), col("jaccard"))
+      .persist()
+    result.count()
+    banded.unpersist()
+    sh.unpersist()
+    result
+  }
+
+  /** Incremental ingest filter: `incoming` minus near-dups of `existing`
+    * — the rows safe to append to the corpus. Exact-text duplicates are
+    * near-dups at any threshold, so they are dropped too.
+    */
+  def dedupAgainst(
+      existing: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      n: Int = 3): DataFrame = {
+    val pairs = minHashLshPairsAgainst(
+      existing, incoming, idCol, textCol, n = n, threshold = threshold)
+    // materialize the (ids-only) drop set BEFORE releasing the pair
+    // cache — a lazy anti-join against the unpersisted frame would
+    // re-run the whole LSH pipeline at the caller's first action
+    val dupIds = pairs.select(col("id_incoming").as(idCol))
+      .distinct().localCheckpoint()
+    pairs.unpersist()
+    incoming.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** DataFrame-only view of [[minHashLshDedup]] (call `.unpersist()` on
     * the returned frame once consumed).
     */

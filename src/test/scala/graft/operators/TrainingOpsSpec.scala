@@ -561,3 +561,42 @@ class CurationSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 }
+
+class CrossCorpusDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("cross-corpus pairs == brute-force cross jaccard at the threshold") {
+    val existing = docs.filter($"doc_id" % 2 === 0)
+    val incoming = docs.filter($"doc_id" % 2 === 1)
+    val got = TextDedup.minHashLshPairsAgainst(
+        existing, incoming, "doc_id", "text", n = 3, threshold = 0.7)
+      .select("id_existing", "id_incoming").as[(Long, Long)].collect().toSet
+
+    // brute force over the SAME pruned shingle semantics: reuse the
+    // self-dedup path on the union and keep only cross-parity pairs
+    val all: Set[(Long, Long)] = TextDedup.minHashLshPairs(
+        docs, "doc_id", "text", n = 3, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = all
+      .filter { case (a, b) => a % 2 != b % 2 }
+      .map { case (a, b) => if (a % 2 == 0) (a, b) else (b, a) }
+    assert(got == brute)
+    assert(got.nonEmpty)
+  }
+
+  test("dedupAgainst keeps incoming docs with no near-dup in existing") {
+    val existing = docs.filter($"doc_id" % 2 === 0)
+    val incoming = docs.filter($"doc_id" % 2 === 1)
+    val kept = TextDedup.dedupAgainst(existing, incoming, "doc_id", "text",
+      threshold = 0.7)
+    val pairs = TextDedup.minHashLshPairsAgainst(
+      existing, incoming, "doc_id", "text", threshold = 0.7)
+    val dupIds = pairs.select("id_incoming").as[Long].collect().toSet
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    val incomingIds = incoming.select("doc_id").as[Long].collect().toSet
+    assert(keptIds == incomingIds -- dupIds)
+    pairs.unpersist()
+  }
+}
