@@ -85,8 +85,10 @@ object Bench {
 
     // curate_docs: the composed training-data pipeline (annotate ->
     // exact dedup -> LSH near-dup canonicalize -> decontaminate ->
-    // sample -> pack) end-to-end over the SF documents table.
-    val (curateDocs, curateErr) = {
+    // sample -> pack) end-to-end over the SF documents table. Same
+    // cold+warm policy as the queries: the warm second run is reported
+    // (the ~40-stage composite pays substantial one-time codegen).
+    def runCurate(): (Double, Option[String]) = {
       val s = root.newSession()
       val t0 = System.nanoTime()
       val err =
@@ -109,7 +111,13 @@ object Bench {
         }
       val secs = (System.nanoTime() - t0) / 1e9
       s.catalog.clearCache()
+      System.gc()
       (secs, err)
+    }
+    val (curateDocs, curateErr) = {
+      val (_, coldErr) = runCurate()
+      val (warmSecs, warmErr) = runCurate()
+      (warmSecs, coldErr.orElse(warmErr))
     }
 
     def jsonStr(s: String): String =
