@@ -24,7 +24,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((
         new FunctionIdentifier(name),
         new ExpressionInfo(clazz.getName, name),
-        (children: Seq[Expression]) => build(children.head)))
+        (children: Seq[Expression]) => {
+          // fail analysis, not execution: head-of-empty or silently
+          // dropped extra args would otherwise surface as wrong results
+          if (children.length != 1)
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+              messageParameters = Map(
+                "functionName" -> name,
+                "expectedNum" -> "1",
+                "actualNum" -> children.length.toString,
+                "docroot" -> "https://spark.apache.org/docs/latest"))
+          build(children.head)
+        }))
     unary("accent_fold", classOf[AccentFoldExpr], AccentFoldExpr(_))
     unary("normalize_text", classOf[NormalizeTextExpr], NormalizeTextExpr(_))
     unary("remove_prefixes", classOf[RemovePrefixesExpr], RemovePrefixesExpr(_))

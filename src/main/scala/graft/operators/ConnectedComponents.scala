@@ -95,6 +95,14 @@ object ConnectedComponents {
       star = small
       iter += 1
     }
+    // A non-converged star can map one node to SEVERAL labels — the
+    // final join would then fan out to duplicate (id, component) rows
+    // and silently corrupt downstream dedup. Fail loudly instead;
+    // maxIter = 50 covers graphs far beyond any real dup-pair diameter
+    // (a 1000-node chain converges in ~14 rounds).
+    require(converged,
+      s"connectedComponents did not converge within $maxIter iterations — " +
+        "raise maxIter (diameter of the pair graph exceeds the bound)")
 
     nodes.join(star.select($"u".as("id"), $"v".as("__root")), Seq("id"), "left")
       .select($"id", coalesce($"__root", $"id").as("component"))

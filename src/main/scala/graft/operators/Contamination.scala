@@ -38,18 +38,19 @@ object Contamination {
     val benchGramsRaw = bench.select(explode(grams).as("__g")).distinct()
     val benchGrams =
       if (broadcastBench) broadcast(benchGramsRaw) else benchGramsRaw
-    // One scan of the training side: carry the per-doc gram count
-    // through the explode (explode_outer keeps gram-less docs), mark
-    // benchmark hits with a left join, fold back with a single
-    // groupBy-on-id shuffle. The naive totals-join shape scans the
-    // 100-TB side twice and shuffles twice.
+    // One scan AND one kernel evaluation per training row: explode the
+    // gram set (explode_outer keeps gram-less docs as a null row), mark
+    // benchmark hits with a left join, and recover BOTH counts in the
+    // fold-back aggregate — count(__g) skips the null row, so it equals
+    // the doc's distinct-gram total without a second size(grams)
+    // evaluation (Project and Generate don't share subexpressions, so
+    // the earlier size+explode shape shingled every doc twice).
     train
-      .select(col(idCol), size(grams).cast("long").as("total_ngrams"),
-        explode_outer(grams).as("__g"))
+      .select(col(idCol), explode_outer(grams).as("__g"))
       .join(benchGrams.withColumn("__hit", lit(1L)), Seq("__g"), "left")
       .groupBy(col(idCol))
       .agg(
-        first(col("total_ngrams")).as("total_ngrams"),
+        count(col("__g")).as("total_ngrams"),
         sum(coalesce(col("__hit"), lit(0L))).as("overlap_ngrams"))
       .select(
         col(idCol),

@@ -60,11 +60,18 @@ object Dedup {
 
   /** Exact full-row (or column-subset) dedup for large corpora: one
     * hash-shuffle groupBy, keeping the minimum id per group. Unlike
-    * `dropDuplicates` the survivor is deterministic.
+    * `dropDuplicates` the survivor is deterministic. The semi-join is
+    * NULL-SAFE on the dedup columns (`<=>`): groupBy treats nulls as a
+    * group, so a null-unsafe join-back would silently drop every
+    * null-keyed row — survivor included — instead of deduping them.
     */
   def exactByColumns(df: DataFrame, cols: Seq[String], idCol: String): DataFrame = {
     val keep = df.groupBy(cols.map(col): _*).agg(min(col(idCol)).as(idCol))
-    df.join(keep, cols :+ idCol, "left_semi")
+    val tagged = keep.select(
+      (cols :+ idCol).map(c => col(c).as(s"__keep_$c")): _*)
+    val cond = (cols.map(c => col(c) <=> col(s"__keep_$c")) :+
+      (col(idCol) === col(s"__keep_$idCol"))).reduce(_ && _)
+    df.join(tagged, cond, "left_semi")
   }
 
   /** Skew-aware keep-first: same result as [[keepFirst]].kept, without a

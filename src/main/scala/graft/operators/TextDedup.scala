@@ -219,16 +219,80 @@ object TextDedup {
       seed: Long = 42L,
       maxBucketSize: Int = 2000,
       maxDocFreqRatio: Double = 0.5,
-      portableHash: Boolean = false): LshPairs = {
+      portableHash: Boolean = false): LshPairs =
+    lshCore(df.select(col(idCol), col(textCol)), idCol, textCol,
+      n, numPerm, bands, threshold, seed, maxBucketSize, maxDocFreqRatio,
+      portableHash, crossSide = false, outA = "id_a", outB = "id_b")
+
+  /** Cross-corpus near-dup pairs: every (existing, incoming) pair whose
+    * verified Jaccard reaches `threshold` — the incremental-ingest shape
+    * (dedup a new crawl AGAINST the corpus already kept, dropping only
+    * incoming docs). Exactly [[minHashLshDedup]]'s machinery — ONE shared
+    * [[lshCore]]: shingle pass, DF pruning and bucket caps over the
+    * UNION of both corpora, chunked skew-proof bucket join — but
+    * candidates pair across sides only: existing-existing and
+    * incoming-incoming duplicates are not this operator's business.
+    *
+    * PRECONDITION: ids are unique across BOTH frames together (disjoint
+    * id ranges — true for any ingest pipeline with monotonic ids).
+    *
+    * @return (id_existing, id_incoming, jaccard) — persisted; call
+    *         `.unpersist()` once consumed.
+    */
+  def minHashLshPairsAgainst(
+      existing: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      seed: Long = 42L,
+      maxBucketSize: Int = 2000,
+      maxDocFreqRatio: Double = 0.5,
+      portableHash: Boolean = false): DataFrame = {
+    val tagged = existing
+      .select(col(idCol), col(textCol)).withColumn("__side", lit(0))
+      .union(incoming.select(col(idCol), col(textCol)).withColumn("__side", lit(1)))
+    lshCore(tagged, idCol, textCol,
+      n, numPerm, bands, threshold, seed, maxBucketSize, maxDocFreqRatio,
+      portableHash, crossSide = true,
+      outA = "id_existing", outB = "id_incoming").pairs
+  }
+
+  /** The one LSH pipeline both the self-dedup and the cross-corpus
+    * entry points run (a divergent copy would rot: a banding or pruning
+    * fix in one path must reach the other). `crossSide = true` expects a
+    * `__side` column (0 = existing, 1 = incoming) and pairs across
+    * sides only, orienting output as (outA = side 0, outB = side 1);
+    * the self path emits (outA < outB) within buckets.
+    */
+  private def lshCore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      numPerm: Int,
+      bands: Int,
+      threshold: Double,
+      seed: Long,
+      maxBucketSize: Int,
+      maxDocFreqRatio: Double,
+      portableHash: Boolean,
+      crossSide: Boolean,
+      outA: String,
+      outB: String): LshPairs = {
     require(numPerm % bands == 0, "numPerm must divide into bands")
     require(maxDocFreqRatio > 0.0, "maxDocFreqRatio must be positive")
     val rows = numPerm / bands
+    val sideCols = if (crossSide) Seq("__side") else Seq.empty[String]
 
     val shCol =
       if (portableHash) shingleHashesPortable(col(textCol), n)
       else shingleHashes(col(textCol), n)
-    val shRaw = df.select(col(idCol), shCol.as("__sh"))
-    val shCached = shRaw.persist()
+    val shCached = df
+      .select(col(idCol) +: sideCols.map(col) :+ shCol.as("__sh"): _*).persist()
     val nDocs = shCached.count()
     // Document-frequency pruning: the stop set is tiny by construction
     // (at most totalShingleOccurrences / (ratio * nDocs) distinct values),
@@ -265,13 +329,12 @@ object TextDedup {
         concat_ws(",", transform(slice(col("__sig"), b * rows + 1, lit(rows)), _.cast("string")))
       else b => hash(slice(col("__sig"), b * rows + 1, lit(rows)), b)
     val banded = sh.select(
-      col(idCol),
-      col("__sh"),
-      udf(sigFromHashesKernel(numPerm, seed)).apply(col("__sh")).as("__sig"))
+      col(idCol) +: sideCols.map(col) :+
+        udf(sigFromHashesKernel(numPerm, seed)).apply(col("__sh")).as("__sig"): _*)
       .select(
-        col(idCol),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), bucketOf))
-          .as(Seq("__band", "__bucket")))
+        col(idCol) +: sideCols.map(col) :+
+          posexplode(transform(sequence(lit(0), lit(bands - 1)), bucketOf))
+            .as(Seq("__band", "__bucket")): _*)
       .persist()
     banded.count()
     // Cap bucket sizes: a bucket holding a large fraction of the corpus
@@ -287,127 +350,35 @@ object TextDedup {
     val smallBuckets = bucketSizes.filter(col("count") <= maxBucketSize)
       .select("__band", "__bucket")
     val pruned = banded.join(smallBuckets, Seq("__band", "__bucket"))
-    // chunked self-join: bounded key groups regardless of bucket skew
-    val candidates = SelfJoin.pairsWithinGroups(
-        pruned, Seq("__band", "__bucket"), idCol, payloadCols = Seq.empty,
-        chunkSize = 500)
-      .select("id_a", "id_b").distinct()
+    // chunked join: bounded key groups regardless of bucket skew
+    val rawPairs = SelfJoin.pairsWithinGroups(
+      pruned, Seq("__band", "__bucket"), idCol, payloadCols = sideCols,
+      chunkSize = 500)
+    val candidates =
+      (if (crossSide)
+        rawPairs.filter(col("__side_a") =!= col("__side_b"))
+          .select(
+            when(col("__side_a") === 0, col("id_a")).otherwise(col("id_b")).as(outA),
+            when(col("__side_a") === 0, col("id_b")).otherwise(col("id_a")).as(outB))
+      else rawPairs.select(col("id_a").as(outA), col("id_b").as(outB)))
+        .distinct()
     // Exact verify on hashed-int shingles: set semantics are identical
     // modulo murmur3 collisions (negligible at 3-gram cardinality), and
     // integer set intersection is ~7x cheaper than UTF8String intersection
     // — it carries 6M candidate pairs in seconds where string shingles
     // took minutes.
     val result = candidates
-      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b")), "id_b")
+      .join(sh.select(col(idCol).as(outA), col("__sh").as("__sh_a")), outA)
+      .join(sh.select(col(idCol).as(outB), col("__sh").as("__sh_b")), outB)
       .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col(outA), col(outB), col("jaccard"))
       .persist()
     result.count()
     banded.unpersist()
     bucketSizes.unpersist()
     sh.unpersist()
     LshPairs(result, droppedBuckets, stop.length)
-  }
-
-  /** Cross-corpus near-dup pairs: every (existing, incoming) pair whose
-    * verified Jaccard reaches `threshold` — the incremental-ingest shape
-    * (dedup a new crawl AGAINST the corpus already kept, dropping only
-    * incoming docs). Same machinery as [[minHashLshDedup]] — shared
-    * shingle pass, DF pruning and bucket caps over the UNION of both
-    * corpora, chunked skew-proof bucket join — but candidates pair
-    * across sides only: existing-existing and incoming-incoming
-    * duplicates are not this operator's business.
-    *
-    * PRECONDITION: ids are unique across BOTH frames together (disjoint
-    * id ranges — true for any ingest pipeline with monotonic ids).
-    *
-    * @return (id_existing, id_incoming, jaccard)
-    */
-  def minHashLshPairsAgainst(
-      existing: DataFrame,
-      incoming: DataFrame,
-      idCol: String,
-      textCol: String,
-      n: Int = 3,
-      numPerm: Int = 64,
-      bands: Int = 16,
-      threshold: Double = 0.5,
-      seed: Long = 42L,
-      maxBucketSize: Int = 2000,
-      maxDocFreqRatio: Double = 0.5,
-      portableHash: Boolean = false): DataFrame = {
-    require(numPerm % bands == 0, "numPerm must divide into bands")
-    val rows = numPerm / bands
-    val tagged = existing
-      .select(col(idCol), col(textCol)).withColumn("__side", lit(0))
-      .union(incoming.select(col(idCol), col(textCol)).withColumn("__side", lit(1)))
-
-    val shCol =
-      if (portableHash) shingleHashesPortable(col(textCol), n)
-      else shingleHashes(col(textCol), n)
-    val shCached = tagged
-      .select(col(idCol), col("__side"), shCol.as("__sh")).persist()
-    val nDocs = shCached.count()
-    val stop: Array[Long] =
-      if (maxDocFreqRatio >= 1.0) Array.empty
-      else {
-        val cutoff = (nDocs * maxDocFreqRatio).toLong
-        shCached.select(explode(col("__sh")).as("__h"))
-          .groupBy("__h").count()
-          .filter(col("count") > cutoff)
-          .select("__h").collect().map(_.getLong(0))
-      }
-    val sh =
-      if (stop.isEmpty) shCached
-      else {
-        val stopSet = stop.toSet
-        val pruneF = udf((hs: Seq[Long]) =>
-          if (hs == null) null else hs.filterNot(stopSet.contains).toArray)
-        val p = shCached.withColumn("__sh", pruneF(col("__sh"))).persist()
-        p.count()
-        shCached.unpersist()
-        p
-      }
-
-    val bucketOf: Column => Column =
-      if (portableHash) b =>
-        concat_ws(",", transform(slice(col("__sig"), b * rows + 1, lit(rows)), _.cast("string")))
-      else b => hash(slice(col("__sig"), b * rows + 1, lit(rows)), b)
-    val banded = sh.select(
-      col(idCol), col("__side"),
-      udf(sigFromHashesKernel(numPerm, seed)).apply(col("__sh")).as("__sig"))
-      .select(
-        col(idCol), col("__side"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), bucketOf))
-          .as(Seq("__band", "__bucket")))
-      .persist()
-    banded.count()
-    val bucketSizes = banded.groupBy("__band", "__bucket").count()
-    val smallBuckets = bucketSizes.filter(col("count") <= maxBucketSize)
-      .select("__band", "__bucket")
-    val pruned = banded.join(smallBuckets, Seq("__band", "__bucket"))
-    // cross-side candidates, oriented (existing, incoming)
-    val candidates = SelfJoin.pairsWithinGroups(
-        pruned, Seq("__band", "__bucket"), idCol, payloadCols = Seq("__side"),
-        chunkSize = 500)
-      .filter(col("__side_a") =!= col("__side_b"))
-      .select(
-        when(col("__side_a") === 0, col("id_a")).otherwise(col("id_b")).as("id_existing"),
-        when(col("__side_a") === 0, col("id_b")).otherwise(col("id_a")).as("id_incoming"))
-      .distinct()
-    val result = candidates
-      .join(sh.select(col(idCol).as("id_existing"), col("__sh").as("__sh_a")), "id_existing")
-      .join(sh.select(col(idCol).as("id_incoming"), col("__sh").as("__sh_b")), "id_incoming")
-      .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_existing"), col("id_incoming"), col("jaccard"))
-      .persist()
-    result.count()
-    banded.unpersist()
-    sh.unpersist()
-    result
   }
 
   /** Incremental ingest filter: `incoming` minus near-dups of `existing`

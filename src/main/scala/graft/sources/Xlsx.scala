@@ -230,14 +230,16 @@ object Xlsx {
     }
 
   /** Excel serial date -> ISO string ("yyyy-MM-dd" for whole days, else
-    * "yyyy-MM-dd HH:mm:ss", rounded to the second). 1900 date system,
-    * including the phantom 1900-02-29: serials below 61 are offset from
-    * 1899-12-31, later ones from 1899-12-30.
+    * "yyyy-MM-dd HH:mm:ss", rounded to the second). 1900 date system
+    * with openpyxl's phantom-leap-day convention (what `pd.read_excel`
+    * sees): serials below 60 are offset from 1899-12-31; 60 and up from
+    * 1899-12-30, so the phantom 1900-02-29 (serial 60) collapses onto
+    * 1900-02-28 exactly as openpyxl's `from_excel(60)` does.
     */
   private[sources] def serialToIso(v: String): Option[String] =
     v.trim.toDoubleOption.filter(_ >= 0).map { serial =>
       val base =
-        if (serial < 61) java.time.LocalDate.of(1899, 12, 31)
+        if (serial < 60) java.time.LocalDate.of(1899, 12, 31)
         else java.time.LocalDate.of(1899, 12, 30)
       val totalSec = math.round(serial * 86400.0)
       val dt = base.atStartOfDay().plusSeconds(totalSec)

@@ -113,18 +113,31 @@ object EventOps {
             Iterator(Session(userId, s.n, new java.sql.Timestamp(s.first),
               new java.sql.Timestamp(s.last), s.total))
           } else {
+            // Split on event-time gaps WITHIN the batch too: a replayed
+            // or batched burst can contain several sessions' worth of
+            // events for one user, and waiting for the timeout to fire
+            // between them would wrongly merge across the gap (the
+            // timeout only closes the session that is open when the
+            // watermark passes it).
             val sorted = rows.toSeq.sortBy(_.ts.getTime)
             var st = state.getOption.getOrElse(SessionState(0, Long.MaxValue, Long.MinValue, 0d))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
             sorted.foreach { e =>
-              st = SessionState(st.n + 1, math.min(st.first, e.ts.getTime),
-                math.max(st.last, e.ts.getTime), st.total + e.value)
+              val t = e.ts.getTime
+              if (st.n > 0 && t - st.last > gapMs) {
+                closed += Session(userId, st.n, new java.sql.Timestamp(st.first),
+                  new java.sql.Timestamp(st.last), st.total)
+                st = SessionState(0, Long.MaxValue, Long.MinValue, 0d)
+              }
+              st = SessionState(st.n + 1, math.min(st.first, t),
+                math.max(st.last, t), st.total + e.value)
             }
             state.update(st)
             // the timeout must sit strictly beyond the current watermark
             // (late rows can put last+gap behind it; close at the next tick)
             state.setTimeoutTimestamp(
               math.max(st.last + gapMs, state.getCurrentWatermarkMs() + 1))
-            Iterator.empty
+            closed.iterator
           }
         })
   }

@@ -17,6 +17,13 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(got == Seq("agueda x", "plain"))
   }
 
+  test("wrong argument count fails analysis, not execution") {
+    val e = intercept[Exception](spark.sql("SELECT accent_fold('a', 'b')").collect())
+    assert(e.getMessage.contains("accent_fold"))
+    val e0 = intercept[Exception](spark.sql("SELECT normalize_text()").collect())
+    assert(e0.getMessage.contains("normalize_text"))
+  }
+
   test("normalize_text and remove_prefixes are callable from SQL") {
     import spark.implicits._
     val norm = spark.sql("SELECT normalize_text('  Câmara  MUNICIPAL ') AS f")

@@ -33,6 +33,21 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class ExactDedupNullSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactByColumns keeps one survivor per null-keyed group") {
+    val df = Seq(
+      (1L, Some("a")), (2L, Some("a")),
+      (3L, None), (4L, None), (5L, Some("b")))
+      .toDF("id", "k").select($"id", $"k".cast("string").as("k"))
+    val got = graft.operators.Dedup.exactByColumns(df, Seq("k"), "id")
+      .select("id").as[Long].collect().toSet
+    // null group keeps its min id (3), not dropped wholesale
+    assert(got == Set(1L, 3L, 5L))
+  }
+}
+
 class SurrogateKeysSpec extends SparkSpec {
   import spark.implicits._
 

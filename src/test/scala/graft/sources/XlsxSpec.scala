@@ -192,4 +192,12 @@ class XlsxSpec extends SparkSpec {
     assert(b2.columns.toSeq == Seq("col a", "col b", "row_id"))
     assert(b2.count() == 2)
   }
+
+  test("phantom leap day: serials 59/60/61 follow openpyxl collapse") {
+    import graft.sources.Xlsx
+    assert(Xlsx.serialToIso("59") == Some("1900-02-28"))
+    assert(Xlsx.serialToIso("60") == Some("1900-02-28"))   // phantom 1900-02-29
+    assert(Xlsx.serialToIso("60.5") == Some("1900-02-28 12:00:00"))
+    assert(Xlsx.serialToIso("61") == Some("1900-03-01"))
+  }
 }

@@ -162,6 +162,44 @@ class EventOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeEventTime splits an in-batch event-time gap; matches batch twin") {
+    import EventOps.Event
+    def ev(id: Long, t: String, user: Long, v: Double) =
+      Event(id, java.sql.Timestamp.valueOf(t), user, "click", v)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-et-gap").toString
+    // ONE microbatch carries two sessions' worth of events for user 1 —
+    // a replay/backfill shape. The gap is only visible in event time;
+    // no timeout can fire between rows of the same batch, so the data
+    // branch itself must split.
+    val burst = Seq(
+      ev(1, "2026-01-01 10:00:00", 1L, 1.0),
+      ev(2, "2026-01-01 10:10:00", 1L, 2.0),
+      ev(3, "2026-01-01 12:00:00", 1L, 4.0), // > 30 min after 10:10
+      ev(4, "2026-01-01 12:05:00", 1L, 8.0))
+    burst.toDF().coalesce(1).write.mode("append").parquet(dir)
+
+    val stream = spark.readStream.schema(burst.toDF().schema).parquet(dir).as[Event]
+    val q = EventOps.sessionizeEventTime(stream,
+        gapDuration = "30 minutes", watermarkDelay = "0 seconds").writeStream
+      .outputMode("append").format("memory").queryName("et_gap_out")
+      .trigger(Trigger.ProcessingTime("250 milliseconds")).start()
+    try {
+      def emitted = spark.table("et_gap_out")
+      // the first session closes from the DATA branch (in-batch split);
+      // the second closes once the watermark passes last+gap
+      val closer = Seq(ev(5, "2026-01-02 12:00:00", 2L, 0.0))
+      closer.toDF().coalesce(1).write.mode("append").parquet(dir)
+      val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+      while (emitted.count() < 2 && System.nanoTime() < deadline) Thread.sleep(250)
+      val cols = Seq("user_id", "n_events", "first_ts", "last_ts", "total_value")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+      val expected = rows(EventOps.sessionizeBatch(burst.toDF(), gapMinutes = 30))
+      assert(rows(emitted) == expected) // two sessions: (2 ev, 3.0) and (2 ev, 12.0)
+    } finally q.stop()
+  }
+
   test("dedupStream drops within-watermark duplicates: stream == batch distinct") {
     // Two files with the SAME rows: every event arrives twice across
     // microbatch boundaries; the survivor set must equal batch distinct.
