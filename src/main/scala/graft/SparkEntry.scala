@@ -1409,12 +1409,136 @@ object SparkEntry {
              |WHERE (CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 0 END) >= 0.7
              |ORDER BY id_existing, id_incoming""".stripMargin))
 
+
+    /** THE capstone oracle: the ENTIRE curation pipeline — exact dedup,
+      * portable-hash MinHash+LSH, connected-components canonicalization
+      * (recursive CTE), 13-gram decontamination and sharded sequence
+      * packing — replayed end-to-end in DuckDB and hash-compared. Gates
+      * that are no-ops under these params (quality/repetition bounds,
+      * sample rate 1.0) are elided from the SQL; every active stage is
+      * the exact recipe its standalone query (q22/q24/q50/q51/q54)
+      * already proves.
+      */
+    private val q57Sigs: String = q24Sigs
+    private val q57Bands: String = (0 until 16).map { bnd =>
+      val cols = (0 until 4).map(r => s"s${bnd * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, concat_ws(',', $cols) AS bucket FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    private val q57 = Q(
+      "q57_curate_full",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val res = operators.Curation.curate(
+          docs.filter($"doc_id" % 97 =!= 0).select($"doc_id", $"lang", $"text"),
+          docs.filter($"doc_id" % 97 === 0),
+          idCol = "doc_id", textCol = "text", langCol = "lang",
+          operators.Curation.CurationParams(
+            minQuality = 0.0, maxRepetition = 1.0,
+            lshThreshold = 0.6, maxContamination = 0.5,
+            sampleRates = Map.empty, defaultSampleRate = 1.0,
+            portableHash = true))
+        res.docs
+          .select($"doc_id", $"lang", $"shard", $"token_start",
+            $"chunk_first", $"chunk_last")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+             |train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 <> 0),
+             |benchdocs AS (SELECT text FROM documents WHERE doc_id % 97 = 0),
+             |keep AS (SELECT min(doc_id) AS doc_id FROM train GROUP BY text),
+             |surv AS (SELECT t.* FROM train t JOIN keep USING (doc_id)),
+             |sh0 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN text IS NULL THEN CAST([] AS BIGINT[]) ELSE
+             |      list_distinct([CAST('0x' || substr(md5(substr(lower(text), i, 3)), 1, 8) AS BIGINT)
+             |                     FOR i IN range(1, greatest(length(text) - 2, 0) + 1)]) END AS hs0
+             |  FROM surv),
+             |stop AS (
+             |  SELECT h FROM (SELECT unnest(hs0) AS h FROM sh0)
+             |  GROUP BY h
+             |  HAVING count(*) > floor((SELECT count(*) FROM surv) * 0.5)),
+             |pruned AS (
+             |  SELECT s.doc_id, coalesce(l.hs, CAST([] AS BIGINT[])) AS hs
+             |  FROM sh0 s LEFT JOIN (
+             |    SELECT doc_id, list(h) AS hs
+             |    FROM (SELECT doc_id, unnest(hs0) AS h FROM sh0)
+             |    WHERE h NOT IN (SELECT h FROM stop)
+             |    GROUP BY doc_id) l USING (doc_id)),
+             |sigs AS (
+             |  SELECT doc_id, hs,
+             |    $q57Sigs
+             |  FROM pruned),
+             |banded AS (
+             |  $q57Bands),
+             |ok_buckets AS (
+             |  SELECT band, bucket FROM banded
+             |  GROUP BY band, bucket HAVING count(*) <= 2000),
+             |cands AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM banded a
+             |  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+             |  JOIN ok_buckets ob ON ob.band = a.band AND ob.bucket = a.bucket),
+             |pairs AS (
+             |  SELECT c.id_a, c.id_b
+             |  FROM cands c
+             |  JOIN pruned pa ON pa.doc_id = c.id_a
+             |  JOIN pruned pb ON pb.doc_id = c.id_b
+             |  WHERE (CASE WHEN CAST(len(pa.hs) AS DOUBLE) + CAST(len(pb.hs) AS DOUBLE) - len(list_intersect(pa.hs, pb.hs)) > 0
+             |    THEN CAST(len(list_intersect(pa.hs, pb.hs)) AS DOUBLE)
+             |         / (CAST(len(pa.hs) AS DOUBLE) + CAST(len(pb.hs) AS DOUBLE) - len(list_intersect(pa.hs, pb.hs)))
+             |    ELSE 0 END) >= 0.6),
+             |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+             |reach(id, lbl) AS (
+             |  SELECT doc_id, doc_id FROM surv
+             |  UNION
+             |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v),
+             |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+             |canon AS (SELECT s.* FROM surv s JOIN cc ON cc.id = s.doc_id AND cc.cluster_id = s.doc_id),
+             |trg AS (
+             |  SELECT doc_id, CASE WHEN length(text) >= 13
+             |    THEN list_distinct([substr(lower(text), i, 13)
+             |                        FOR i IN range(1, greatest(length(text) - 12, 0) + 1)])
+             |    ELSE [] END AS g
+             |  FROM canon),
+             |bg AS (
+             |  SELECT DISTINCT unnest(CASE WHEN length(text) >= 13
+             |    THEN list_distinct([substr(lower(text), i, 13)
+             |                        FOR i IN range(1, greatest(length(text) - 12, 0) + 1)])
+             |    ELSE [] END) AS g
+             |  FROM benchdocs),
+             |hits AS (
+             |  SELECT t.doc_id, count(*) AS overlap
+             |  FROM (SELECT doc_id, unnest(g) AS g FROM trg) t JOIN bg USING (g)
+             |  GROUP BY t.doc_id),
+             |clean AS (
+             |  SELECT c.* FROM canon c JOIN (
+             |    SELECT trg.doc_id FROM trg LEFT JOIN hits USING (doc_id)
+             |    WHERE (CASE WHEN len(g) > 0
+             |      THEN CAST(coalesce(overlap, 0) AS DOUBLE) / CAST(len(g) AS DOUBLE)
+             |      ELSE 0.0 END) <= 0.5) k USING (doc_id)),
+             |tk AS (
+             |  SELECT doc_id, lang,
+             |    (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000) % 8 AS shard,
+             |    CAST(len(CASE WHEN text IS NULL OR trim(text) = '' THEN []
+             |                  ELSE string_split_regex(lower(trim(text)), '\\s+') END) AS BIGINT) AS n_tokens
+             |  FROM clean),
+             |c2 AS (
+             |  SELECT doc_id, lang, shard, n_tokens,
+             |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_start
+             |  FROM tk)
+             |SELECT doc_id, lang, shard, token_start,
+             |  token_start // 512 AS chunk_first,
+             |  CASE WHEN n_tokens > 0 THEN (token_start + n_tokens - 1) // 512
+             |       ELSE token_start // 512 END AS chunk_last
+             |FROM c2 ORDER BY doc_id""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
       q21, q22, q23, q24, q24b, q25, q26, q27, q28, q29, q30,
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56)
+      q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

@@ -37,7 +37,10 @@ object Curation {
       sampleRates: Map[String, Double] = Map.empty,
       defaultSampleRate: Double = 1.0,
       packBudget: Int = 512,
-      packShards: Int = 8)
+      packShards: Int = 8,
+      // portable md5 LSH mode so an external SQL engine can replay the
+      // whole pipeline (q57); production default stays murmur3
+      portableHash: Boolean = false)
 
   /** Curated corpus (`docs`: one row per surviving doc with annotations
     * and packed span) plus the stage caches backing it — call
@@ -80,7 +83,7 @@ object Curation {
     // 4: near-dup clusters -> canonical survivor per cluster
     val pairs = TextDedup.minHashLshPairs(
       exact, idCol, textCol, n = params.shingleN,
-      threshold = params.lshThreshold)
+      threshold = params.lshThreshold, portableHash = params.portableHash)
     val canon = ConnectedComponents
       .canonicalize(exact, pairs, idCol)
       .filter(col("is_canonical") === 1)
