@@ -18,7 +18,13 @@ import graft.operators.{ConnectedComponents, Contamination, Dedup, Packing, Samp
   *  - float outputs are either exact (counts, min/max, sums of
   *    integer-valued columns) or summed as DECIMAL(18,2) in BOTH engines
   *    before a final cast to double (binary float summation is
-  *    order-dependent; decimal summation is exact).
+  *    order-dependent; decimal summation is exact);
+  *  - every integer-typed oracle output that flows through SUM (plain or
+  *    windowed) must be explicitly CAST(... AS BIGINT): DuckDB widens
+  *    sum(BIGINT) to HUGEINT (int128) while Spark emits LONG, and the
+  *    driver's hash is type-sensitive even when every value matches
+  *    (bit us on q54/q57 in round 4). Same rule for anything derived
+  *    from such a sum (`// 512` chunk ids etc.).
   */
 object SparkEntry {
 
@@ -1302,13 +1308,13 @@ object SparkEntry {
              |  FROM documents),
              |c AS (
              |  SELECT doc_id, shard, n_tokens,
-             |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_start
+             |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_start
              |  FROM tk)
              |SELECT doc_id, shard, n_tokens, token_start,
-             |  token_start // 512 AS chunk_first,
-             |  CASE WHEN n_tokens > 0 THEN (token_start + n_tokens - 1) // 512
-             |       ELSE token_start // 512 END AS chunk_last
+             |  CAST(token_start // 512 AS BIGINT) AS chunk_first,
+             |  CAST(CASE WHEN n_tokens > 0 THEN (token_start + n_tokens - 1) // 512
+             |       ELSE token_start // 512 END AS BIGINT) AS chunk_last
              |FROM c ORDER BY doc_id""".stripMargin))
 
     /** Corpus length profile: per-language token-count distribution
@@ -1524,13 +1530,13 @@ object SparkEntry {
              |  FROM clean),
              |c2 AS (
              |  SELECT doc_id, lang, shard, n_tokens,
-             |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_start
+             |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_start
              |  FROM tk)
              |SELECT doc_id, lang, shard, token_start,
-             |  token_start // 512 AS chunk_first,
-             |  CASE WHEN n_tokens > 0 THEN (token_start + n_tokens - 1) // 512
-             |       ELSE token_start // 512 END AS chunk_last
+             |  CAST(token_start // 512 AS BIGINT) AS chunk_first,
+             |  CAST(CASE WHEN n_tokens > 0 THEN (token_start + n_tokens - 1) // 512
+             |       ELSE token_start // 512 END AS BIGINT) AS chunk_last
              |FROM c2 ORDER BY doc_id""".stripMargin))
 
     val all: Seq[Q] = Seq(

@@ -27,6 +27,47 @@ def canon(rows, cols):
     return [c for c in sorted(cols)], out
 
 
+def col_types(con, sql):
+    """{column: duckdb type} for an arbitrary SELECT, without running it."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return {r[0]: r[1] for r in rows}
+
+
+def type_family(t):
+    """Driver-hash equivalence classes. The driver normalizes machine-int
+    widths (q19/q42 were hash-green in r4 with Spark INTEGER vs oracle
+    BIGINT) but NOT int128 or decimal: DuckDB's sum(BIGINT) -> HUGEINT
+    broke q54/q57 on representation while every value matched. So int
+    widths share a family; HUGEINT and DECIMAL are their own."""
+    t = t.upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t == "HUGEINT":
+        return "hugeint"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    return t
+
+
+def type_mismatches(con, out_dir, name, sql):
+    """The driver's hash is TYPE-sensitive across families: DuckDB widening
+    sum(BIGINT) to HUGEINT (or decimal arithmetic to DECIMAL vs a DOUBLE
+    parquet column) fails the gate even when every value matches (q54/q57,
+    round 4). Compare the DuckDB-described type family of each oracle
+    output column against the Spark-written parquet's, so the mismatch
+    trips locally before the driver sees it."""
+    got = col_types(con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+    exp = col_types(con, sql)
+    bad = []
+    for c in sorted(set(got) & set(exp)):
+        if type_family(got[c]) != type_family(exp[c]):
+            bad.append(f"{c}: spark={got[c]} oracle={exp[c]}")
+    return bad
+
+
 def cell_eq(a, b):
     if a is None or b is None:
         return a is None and b is None
@@ -54,6 +95,12 @@ def main(sf_dir, out_dir):
             exp_rows, exp_cols = exp.fetchall(), [d[0] for d in exp.description]
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
+            n_bad += 1
+            continue
+        mism = type_mismatches(con, out_dir, name, sql)
+        if mism:
+            print(f"FAIL {name}: column TYPE mismatch (driver hash is "
+                  f"type-sensitive): {'; '.join(mism)}")
             n_bad += 1
             continue
         gc, gr = canon(got_rows, got_cols)
