@@ -71,7 +71,10 @@ object Bench {
             tools.SyntheticSurvey.survey(s, 1000000L),
             tools.SyntheticSurvey.registry(s),
             tools.SyntheticSurvey.config, 2026)
-          val star = graft.etl.StarLoader.load(res)
+          // 1M fact rows is already past the dense-window regime: use the
+          // shuffle-free scalable id path (the 100-TB setting).
+          val star = graft.etl.StarLoader.load(res,
+            idStrategy = graft.etl.StarLoader.ScalableIds)
           Seq(res.valid, res.duplicates, res.unmatched, res.badName,
             star.fatoInquerito, star.fatoFormacao, star.fatoInteresse,
             star.fatoDisponibilidade, star.comentario).foreach(_.count())

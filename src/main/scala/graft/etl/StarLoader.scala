@@ -18,14 +18,26 @@ import graft.sources.Readers
   * window). Write the resulting frames with `df.write.jdbc` (batched) or
   * parquet partitioned by `ano`.
   *
-  * Surrogate ids: `inquerito`/`resposta` ids use dense `row_number` over
-  * ingest order — deterministic and contiguous like the serial reference.
-  * Those windows are single-partition; fine at survey scale (thousands of
-  * rows/year). For web-scale facts swap in [[SurrogateKeys.scalable]]
-  * (unique, non-contiguous, shuffle-free) — nothing downstream depends on
-  * contiguity.
+  * Surrogate ids: the fact-side `inquerito`/`resposta` ids are chosen by
+  * [[IdStrategy]]. [[DenseIds]] (default) matches the serial reference —
+  * deterministic, contiguous `row_number` over ingest order — but plans a
+  * single-partition window: fine at survey scale (thousands of rows/year),
+  * a one-task serialization point at 100×. [[ScalableIds]] swaps in
+  * [[SurrogateKeys.scalable]] (unique, non-contiguous, shuffle-free,
+  * stays in codegen) — nothing downstream depends on contiguity, so this
+  * is the setting for web-scale facts; `Bench.pipeline_1m` and
+  * `tools.ScalePipeline` run it. Dimension get-or-create windows stay
+  * dense regardless: they run over driver-local label relations
+  * (dimension-sized by construction), pinned by PlanSpec.
   */
 object StarLoader {
+
+  /** Fact-table surrogate-id assignment strategy (see object scaladoc). */
+  sealed trait IdStrategy
+  /** Contiguous reference-parity ids; single-partition window. */
+  case object DenseIds extends IdStrategy
+  /** Unique non-contiguous ids; fully parallel, no window, no shuffle. */
+  case object ScalableIds extends IdStrategy
 
   final case class TipoDisp(id: Long, descricao: String)
 
@@ -106,6 +118,10 @@ object StarLoader {
     *                         mirroring the `tipos_disponibilidades` scan)
     * @param idOffset         starting id_inquerito offset (max existing)
     * @param commentKeys      comment-column keywords (ConfigAdvanced)
+    * @param idStrategy       fact surrogate-id strategy: [[DenseIds]] for
+    *                         reference-parity contiguous ids (survey
+    *                         scale), [[ScalableIds]] for shuffle-free
+    *                         unique ids (web scale)
     */
   def load(
       result: Pipeline.EtlResult,
@@ -113,7 +129,8 @@ object StarLoader {
       existingHorario: Option[DataFrame] = None,
       tiposDisp: Seq[TipoDisp] = Seq(TipoDisp(1, "Presencial"), TipoDisp(2, "Online")),
       idOffset: Long = 0L,
-      commentKeys: Seq[String] = Seq("comentario")): Star = {
+      commentKeys: Seq[String] = Seq("comentario"),
+      idStrategy: IdStrategy = DenseIds): Star = {
 
     val spark = result.valid.sparkSession
     import spark.implicits._
@@ -128,8 +145,13 @@ object StarLoader {
 
     // ---- FatoInquerito (X7, X23) -------------------------------------
     val hasResp = result.plans.exists(_.uniqueName == "existe_responsavel")
-    val inq = SurrogateKeys.dense(valid, "id_inquerito",
+    val withInqId = idStrategy match {
+      case DenseIds => SurrogateKeys.dense(valid, "id_inquerito",
         Seq(col(Readers.RowId).asc), offset = idOffset)
+      case ScalableIds => SurrogateKeys.scalable(valid, "id_inquerito",
+        offset = idOffset)
+    }
+    val inq = withInqId
       .select(
         col("id_inquerito"),
         col(Readers.RowId),
@@ -202,12 +224,15 @@ object StarLoader {
             when(col("texto_raw").isNotNull && !Cols.isNumericString(col("texto_raw")),
               col("texto_raw")))
 
-        // resposta ids follow the reference's (row, column) insert order;
-        // single-partition window, survey-scale only (see scaladoc).
-        val interesse = cached(fused
-          .withColumn("id_resposta",
+        // DenseIds: resposta ids follow the reference's (row, column)
+        // insert order — single-partition window, survey-scale only.
+        // ScalableIds: unique ids, no window (see object scaladoc).
+        val interesse = cached(idStrategy match {
+          case DenseIds => fused.withColumn("id_resposta",
             row_number().over(Window.orderBy(col(Readers.RowId).asc, col("pos").asc))
-              .cast("long")))
+              .cast("long"))
+          case ScalableIds => SurrogateKeys.scalable(fused, "id_resposta")
+        })
 
         (interesse.select(
             col("id_resposta"), col("id_inquerito"), col("id_area_tematica"),

@@ -8,11 +8,15 @@ import graft.etl.{Config, Pipeline, StarLoader}
 /** Pipeline-at-volume harness: synthesizes an N-row wide survey
   * (distributed — spark.range, no driver loops) against a 50k-entity
   * registry, runs the full identification + star load, and reports wall
-  * times. Usage: runMain graft.tools.ScalePipeline [nRows]
+  * times. Usage: runMain graft.tools.ScalePipeline [nRows] [dense|scalable]
+  * (id strategy defaults to scalable — the at-volume setting).
   */
 object ScalePipeline {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val idStrategy: StarLoader.IdStrategy =
+      if (args.lift(1).contains("dense")) StarLoader.DenseIds
+      else StarLoader.ScalableIds
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -93,7 +97,8 @@ object ScalePipeline {
     println(s"[scale] valid=${counts._1} dup=${counts._2} unmatched=${counts._3} bad=${counts._4} " +
       s"(sum=${counts._1 + counts._2 + counts._3 + counts._4} of $n)")
 
-    val star = time("star load (lazy)")(StarLoader.load(result))
+    val star = time("star load (lazy)")(
+      StarLoader.load(result, idStrategy = idStrategy))
     val fact = time("star load: fato counts")(
       (time("  inquerito")(star.fatoInquerito.count()),
        time("  formacao")(star.fatoFormacao.count()),
