@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Cols
 import graft.multimodal.Multimodal
-import graft.operators.{ConnectedComponents, Contamination, Dedup, Packing, Sampling, EntityResolution, Reshape, Similarity, SurrogateKeys, TextAnalysis, TextDedup}
+import graft.operators.{ConnectedComponents, Contamination, Dedup, IvfCentroids, Packing, Sampling, EntityResolution, Reshape, Similarity, SurrogateKeys, TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -994,21 +994,55 @@ object SparkEntry {
              |      FROM documents)
              |WHERE valor > 0 ORDER BY doc_id""".stripMargin))
 
-    /** IVF ANN: k-means coarse quantizer + probe-cell exact cosine (the
-      * second scale path besides sign-LSH; recall pinned in ScalaTest —
-      * rows-only here, k-means cells aren't SQL-replicable).
+    // IVF replay pieces: the FROZEN fit-once quantizer's 16 centroid
+    // vectors inlined as SQL literals (the q28 hyperplane recipe applied
+    // to a fitted k-means model — see IvfCentroids). L2² accumulates in
+    // index order in both engines; cells rank by the (d, cell) struct
+    // sort, matching the kernel's sortBy((d, i)) tie-break.
+    private def sqlL2(vecExpr: String, ctr: Seq[Double]): String =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($vecExpr, [${ctr.mkString(", ")}]), x -> (x[1] - x[2]) * (x[1] - x[2]))), (a, b) -> a + b)"
+
+    private def sqlIvfCells(vecExpr: String): String =
+      IvfCentroids.centroids.zipWithIndex.map { case (c, i) =>
+        s"{'d': ${sqlL2(vecExpr, c)}, 'cell': $i}"
+      }.mkString("list_sort([", ",\n    ", "])")
+
+    /** IVF ANN: frozen k-means coarse quantizer + probe-cell exact cosine
+      * (the second scale path besides sign-LSH; recall vs brute force and
+      * frozen==fitted-shape parity pinned in ScalaTest). Full oracle
+      * replay: DuckDB recomputes cell assignment, the nProbe=4 cell
+      * ranking and the exact cosine from the same centroid literals.
       */
     private val q43 = Q(
       "q43_ann_ivf_topk",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        Similarity.ivfTopK(
+        Similarity.ivfTopKFrozen(
             e, e.filter($"vec_id" < 5), idCol = "vec_id", vecCol = "embedding",
-            k = 5, nCentroids = 16, nProbe = 4)
+            k = 5, centroids = IvfCentroids.centroids, nProbe = 4)
           .select($"query_id", $"rank", $"neighbor_id", round($"sim", 6).as("sim"))
           .orderBy("query_id", "rank")
       },
-      None)
+      Some(s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+             |           FROM embeddings),
+             |assigned AS (
+             |  SELECT vec_id AS neighbor_id, vec,
+             |    ${sqlIvfCells("vec")}[1].cell AS cell
+             |  FROM v),
+             |probes AS (
+             |  SELECT vec_id AS query_id, vec AS qv,
+             |    unnest(list_transform(${sqlIvfCells("vec")}[1:4], s -> s.cell)) AS cell
+             |  FROM v WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT DISTINCT p.query_id, c.neighbor_id,
+             |    ${sqlCos("c.vec", "p.qv")} AS sim
+             |  FROM assigned c JOIN probes p ON c.cell = p.cell AND c.neighbor_id != p.query_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, sim,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(sim, 6) AS sim
+             |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
     /** BPE-ish subword token counting (tokenizer-cost proxy). */
     private val q44 = Q(

@@ -198,6 +198,17 @@ object Similarity {
       .withColumn("__cell", explode(col("__cells")))
       .drop("__cells")
 
+    scoreProbedCells(assigned, q, k)
+  }
+
+  /** Shared IVF tail: join corpus cells to the (broadcast) probe rows,
+    * exact cosine inside the candidate set, top-k per query. `distinct`
+    * before the window because a neighbor can appear via several probed
+    * cells... it can't within one IVF (a corpus row lives in exactly one
+    * cell), but the dedup is free after the bucket join and keeps the
+    * tail safe for any multi-assignment caller.
+    */
+  private def scoreProbedCells(assigned: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val scored = assigned.join(broadcast(q), "__cell")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("__cv"), col("__qv")))
@@ -208,6 +219,61 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Nearest `take` cell ids for a vector against a frozen centroid
+    * matrix, ordered by (L2², cell). JVM kernel, not an expression tree:
+    * 16 interpreted 64-wide zip_with folds per corpus row would dominate
+    * the scan (the cosine/minhash lesson). The distance accumulates in
+    * strict index order — ((0+d₀)+d₁)+… — so the oracle's list_reduce
+    * over the same literals is bit-identical, and ties break on the
+    * lower cell id in both engines.
+    */
+  private def nearestCells(ctrs: Array[Array[Double]], v: Array[Double], take: Int): Array[Int] = {
+    val ds = new Array[Double](ctrs.length)
+    var ci = 0
+    while (ci < ctrs.length) {
+      val c = ctrs(ci)
+      val n = math.min(c.length, v.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) { val t = v(i) - c(i); d += t * t; i += 1 }
+      ds(ci) = d
+      ci += 1
+    }
+    ctrs.indices.sortBy(i => (ds(i), i)).take(take).toArray
+  }
+
+  /** IVF top-k against a FROZEN coarse quantizer ([[IvfCentroids]] or any
+    * pre-fitted centroid matrix): the production deployment shape — the
+    * quantizer is trained once on a sample ([[graft.tools.FitIvf]]) and
+    * shipped as a constant; only assignment runs at corpus scale. No ML
+    * fit job, no extra pass over the corpus: assignment is a per-row
+    * kernel in the scan, queries broadcast, one shuffle-free bucket join.
+    * Fully oracle-replayable because the centroids are literals both
+    * engines share (the q28 hyperplane recipe, applied to a fitted
+    * model).
+    */
+  def ivfTopKFrozen(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[Seq[Double]],
+      nProbe: Int = 2): DataFrame = {
+    val ctrs = centroids.map(_.toArray).toArray
+    val assignUdf = udf((v: Array[Double]) =>
+      if (v == null) -1 else nearestCells(ctrs, v, 1)(0))
+    val probeUdf = udf((v: Array[Double]) =>
+      if (v == null) Array.empty[Int] else nearestCells(ctrs, v, nProbe))
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+      .withColumn("__cell", assignUdf(col("__cv")))
+    val q = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__cell", explode(probeUdf(col("__qv"))))
+    scoreProbedCells(assigned, q, k)
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold within blocks

@@ -335,6 +335,52 @@ class SimilaritySpec extends SparkSpec {
     assert(byQ(20L).forall(_ >= 20L))
     assert(byQ(0L).size == 5 && byQ(20L).size == 5)
   }
+
+  test("ivfTopKFrozen: frozen quantizer matches fitted IVF semantics and brute-force top-k") {
+    val rnd = new scala.util.Random(13)
+    def around(base: Array[Float]) =
+      base.map(v => v + (rnd.nextGaussian() * 0.01).toFloat)
+    val a = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val b = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val corpus = ((0 until 20).map(i => (i.toLong, around(a))) ++
+      (20 until 40).map(i => (i.toLong, around(b)))).toDF("vec_id", "embedding")
+    // freeze the two true cluster centers as the quantizer: every query's
+    // probed cell then contains exactly its cluster, so frozen-IVF top-k
+    // must equal brute-force top-k restricted to the cluster
+    val frozen = Seq(a.map(_.toDouble).toSeq, b.map(_.toDouble).toSeq)
+    val queries = corpus.filter($"vec_id".isin(0L, 20L))
+    val got = Similarity.ivfTopKFrozen(corpus, queries, "vec_id", "embedding",
+      k = 5, centroids = frozen, nProbe = 1)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(got == brute) // within-cluster sims dominate, so ANN == exact here
+    assert(got.size == 10)
+  }
+
+  test("ivfTopKFrozen: production centroids beat the random-scan recall baseline on the sf0.001 embeddings") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = e.filter($"vec_id" < 5)
+    val got = Similarity.ivfTopKFrozen(e, queries, "vec_id", "embedding",
+      k = 5, centroids = IvfCentroids.centroids, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // The synthetic embeddings are near-uniform, so neighborhoods are
+    // diffuse and probing 4/16 cells cannot reach full recall on TRUE
+    // top-k (measured 16/25 on this fixture; value-level correctness is
+    // what the q43 hash oracle pins). The spec bar is the random-scan
+    // baseline: probing 4 of 16 cells of unstructured data recalls ~25%
+    // (~6/25) by chance — a quantizer regression (corrupt literals,
+    // wrong tie-break) drops back to that line, a working one stays
+    // well clear of it.
+    val hits = brute.map { case (q, ns) => got.getOrElse(q, Set.empty).intersect(ns).size }.sum
+    assert(hits >= 12, s"recall at or below random-scan baseline: $hits/25")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
