@@ -36,6 +36,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules", graft.Sessions.ExcludedOptimizerRules)
       .getOrCreate()
     root.sparkContext.setLogLevel("WARN")
 

@@ -229,7 +229,10 @@ object StarLoader {
         // ScalableIds: unique ids, no window (see object scaladoc).
         val interesse = cached(idStrategy match {
           case DenseIds => fused.withColumn("id_resposta",
-            row_number().over(Window.orderBy(col(Readers.RowId).asc, col("pos").asc))
+            // constant partition key: declared single-task window, same
+            // execution as bare orderBy (see SurrogateKeys.dense)
+            row_number().over(Window.partitionBy(lit(0))
+                .orderBy(col(Readers.RowId).asc, col("pos").asc))
               .cast("long"))
           case ScalableIds => SurrogateKeys.scalable(fused, "id_resposta")
         })

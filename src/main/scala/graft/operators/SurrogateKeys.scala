@@ -19,11 +19,17 @@ import org.apache.spark.sql.functions._
 object SurrogateKeys {
 
   /** Contiguous ids `offset+1 .. offset+n` in `orderBy` order. Single
-    * partition window — dimension-sized inputs only.
+    * partition window — dimension-sized inputs only. The constant
+    * partition key is deliberate: it executes exactly like the bare
+    * `Window.orderBy` (all rows to one task) but *declares* the single
+    * partition instead of tripping Spark's partition-less-window runtime
+    * warning — the single-task shape is a documented design decision
+    * here, pinned by PlanSpec's constant-partition window detector, not
+    * an accident the log should flag.
     */
   def dense(df: DataFrame, idCol: String, orderBy: Seq[Column], offset: Long = 0L): DataFrame =
     df.withColumn(idCol,
-      (row_number().over(Window.orderBy(orderBy: _*)) + offset).cast("long"))
+      (row_number().over(Window.partitionBy(lit(0)).orderBy(orderBy: _*)) + offset).cast("long"))
 
   /** Unique (non-contiguous) ids without any shuffle: partition-local
     * sequence numbers striped by partition id

@@ -71,7 +71,10 @@ object Readers {
     val offsets = df.groupBy(col("__file")).agg(count(lit(1)).as("__n"))
       .withColumn("__base",
         coalesce(sum(col("__n")).over(
-          Window.orderBy("__file").rowsBetween(Window.unboundedPreceding, -1)),
+          // constant partition key = declared single-task window over
+          // #files rows (see SurrogateKeys.dense for the rationale)
+          Window.partitionBy(lit(0)).orderBy("__file")
+            .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select(col("__file"), col("__base"))
     df.join(broadcast(offsets), "__file")

@@ -12,6 +12,7 @@ object BenchCurate {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules", graft.Sessions.ExcludedOptimizerRules)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {

@@ -10,6 +10,7 @@ object BenchOne {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules", graft.Sessions.ExcludedOptimizerRules)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { name =>

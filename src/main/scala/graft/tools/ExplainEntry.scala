@@ -9,6 +9,7 @@ object ExplainEntry {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules", graft.Sessions.ExcludedOptimizerRules)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.SparkEntry.entry(spark).explain()

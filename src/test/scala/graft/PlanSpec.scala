@@ -49,6 +49,65 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "benchmark gram set must broadcast")
   }
 
+  test("ScalableIds fact path plans no partition-less Window; DenseIds stays contiguous") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.window.WindowExec
+    import graft.etl.StarLoader
+
+    // Partition-less windows BELOW a broadcast build side are dimension
+    // get-or-create (bounded by design: SurrogateKeys.dense scaladoc);
+    // anywhere else in a fact plan they are a one-task serialization
+    // point at scale. The walk descends into cached plans (StarLoader
+    // persists the fact stages, which would otherwise hide a window
+    // from the lineage) and stops at BroadcastExchange.
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case _: BroadcastExchangeExec => Seq.empty // dimension build side
+      case b: BroadcastHashJoinExec => // AQE inputPlan has no exchanges yet
+        walk(if (b.buildSide == BuildLeft) b.right else b.left)
+      case b: BroadcastNestedLoopJoinExec =>
+        walk(if (b.buildSide == BuildLeft) b.right else b.left)
+      case w: WindowExec if w.partitionSpec.isEmpty || w.partitionSpec.forall(_.foldable) =>
+        // empty OR all-constant partition spec = every row in one task
+        w.verboseString(3) +: w.children.flatMap(walk)
+      case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+      case i: InMemoryTableScanExec => walk(i.relation.cachedPlan)
+      case other => other.children.flatMap(walk)
+    }
+    def factWindows(df: DataFrame): Seq[String] = walk(df.queryExecution.executedPlan)
+
+    val registry = spark.read.option("header", "true").csv(Fixtures.path("entidades.csv"))
+    val survey = Readers.csv(spark, Fixtures.path("survey_2026.csv"))
+    val result = Pipeline.run(survey, registry, Fixtures.config, 2026)
+
+    val scalable = StarLoader.load(result, idStrategy = graft.etl.StarLoader.ScalableIds)
+    val facts = Map(
+      "fatoInquerito" -> scalable.fatoInquerito,
+      "fatoFormacao" -> scalable.fatoFormacao,
+      "fatoInteresse" -> scalable.fatoInteresse,
+      "fatoPreferencia" -> scalable.fatoPreferencia,
+      "fatoDisponibilidade" -> scalable.fatoDisponibilidade)
+    facts.foreach { case (name, df) =>
+      val ws = factWindows(df)
+      assert(ws.isEmpty, s"$name plans a partition-less Window outside a broadcast side:\n${ws.mkString("\n")}")
+    }
+
+    // DenseIds (the reference-parity default) must still produce ids
+    // 1..n in row order — and its window is exactly the one the
+    // scalable path eliminates
+    val dense = StarLoader.load(result, idStrategy = graft.etl.StarLoader.DenseIds)
+    val denseIds = dense.fatoInquerito.select("id_inquerito")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(denseIds == (1L to denseIds.size), s"DenseIds not contiguous: $denseIds")
+    assert(factWindows(dense.fatoInquerito).nonEmpty,
+      "sanity: the dense path should plan the (documented) partition-less window")
+  }
+
   test("normalize runs as a native expression, not a UDF") {
     val q = SparkEntry.queries("q14_normalize_text")(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString
