@@ -129,9 +129,17 @@ object ConnectedComponents {
     *
     * @param docs  one row per document; `idCol` must be unique LONG.
     * @param pairs near-dup pairs as two columns `aCol`, `bCol` of ids.
-    * @return docs + `cluster_id` (least id in the component; own id when
-    *         the doc matched nothing), `cluster_size`, `is_canonical`
-    *         (1/0 — keep rows where it is 1 to dedup the corpus).
+    * @return docs + `cluster_id` (least DOC id in the component; own id
+    *         when the doc matched nothing), `cluster_size`,
+    *         `is_canonical` (1/0 — keep rows where it is 1 to dedup the
+    *         corpus). The cluster id and canonical flag are grounded in
+    *         `docs`, not in the raw component label: `pairs` may carry
+    *         ids absent from `docs` (stale edges, a pair list computed
+    *         on a superset corpus), and a component whose least id is
+    *         such a ghost must still elect one of its REAL members —
+    *         labeling by the raw component minimum would leave the whole
+    *         cluster with `is_canonical = 0` and a keep-canonical filter
+    *         would silently drop every row of it.
     */
   def canonicalize(
       docs: DataFrame,
@@ -144,11 +152,12 @@ object ConnectedComponents {
     val cc = connectedComponents(pairs, aCol, bCol)
     val labeled = docs
       .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .withColumn("cluster_id", coalesce($"component", col(idCol)))
+      .withColumn("__comp", coalesce($"component", col(idCol)))
       .drop("component")
-    val sizes = labeled.groupBy($"cluster_id")
-      .agg(count(lit(1)).as("cluster_size"))
-    labeled.join(sizes, "cluster_id")
+    val groups = labeled.groupBy($"__comp")
+      .agg(count(lit(1)).as("cluster_size"), min(col(idCol)).as("cluster_id"))
+    labeled.join(groups, "__comp")
+      .drop("__comp")
       .withColumn(
         "is_canonical",
         when(col(idCol) === $"cluster_id", lit(1)).otherwise(lit(0)))

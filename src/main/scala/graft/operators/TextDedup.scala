@@ -383,7 +383,13 @@ object TextDedup {
 
   /** Incremental ingest filter: `incoming` minus near-dups of `existing`
     * — the rows safe to append to the corpus. Exact-text duplicates are
-    * near-dups at any threshold, so they are dropped too.
+    * near-dups at any threshold, so they are dropped too — including
+    * texts shorter than `n`, which shingle to the empty set and are
+    * invisible to the LSH path (Jaccard 0); a direct anti-join on the
+    * raw text catches them. Residual scope: a short text that is a
+    * NEAR-dup (not byte-identical) of an existing short text has no
+    * shingles to compare and survives — below `n` characters there is
+    * no n-gram signal to rank it by.
     */
   def dedupAgainst(
       existing: DataFrame,
@@ -400,7 +406,12 @@ object TextDedup {
     val dupIds = pairs.select(col("id_incoming").as(idCol))
       .distinct().localCheckpoint()
     pairs.unpersist()
+    // one extra shuffle on the text key, same scale class as the LSH
+    // pipeline's own shuffles; existing side prunes to the text column
     incoming.join(dupIds, Seq(idCol), "left_anti")
+      .join(existing.select(col(textCol)).na.drop().distinct(),
+        Seq(textCol), "left_anti")
+      .select(incoming.columns.map(col): _*) // USING reorders; restore
   }
 
   /** DataFrame-only view of [[minHashLshDedup]] (call `.unpersist()` on

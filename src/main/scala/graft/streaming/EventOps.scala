@@ -40,6 +40,15 @@ object EventOps {
     */
   final case class SessionState(n: Long, first: Long, last: Long, total: Double)
 
+  /** Event-time sessionization state: gap-separated session segments in
+    * start order — the LAST is the open session, earlier ones are
+    * gap-closed but unsealed (the watermark has not yet passed their
+    * `last + gap`, so a late-but-within-watermark event could still
+    * extend or bridge them). Public for the state encoder, like
+    * [[SessionState]].
+    */
+  final case class SessionBuf(segs: Seq[SessionState])
+
   /** Stateful sessionization: one open session per user, closed (emitted)
     * after `gapMinutes` of inactivity via processing-time timeout. The
     * canonical `flatMapGroupsWithState` shape — explicit state, explicit
@@ -91,10 +100,22 @@ object EventOps {
     * delay, which is the standard Structured Streaming lateness
     * contract (state stays bounded by watermark + gap).
     *
-    * Sessions close when the watermark (max event time seen minus
-    * `watermarkDelay`) passes `last + gap`; a bounded stream's final
-    * sessions stay open until later events (any user) advance the
-    * watermark — the price of correctness under lag.
+    * Sessions EMIT only when the watermark (max event time seen minus
+    * `watermarkDelay`) passes their `last + gap` — including sessions a
+    * gap WITHIN one batch already closed. Emitting an in-batch-closed
+    * session immediately would be wrong in Append mode: a later
+    * within-watermark event whose timestamp falls inside the gap must
+    * still be able to extend it — or BRIDGE it with the next segment
+    * into one session — and an appended row cannot be retracted. So
+    * gap-closed segments are held in state ([[SessionBuf]]) until
+    * sealed; sealing at `last + gap <= watermark` is exact, because any
+    * event able to touch a session must have `ts <= last + gap`, and an
+    * event at or behind the watermark is beyond-lateness and dropped
+    * before reaching the state function. State stays bounded by
+    * watermark + gap per user, same as before; the cost of exactness is
+    * emission latency of one watermark delay — the standard Structured
+    * Streaming Append-mode contract. A bounded stream's final sessions
+    * stay open until later events (any user) advance the watermark.
     */
   def sessionizeEventTime(
       events: Dataset[Event],
@@ -106,39 +127,35 @@ object EventOps {
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(Session(userId, s.n, new java.sql.Timestamp(s.first),
-              new java.sql.Timestamp(s.last), s.total))
-          } else {
-            // Split on event-time gaps WITHIN the batch too: a replayed
-            // or batched burst can contain several sessions' worth of
-            // events for one user, and waiting for the timeout to fire
-            // between them would wrongly merge across the gap (the
-            // timeout only closes the session that is open when the
-            // watermark passes it).
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var st = state.getOption.getOrElse(SessionState(0, Long.MaxValue, Long.MinValue, 0d))
-            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              if (st.n > 0 && t - st.last > gapMs) {
-                closed += Session(userId, st.n, new java.sql.Timestamp(st.first),
-                  new java.sql.Timestamp(st.last), st.total)
-                st = SessionState(0, Long.MaxValue, Long.MinValue, 0d)
-              }
-              st = SessionState(st.n + 1, math.min(st.first, t),
-                math.max(st.last, t), st.total + e.value)
-            }
-            state.update(st)
-            // the timeout must sit strictly beyond the current watermark
-            // (late rows can put last+gap behind it; close at the next tick)
-            state.setTimeoutTimestamp(
-              math.max(st.last + gapMs, state.getCurrentWatermarkMs() + 1))
-            closed.iterator
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionBuf]) => {
+          val wm = state.getCurrentWatermarkMs()
+          // merge held segments with the batch's events as interval
+          // aggregates sorted by start: a singleton event within `gap`
+          // of the previous aggregate's end extends it, and an event
+          // landing between two held segments bridges them exactly
+          // (counts/sums/min/max compose associatively)
+          val prev = state.getOption.map(_.segs).getOrElse(Seq.empty)
+          val incoming = rows.map(e =>
+            SessionState(1, e.ts.getTime, e.ts.getTime, e.value)).toSeq
+          val merged = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+          (prev ++ incoming).sortBy(s => (s.first, s.last)).foreach { s =>
+            if (merged.nonEmpty && s.first - merged.last.last <= gapMs) {
+              val m = merged.last
+              merged(merged.size - 1) = SessionState(m.n + s.n,
+                math.min(m.first, s.first), math.max(m.last, s.last), m.total + s.total)
+            } else merged += s
           }
+          val (closed, live) = merged.partition(_.last + gapMs <= wm)
+          if (live.isEmpty) state.remove()
+          else {
+            state.update(SessionBuf(live.toSeq))
+            // wake when the earliest held segment seals; strictly beyond
+            // the current watermark or the runtime rejects the timestamp
+            state.setTimeoutTimestamp(
+              math.max(live.map(_.last + gapMs).min, wm + 1))
+          }
+          closed.iterator.map(s => Session(userId, s.n,
+            new java.sql.Timestamp(s.first), new java.sql.Timestamp(s.last), s.total))
         })
   }
 

@@ -71,4 +71,20 @@ class ConnectedComponentsSpec extends SparkSpec {
     // Keeping is_canonical rows dedups to one doc per cluster.
     assert(got.count(_._4 == 1) == 5)
   }
+
+  test("canonicalize grounds cluster_id in docs when pairs carry ghost ids") {
+    // pairs computed on a superset corpus: id 0 was since deleted from
+    // docs, yet the (0,2),(2,5) component must still elect a real
+    // survivor — min DOC id 2 — not ghost label 0 (which would strand
+    // the cluster with no canonical row at all)
+    val docs = Seq(2L, 3L, 5L).toDF("doc_id")
+    val pairs = Seq((0L, 2L), (2L, 5L)).toDF("id_a", "id_b")
+    val got = ConnectedComponents.canonicalize(docs, pairs, "doc_id")
+      .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._1)
+    val want = Seq((2L, 2L, 2L, 1), (3L, 3L, 1L, 1), (5L, 2L, 2L, 0))
+    assert(got.toSeq == want)
+    // every cluster has exactly one canonical member
+    assert(got.groupBy(_._2).forall { case (_, rows) => rows.count(_._4 == 1) == 1 })
+  }
 }

@@ -642,7 +642,26 @@ class CrossCorpusDedupSpec extends SparkSpec {
     val dupIds = pairs.select("id_incoming").as[Long].collect().toSet
     val keptIds = kept.select("doc_id").as[Long].collect().toSet
     val incomingIds = incoming.select("doc_id").as[Long].collect().toSet
-    assert(keptIds == incomingIds -- dupIds)
+    val exactDupIds = incoming.join(existing.select("text"), Seq("text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds == incomingIds -- dupIds -- exactDupIds)
     pairs.unpersist()
+  }
+
+  test("dedupAgainst drops exact duplicates shorter than the shingle width") {
+    // 'ab' (2 chars < n=3) shingles to the empty set: the LSH path scores
+    // it Jaccard 0 against its byte-identical twin, so only the exact-
+    // text anti-join can honor the "exact dups always dropped" contract
+    val existing = Seq((0L, "ab"), (2L, "the quick brown fox jumps over")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "ab"),                                // exact dup, sub-shingle length
+      (3L, "xy"),                                // short but novel -> kept
+      (5L, "the quick brown fox jumps over"),    // exact dup, normal length
+      (7L, "completely different payload here")  // novel -> kept
+    ).toDF("doc_id", "text")
+    val kept = TextDedup.dedupAgainst(existing, incoming, "doc_id", "text",
+      threshold = 0.7)
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(3L, 7L))
+    assert(kept.columns.toSeq == Seq("doc_id", "text")) // schema order preserved
   }
 }

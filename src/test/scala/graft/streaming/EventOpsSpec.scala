@@ -200,6 +200,59 @@ class EventOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeEventTime: a late within-watermark event bridges an in-batch gap split") {
+    import EventOps.Event
+    def ev(id: Long, t: String, user: Long, v: Double) =
+      Event(id, java.sql.Timestamp.valueOf(t), user, "click", v)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-et-bridge").toString
+    // ONE batch with a 60-minute in-batch gap: splits into two held
+    // segments. They must NOT emit yet — the next batch delivers a LATE
+    // event (10:20, within the 2 h watermark) that lands inside the gap
+    // and bridges both segments into a single session. Early Append-mode
+    // emission of the first segment would make that merge impossible.
+    val burst = Seq(
+      ev(1, "2026-01-01 10:00:00", 1L, 1.0),
+      ev(2, "2026-01-01 10:50:00", 1L, 2.0)) // 50 min after 10:00: splits
+    burst.toDF().coalesce(1).write.mode("append").parquet(dir)
+
+    val stream = spark.readStream.schema(burst.toDF().schema).parquet(dir).as[Event]
+    val q = EventOps.sessionizeEventTime(stream,
+        gapDuration = "30 minutes", watermarkDelay = "2 hours").writeStream
+      .outputMode("append").format("memory").queryName("et_bridge_out")
+      .trigger(Trigger.ProcessingTime("250 milliseconds")).start()
+    try {
+      def inputRows = q.recentProgress.map(_.numInputRows).sum
+      def awaitInput(n: Long): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (inputRows < n && System.nanoTime() < deadline) Thread.sleep(250)
+        assert(inputRows >= n, s"expected $n input rows processed")
+      }
+      awaitInput(2)
+      // 25 min from BOTH segments: only a merge of held segments can
+      // produce the single 10:00-10:50 session the batch twin computes
+      val bridge = Seq(ev(3, "2026-01-01 10:25:00", 1L, 4.0))
+      bridge.toDF().coalesce(1).write.mode("append").parquet(dir)
+      awaitInput(3)
+      // closer advances the watermark (13:00 - 2h = 11:00 ... beyond
+      // 11:00+30m only with a later ts) well past user 1's last+gap
+      val closer = Seq(ev(4, "2026-01-02 20:00:00", 2L, 0.0))
+      closer.toDF().coalesce(1).write.mode("append").parquet(dir)
+      def emitted = spark.table("et_bridge_out")
+      val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+      while (emitted.count() < 1 && System.nanoTime() < deadline) Thread.sleep(250)
+
+      val cols = Seq("user_id", "n_events", "first_ts", "last_ts", "total_value")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+      val expected = rows(EventOps.sessionizeBatch(
+        (burst ++ bridge).toDF(), gapMinutes = 30))
+      assert(rows(emitted) == expected) // ONE bridged session, 3 events
+      assert(emitted.count() == 1)
+      assert(emitted.select("n_events").as[Long].head() == 3L)
+    } finally q.stop()
+  }
+
   test("dedupStream drops within-watermark duplicates: stream == batch distinct") {
     // Two files with the SAME rows: every event arrives twice across
     // microbatch boundaries; the survivor set must equal batch distinct.
