@@ -83,6 +83,28 @@ object Writers {
 
   /** S6 JDBC sink: batched writes, no RETURNING round-trips (surrogate
     * keys are pre-assigned by [[graft.operators.SurrogateKeys]]).
+    *
+    * Upsert strategy vs the reference: etl_ui.py:508-520 does row-at-a-
+    * time `INSERT ... ON CONFLICT DO NOTHING RETURNING id` — one server
+    * round-trip per row, the reference's de-facto bottleneck and a
+    * PostgreSQL-only SQL form Spark's JDBC sink cannot emit. The port
+    * inverts it: conflicts are resolved BEFORE the write
+    * ([[graft.operators.SurrogateKeys.getOrCreate]] anti-joins incoming
+    * keys against the scanned dimension state and assigns fresh ids
+    * after the existing max), so the sink only ever appends
+    * known-novel rows in `batchsize` batches. Same end state, no
+    * per-row conflict arbitration on the server, and it works on any
+    * dialect — verified end-to-end in JdbcSpec ("dim get-or-create
+    * continues from database state"). The trade: the read-modify-write
+    * must be the only writer of the dimension during a load (the
+    * reference's Streamlit app holds the same assumption — single
+    * operator, single session).
+    *
+    * PostgreSQL type fidelity: Spark's PostgresDialect writes StringType
+    * as TEXT (not the reference DDL's VARCHAR(512) — semantically
+    * identical in PostgreSQL); pass
+    * `.option("createTableColumnTypes", "nome VARCHAR(512)")` for
+    * byte-for-byte DDL parity. Mappings pinned in JdbcSpec.
     */
   def writeJdbc(
       df: DataFrame, url: String, table: String,

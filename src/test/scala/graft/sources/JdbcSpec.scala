@@ -93,6 +93,59 @@ class JdbcSpec extends SparkSpec {
     assert(back.count() == 257)
   }
 
+  // ---- PostgreSQL dialect pinning ----------------------------------
+  // The reference's entire I/O boundary is PostgreSQL (etl_ui.py:63-67,
+  // 394-664; dw_creation.sql types VARCHAR(512)/TIMESTAMP/NUMERIC).
+  // Offline there is no server to integration-test against, so these
+  // pin the exact Spark-side dialect mappings a production run would
+  // use: what DDL `df.write.jdbc` would generate for the star schema's
+  // Catalyst types, and how the dialect quotes/casts on the read side.
+
+  test("PostgreSQL dialect: write-side DDL types for the star schema's Catalyst types") {
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import org.apache.spark.sql.types._
+    val pg = JdbcDialects.get("jdbc:postgresql://localhost:5432/fefal")
+    def ddl(dt: DataType): String =
+      pg.getJDBCType(dt)
+        .orElse(org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils.getCommonJDBCType(dt))
+        .map(_.databaseTypeDefinition)
+        .getOrElse(fail(s"no JDBC type for $dt"))
+    // dimension / fact string columns: Spark emits TEXT, not the
+    // reference DDL's VARCHAR(512) — equivalent semantics in PostgreSQL
+    // (no length check, no padding); a caller matching dw_creation.sql
+    // byte-for-byte passes .option("createTableColumnTypes",
+    // "nome VARCHAR(512)") — exercised on Derby below
+    assert(ddl(StringType) == "TEXT")
+    // dw_creation.sql's bare TIMESTAMP (no tz) is TimestampNTZType on
+    // the Spark side; session-TZ TimestampType maps to TIMESTAMPTZ — a
+    // loader matching the reference schema must write NTZ timestamps
+    assert(ddl(TimestampNTZType) == "TIMESTAMP")
+    assert(ddl(TimestampType) == "TIMESTAMP WITH TIME ZONE")
+    assert(ddl(LongType) == "BIGINT")         // surrogate ids
+    assert(ddl(IntegerType) == "INTEGER")     // ano, n_formandos
+    assert(ddl(DoubleType) == "FLOAT8")       // percentagem_preenchido
+    assert(ddl(FloatType) == "FLOAT4")
+    assert(ddl(BooleanType) == "BOOLEAN")
+    assert(ddl(BinaryType) == "BYTEA")
+    assert(ddl(DecimalType(18, 2)) == "NUMERIC(18,2)") // money-exact sums
+    assert(pg.quoteIdentifier("nome_formacao") == "\"nome_formacao\"")
+    assert(pg.isCascadingTruncateTable().contains(false))
+  }
+
+  test("createTableColumnTypes overrides DDL per column (the VARCHAR(512) parity knob)") {
+    // proven on Derby (same code path chooses the override before the
+    // dialect default): the write succeeds against the narrower type and
+    // a 512-char value round-trips intact
+    val d = Seq((1L, "x" * 512)).toDF("id_formacao", "nome_formacao")
+    d.write.mode(SaveMode.Overwrite)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("createTableColumnTypes", "nome_formacao VARCHAR(512)")
+      .jdbc(url, "dim_varchar", props)
+    val back = Writers.readJdbc(spark, url, "dim_varchar", props)
+      .as[(Long, String)].collect().toSeq
+    assert(back == Seq((1L, "x" * 512)))
+  }
+
   implicit final class Piped[A](private val a: A) {
     def pipe[B](f: A => B): B = f(a)
   }
