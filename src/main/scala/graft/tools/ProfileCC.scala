@@ -32,12 +32,15 @@ object ProfileCC {
     val edges = if (sys.env.get("CC_NO_CHAIN").isDefined) clusters
                 else clusters.union(chain)
 
+    val jumpSteps = sys.env.get("CC_JUMP_STEPS").map(_.toInt).getOrElse(2)
     val t0 = System.nanoTime()
-    val cc = graft.operators.ConnectedComponents.connectedComponents(edges)
+    val cc = graft.operators.ConnectedComponents.connectedComponents(
+      edges, jumpSteps = jumpSteps)
     val (nNodes, nComponents) = (cc.count(),
       cc.select("component").distinct().count())
     println(f"[cc] edges=$nEdges nodes=$nNodes components=$nComponents " +
-      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      f"rounds=${graft.operators.ConnectedComponents.lastRounds} " +
+      f"jumpSteps=$jumpSteps ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 }

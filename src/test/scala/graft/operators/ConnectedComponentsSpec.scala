@@ -44,6 +44,21 @@ class ConnectedComponentsSpec extends SparkSpec {
       .connectedComponents(edges.toDF("src", "dst"))
       .as[(Long, Long)].collect().toMap
     assert(got.size == 1000 && got.values.forall(_ == 1L))
+    val withJump = ConnectedComponents.lastRounds
+
+    // same chain without pointer jumping: the pure alternating-star
+    // schedule (the pre-jump baseline, ~2x contraction per round)
+    val noJump = {
+      val r = ConnectedComponents
+        .connectedComponents(edges.toDF("src", "dst"), jumpSteps = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(r == got) // identical labeling either way
+      ConnectedComponents.lastRounds
+    }
+    // path halving contracts ~4x per round vs ~2x: the adversarial
+    // diameter case must finish in at most half the rounds
+    assert(withJump * 2 <= noJump,
+      s"pointer jumping did not halve the rounds: $withJump vs $noJump")
   }
 
   test("empty edge set yields empty result") {
