@@ -43,7 +43,9 @@ object Xlsx {
   /** Raw cell grid of sheet `sheet` (1-based; driver-side). Numeric cells
     * whose style carries a date number format are surfaced as ISO strings
     * (pd.read_excel parity — etl_ui.py:861 sees datetimes, not raw
-    * serial numbers); everything else stays the literal cell text.
+    * serial numbers); everything else — including percent-styled cells,
+    * which pd.read_excel surfaces as their stored decimal, not the
+    * display text — stays the literal cell text.
     */
   def readRows(path: String, sheet: Int = 1): Vector[Array[String]] = {
     val zip = new ZipFile(path)

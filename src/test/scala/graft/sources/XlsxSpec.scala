@@ -130,6 +130,48 @@ class XlsxSpec extends SparkSpec {
     assert(rows(2).toSeq == Seq("1900-01-01", "1900-03-01 06:00:00", "0.5", "7"))
   }
 
+  test("styled date + percent cells: dates -> ISO, percent -> raw decimal (pd.read_excel parity)") {
+    // pd.read_excel (the reference's ingest, etl_ui.py:861) converts ONLY
+    // date/time-formatted cells; percent-styled cells come back as their
+    // stored decimal (0.155 for a cell displaying "15.5%"), never the
+    // display text. Pin both halves: ISO conversion for the date cell,
+    // raw pass-through for builtin (9, 10) and custom percent formats —
+    // i.e. percent formats must never be misclassified as date formats.
+    val f = Files.createTempFile("graft-pct", ".xlsx").toFile
+    val zip = new ZipOutputStream(new FileOutputStream(f))
+    def put(name: String, content: String): Unit = {
+      zip.putNextEntry(new ZipEntry(name)); zip.write(content.getBytes(StandardCharsets.UTF_8)); zip.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheets><sheet name="S" sheetId="1"/></sheets></workbook>""".stripMargin)
+    // style 0: General; 1: builtin date 14; 2: builtin percent 9 ("0%");
+    // 3: builtin percent 10 ("0.00%"); 4: custom percent "0.0%"
+    put("xl/styles.xml",
+      """<?xml version="1.0"?><styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<numFmts count="1">
+        |<numFmt numFmtId="166" formatCode="0.0%"/>
+        |</numFmts>
+        |<cellXfs count="5">
+        |<xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/>
+        |<xf numFmtId="9" applyNumberFormat="1"/><xf numFmtId="10" applyNumberFormat="1"/>
+        |<xf numFmtId="166" applyNumberFormat="1"/>
+        |</cellXfs></styleSheet>""".stripMargin)
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>data</t></is></c><c r="B1" t="inlineStr"><is><t>taxa</t></is></c><c r="C1" t="inlineStr"><is><t>taxa2</t></is></c><c r="D1" t="inlineStr"><is><t>taxa3</t></is></c></row>
+        |<row r="2"><c r="A2" s="1"><v>45658</v></c><c r="B2" s="2"><v>0.155</v></c><c r="C2" s="3"><v>0.8</v></c><c r="D2" s="4"><v>1.25</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zip.close()
+    val rows = Xlsx.readRows(f.getAbsolutePath)
+    assert(rows(1).toSeq == Seq("2025-01-01", "0.155", "0.8", "1.25"))
+    // the format classifier itself: percent codes are not dates
+    assert(!Xlsx.isDateFormat(9, None))
+    assert(!Xlsx.isDateFormat(10, None))
+    assert(!Xlsx.isDateFormat(166, Some("0.0%")))
+    assert(Xlsx.isDateFormat(14, None))
+  }
+
   test("sheet index resolves through r:id -> rels, not part numbering") {
     val f = Files.createTempFile("graft-rels", ".xlsx").toFile
     val zip = new ZipOutputStream(new FileOutputStream(f))

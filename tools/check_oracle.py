@@ -47,8 +47,14 @@ def type_family(t):
         return "hugeint"
     if t.startswith("DECIMAL"):
         return "decimal"
-    if t in ("FLOAT", "REAL", "DOUBLE"):
-        return "float"
+    # FLOAT/REAL (32-bit) kept separate from DOUBLE: the driver's int-width
+    # normalization is the only evidenced collapse; a Spark FLOAT column vs
+    # an oracle DOUBLE must trip this gate (all current oracles emit DOUBLE,
+    # so the split adds no false failures).
+    if t in ("FLOAT", "REAL"):
+        return "float32"
+    if t == "DOUBLE":
+        return "float64"
     return t
 
 
@@ -97,7 +103,14 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: exec error: {e}")
             n_bad += 1
             continue
-        mism = type_mismatches(con, out_dir, name, sql)
+        # DESCRIBE can fail independently of execution (e.g. a bad glob);
+        # count that as a per-query FAIL rather than aborting the whole run.
+        try:
+            mism = type_mismatches(con, out_dir, name, sql)
+        except Exception as e:
+            print(f"FAIL {name}: type-describe error: {e}")
+            n_bad += 1
+            continue
         if mism:
             print(f"FAIL {name}: column TYPE mismatch (driver hash is "
                   f"type-sensitive): {'; '.join(mism)}")
