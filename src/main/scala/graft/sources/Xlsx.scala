@@ -266,9 +266,9 @@ object Xlsx {
   // ---- writer (S7: the reference's multi-sheet export,
   //      etl_ui.py:2144-2159) -------------------------------------------
 
-  /** Write one DataFrame as a single-sheet workbook. Values are written
-    * as inline strings (`String.valueOf` of the cell), matching the
-    * all-string read convention; null cells are omitted.
+  /** Write one DataFrame as a single-sheet workbook. Typed columns are
+    * written as native cells ([[writeSheets]]); string columns as inline
+    * strings; null cells are omitted.
     */
   def write(df: DataFrame, path: String, sheetName: String = "Sheet1"): Unit =
     writeSheets(Seq(sheetName -> df), path)
@@ -278,8 +278,18 @@ object Xlsx {
     * artifact for humans, not cluster data); rows stream through
     * `toLocalIterator`, so only one partition is resident at a time.
     * The output is a minimal but complete OPC package ([Content_Types],
-    * rels, workbook manifest, one worksheet part per sheet) that
-    * [[read]]/[[readRows]] round-trip and spreadsheet tools accept.
+    * rels, workbook manifest, styles, one worksheet part per sheet)
+    * that [[read]]/[[readRows]] round-trip and spreadsheet tools accept.
+    *
+    * Number-format fidelity (`pd.ExcelWriter` parity, etl_ui.py:2144):
+    * typed columns become native cells, not text — numeric types are
+    * plain numeric cells, DateType/TimestampType are serial numbers
+    * carrying a builtin date (14) / datetime (22) style, so Excel shows
+    * dates and sums numbers instead of flagging "number stored as
+    * text". Non-finite doubles and pre-1900-03-01 dates (which Excel's
+    * serial scheme cannot represent unambiguously) fall back to inline
+    * text. [[read]] maps the styled serials back to the same ISO
+    * strings, so the write->read round trip is lossless either way.
     */
   def writeSheets(sheets: Seq[(String, DataFrame)], path: String): Unit = {
     require(sheets.nonEmpty, "writeSheets needs at least one sheet")
@@ -319,6 +329,7 @@ object Xlsx {
         sb ++= """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>"""
         sb ++= """<Default Extension="xml" ContentType="application/xml"/>"""
         sb ++= """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>"""
+        sb ++= """<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>"""
         (1 to n).foreach(i => sb ++=
           s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
         sb ++= "</Types>"
@@ -342,7 +353,23 @@ object Xlsx {
         sb ++= """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">"""
         (1 to n).foreach(i => sb ++=
           s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""")
+        sb ++= s"""<Relationship Id="rId${n + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>"""
         sb ++= "</Relationships>"
+      }
+      // style 0: General; 1: builtin date (14); 2: builtin datetime (22)
+      // — the same indices StyleDate/StyleDateTime below write on cells
+      entry("xl/styles.xml") { sb =>
+        sb ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
+        sb ++= """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">"""
+        sb ++= """<fonts count="1"><font/></fonts>"""
+        sb ++= """<fills count="1"><fill><patternFill patternType="none"/></fill></fills>"""
+        sb ++= """<borders count="1"><border/></borders>"""
+        sb ++= """<cellStyleXfs count="1"><xf numFmtId="0"/></cellStyleXfs>"""
+        sb ++= """<cellXfs count="3">"""
+        sb ++= """<xf numFmtId="0" fontId="0" fillId="0" borderId="0" xfId="0"/>"""
+        sb ++= """<xf numFmtId="14" fontId="0" fillId="0" borderId="0" xfId="0" applyNumberFormat="1"/>"""
+        sb ++= """<xf numFmtId="22" fontId="0" fillId="0" borderId="0" xfId="0" applyNumberFormat="1"/>"""
+        sb ++= """</cellXfs></styleSheet>"""
       }
       sheets.zipWithIndex.foreach { case ((_, df), i) =>
         out.putNextEntry(new java.util.zip.ZipEntry(s"xl/worksheets/sheet${i + 1}.xml"))
@@ -350,13 +377,46 @@ object Xlsx {
           out, java.nio.charset.StandardCharsets.UTF_8))
         w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
         w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+        def text(rowIdx: Int, c: Int, v: Any): Unit = {
+          w.write(s"""<c r="${colName(c)}$rowIdx" t="inlineStr"><is><t>""")
+          w.write(escapeXml(String.valueOf(v)))
+          w.write("</t></is></c>")
+        }
+        def num(rowIdx: Int, c: Int, v: String, style: Int): Unit = {
+          val s = if (style > 0) s""" s="$style"""" else ""
+          w.write(s"""<c r="${colName(c)}$rowIdx"$s><v>$v</v></c>""")
+        }
         def writeRow(rowIdx: Int, cells: Seq[Any]): Unit = {
           w.write(s"""<row r="$rowIdx">""")
           cells.zipWithIndex.foreach { case (v, c) =>
-            if (v != null) {
-              w.write(s"""<c r="${colName(c)}$rowIdx" t="inlineStr"><is><t>""")
-              w.write(escapeXml(String.valueOf(v)))
-              w.write("</t></is></c>")
+            v match {
+              case null =>
+              case n: java.lang.Byte => num(rowIdx, c, n.toString, 0)
+              case n: java.lang.Short => num(rowIdx, c, n.toString, 0)
+              case n: java.lang.Integer => num(rowIdx, c, n.toString, 0)
+              case n: java.lang.Long => num(rowIdx, c, n.toString, 0)
+              case n: java.lang.Float if !n.isNaN && !n.isInfinite =>
+                num(rowIdx, c, n.toString, 0)
+              case n: java.lang.Double if !n.isNaN && !n.isInfinite =>
+                num(rowIdx, c, n.toString, 0)
+              case n: java.math.BigDecimal =>
+                // Spark widens decimals (e.g. to (38,18)); the padded
+                // zeros are representation, not value — strip them
+                num(rowIdx, c, n.stripTrailingZeros.toPlainString, 0)
+              case d: java.sql.Date =>
+                dateToSerial(d.toLocalDate) match {
+                  case Some(serial) => num(rowIdx, c, serial.toString, StyleDate)
+                  case None => text(rowIdx, c, d) // pre-1900: no valid serial
+                }
+              case t: java.sql.Timestamp =>
+                val ldt = t.toLocalDateTime
+                dateToSerial(ldt.toLocalDate) match {
+                  case Some(serial) =>
+                    val frac = ldt.toLocalTime.toSecondOfDay / 86400.0
+                    num(rowIdx, c, f"${serial + frac}%.10f", StyleDateTime)
+                  case None => text(rowIdx, c, IsoDateTimeFmt.format(ldt))
+                }
+              case other => text(rowIdx, c, other)
             }
           }
           w.write("</row>")
@@ -370,6 +430,21 @@ object Xlsx {
         out.closeEntry()
       }
     } finally out.close()
+  }
+
+  /** cellXfs indices the writer's styles part defines. */
+  private val StyleDate = 1     // numFmtId 14: "m/d/yy"
+  private val StyleDateTime = 2 // numFmtId 22: "m/d/yy h:mm"
+
+  /** Excel 1900-system serial for a date, inverse of [[serialToIso]]'s
+    * >=61 branch (days since 1899-12-30). Dates before 1900-03-01 sit in
+    * the phantom-leap-day ambiguity zone — no faithful serial exists, so
+    * the writer falls back to text (None).
+    */
+  private[sources] def dateToSerial(d: java.time.LocalDate): Option[Long] = {
+    val serial = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.of(1899, 12, 30), d)
+    if (serial >= 61) Some(serial) else None
   }
 
   /** A1-style column name from a 0-based index (54 -> "BC"); inverse of

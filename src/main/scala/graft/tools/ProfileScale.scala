@@ -23,19 +23,30 @@ import org.apache.spark.sql.functions._
   */
 object ProfileScale {
 
-  private val Alpha = "aeioubcdfglmnprst" // 17 chars -> 17 distinct rotations
+  // Rotating only a subset of characters leaves translate-invariant
+  // texts (digit-only ids, ALL-CAPS strings — shingling lowercases, so
+  // unrotated uppercase collapses onto the original's shingles)
+  // byte-identical across copies, and those pair QUADRATICALLY in the
+  // cross-corpus dedup — measured: pairs grew 120 -> 1824 -> 4509 at
+  // factors 1/4/10 instead of ~linear. Rotate lower, UPPER (same
+  // rotation, so case-folding preserves the de-correlation) and digits.
+  private val Letters = "abcdefghijklmnopqrstuvwxyz"
+  private val Uppers = Letters.toUpperCase(java.util.Locale.ROOT)
+  private val Digits = "0123456789"
 
   /** sf0.1 documents, `factor`-way replicated with disjoint ids and
-    * per-copy de-correlated text.
+    * per-copy de-correlated text (length and token shape preserved).
     */
   def scaled(spark: SparkSession, sfDir: String, factor: Int): DataFrame = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val span = docs.agg(max("doc_id")).head.getLong(0) + 1
     (0 until factor).map { k =>
-      val rot = Alpha.drop(k % Alpha.length) + Alpha.take(k % Alpha.length)
+      def rot(a: String, by: Int) = a.drop(by % a.length) + a.take(by % a.length)
+      val from = Letters + Uppers + Digits
+      val to = rot(Letters, k) + rot(Uppers, k) + rot(Digits, k)
       docs.select(
         (col("doc_id") + lit(k * span)).as("doc_id"),
-        (if (k == 0) col("text") else translate(col("text"), Alpha, rot)).as("text"),
+        (if (k == 0) col("text") else translate(col("text"), from, to)).as("text"),
         col("lang"))
     }.reduce(_ union _)
   }
@@ -65,7 +76,9 @@ object ProfileScale {
       (n, cold, warm)
     }
 
+    val only = sys.env.get("PROFILE_ONLY") // "q51" | "q56" | unset = both
     factors.foreach { f =>
+      if (only.forall(_ == "q51")) {
       val (n51, cold51, warm51) = timed { s =>
         val docs = scaled(s, sfDir, f)
         graft.operators.Contamination.ngramContamination(
@@ -74,15 +87,27 @@ object ProfileScale {
           idCol = "doc_id", textCol = "text", n = 13)
       }
       println(f"PROFILE q51_contamination factor=$f rows=$n51 cold=$cold51%.1f warm=$warm51%.1f")
+      }
+      if (only.forall(_ == "q56")) {
       val (n56, cold56, warm56) = timed { s =>
         val docs = scaled(s, sfDir, f)
+        // maxDocFreqRatio=1.0 (no DF stop set): the stop policy is
+        // RELATIVE to corpus size, and rotation-scaling dilutes every
+        // shingle's union-wide DF ratio (a stopped shingle's f rotated
+        // preimages average back under the 50% bar), so the f>1 corpora
+        // would silently run un-pruned against a pruned f=1 baseline —
+        // measured as superlinear pair growth (120 -> 1833 -> 4580 at
+        // 1/4/10) from reinstated common shingles, not real dups.
+        // Disabling the prune at every factor keeps the policy constant;
+        // the bucket cap still bounds the quadratic step.
         graft.operators.TextDedup.minHashLshPairsAgainst(
           docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 =!= 0),
           idCol = "doc_id", textCol = "text",
           n = 3, numPerm = 64, bands = 16, threshold = 0.7,
-          portableHash = true)
+          maxDocFreqRatio = 1.0, portableHash = true)
       }
       println(f"PROFILE q56_dedup_against factor=$f rows=$n56 cold=$cold56%.1f warm=$warm56%.1f")
+      }
     }
     root.stop()
   }

@@ -235,6 +235,44 @@ class XlsxSpec extends SparkSpec {
     assert(b2.count() == 2)
   }
 
+  test("typed columns export as native cells and round-trip through read") {
+    // pd.ExcelWriter parity (etl_ui.py:2144): numbers become numeric
+    // cells, dates/timestamps become styled serials — not text. Our
+    // reader then surfaces the date serials as the same ISO strings the
+    // pandas reader would, so write->read is lossless.
+    import spark.implicits._
+    val f = Files.createTempFile("graft-typed", ".xlsx").toString
+    val df = Seq(
+      (80L, 42.5, java.math.BigDecimal.valueOf(123450, 2) /* 1234.50 */,
+        java.sql.Date.valueOf("2025-01-01"),
+        java.sql.Timestamp.valueOf("2025-01-01 12:34:56"), "texto"),
+      (-3L, Double.NaN, java.math.BigDecimal.ONE,
+        java.sql.Date.valueOf("1899-06-15"), // pre-1900: no valid serial
+        java.sql.Timestamp.valueOf("2026-08-12 00:00:00"), null))
+      .toDF("n", "x", "dec", "dia", "quando", "nome")
+    Xlsx.write(df, f)
+
+    // raw grid: date/timestamp cells must be SERIALS with a date style,
+    // numerics plain <v> — assert through the reader's style mapping
+    val rows = Xlsx.readRows(f)
+    assert(rows(0).toSeq == Seq("n", "x", "dec", "dia", "quando", "nome"))
+    assert(rows(1).toSeq == Seq("80", "42.5", "1234.5", "2025-01-01",
+      "2025-01-01 12:34:56", "texto"))
+    // NaN and the pre-1900 date fall back to text; midnight timestamp
+    // reads back date-only (serialToIso whole-day rule)
+    assert(rows(2).toSeq == Seq("-3", "NaN", "1", "1899-06-15", "2026-08-12"))
+
+    // and the sheet XML really does carry serials, not text, for dates
+    val zip = new java.util.zip.ZipFile(f)
+    val sheet = try {
+      val e = zip.getEntry("xl/worksheets/sheet1.xml")
+      new String(zip.getInputStream(e).readAllBytes(), StandardCharsets.UTF_8)
+    } finally zip.close()
+    assert(sheet.contains("""<c r="D2" s="1"><v>45658</v></c>"""))
+    assert(sheet.contains("""<c r="A2"><v>80</v></c>"""))
+    assert(!sheet.contains("2025-01-01</t>")) // the date is not text
+  }
+
   test("phantom leap day: serials 59/60/61 follow openpyxl collapse") {
     import graft.sources.Xlsx
     assert(Xlsx.serialToIso("59") == Some("1900-02-28"))
