@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Cols
 import graft.multimodal.Multimodal
-import graft.operators.{ConnectedComponents, Contamination, Dedup, IvfCentroids, Packing, Sampling, EntityResolution, Reshape, Similarity, SurrogateKeys, TextAnalysis, TextDedup}
+import graft.operators.{ConnectedComponents, Contamination, CorpusFilters, Dedup, IvfCentroids, Packing, Sampling, EntityResolution, Reshape, Similarity, SurrogateKeys, TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1573,12 +1573,101 @@ object SparkEntry {
              |       ELSE token_start // 512 END AS BIGINT) AS chunk_last
              |FROM c2 ORDER BY doc_id""".stripMargin))
 
+    /** C4/Gopher heuristic document filters: the per-rule signals plus
+      * the composite keep gate, one kernel pass per row
+      * ([[CorpusFilters.heuristicSignals]]; the expression twin is the
+      * oracle recipe, parity-pinned in CorpusFiltersSpec).
+      */
+    private val q58 = Q(
+      "q58_heuristic_filter",
+      (s, dir) => CorpusFilters.heuristicFilter(
+          t(s, dir, "documents"), idCol = "doc_id", textCol = "text")
+        .orderBy("doc_id"),
+      Some("""WITH base AS (
+             |  SELECT doc_id, text,
+             |    CASE WHEN text IS NULL THEN []
+             |         ELSE list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+             |                          l -> l <> '') END AS lines,
+             |    CASE WHEN text IS NULL OR trim(text) = '' THEN []
+             |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS toks
+             |  FROM documents),
+             |sig AS (
+             |  SELECT doc_id, text,
+             |    CAST(len(lines) AS BIGINT) AS n_lines,
+             |    CAST(len(toks) AS BIGINT) AS word_count,
+             |    len(list_filter(lines, l -> regexp_matches(l, '[.!?"”]$'))) AS term_lines,
+             |    len(list_filter(lines, l -> regexp_matches(l, '^[-*•]'))) AS bullet_lines,
+             |    len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS ellipsis_lines,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(toks, w -> CAST(length(w) AS BIGINT))), (a, v) -> a + v) AS char_sum,
+             |    len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS alpha_words,
+             |    (length(text) - length(replace(text, '#', ''))) +
+             |    (length(text) - length(replace(text, '…', ''))) +
+             |    (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) // 3 AS symbols,
+             |    CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END AS has_lorem,
+             |    CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS has_brace,
+             |    CASE WHEN contains(lower(text), 'javascript') THEN 1 ELSE 0 END AS has_javascript
+             |  FROM base),
+             |r AS (
+             |  SELECT doc_id, n_lines, word_count, has_lorem, has_brace, has_javascript,
+             |    CASE WHEN n_lines > 0 THEN CAST(term_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS terminal_punct_ratio,
+             |    CASE WHEN n_lines > 0 THEN CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS bullet_line_ratio,
+             |    CASE WHEN n_lines > 0 THEN CAST(ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS ellipsis_line_ratio,
+             |    CASE WHEN word_count > 0 THEN CAST(char_sum AS DOUBLE) / CAST(word_count AS DOUBLE) ELSE 0.0 END AS mean_word_len,
+             |    CASE WHEN word_count > 0 THEN CAST(alpha_words AS DOUBLE) / CAST(word_count AS DOUBLE) ELSE 0.0 END AS alpha_word_ratio,
+             |    CASE WHEN word_count > 0 THEN CAST(symbols AS DOUBLE) / CAST(word_count AS DOUBLE) ELSE 0.0 END AS symbol_word_ratio
+             |  FROM sig)
+             |SELECT doc_id, n_lines, terminal_punct_ratio, bullet_line_ratio,
+             |  ellipsis_line_ratio, word_count, mean_word_len, alpha_word_ratio,
+             |  symbol_word_ratio, has_lorem, has_brace, has_javascript,
+             |  CASE WHEN word_count BETWEEN 50 AND 100000
+             |        AND mean_word_len BETWEEN 3.0 AND 10.0
+             |        AND symbol_word_ratio < 0.1
+             |        AND bullet_line_ratio <= 0.9
+             |        AND ellipsis_line_ratio <= 0.3
+             |        AND alpha_word_ratio >= 0.8
+             |        AND has_lorem = 0 AND has_brace = 0 AND has_javascript = 0
+             |       THEN 1 ELSE 0 END AS keep
+             |FROM r ORDER BY doc_id""".stripMargin))
+
+    /** Deterministic corpus mixing to target domain proportions
+      * ([[Sampling.mixToWeights]]): weights en:0.5 / es:0.3 / de:0.2 —
+      * scale-free, the binding domain keeps all rows, everything else
+      * is cut by the same md5-bucket rule as q52, so membership replays
+      * exactly in SQL.
+      */
+    private val q59 = Q(
+      "q59_mix_weights",
+      (s, dir) => Sampling.mixToWeights(
+          t(s, dir, "documents"),
+          idCol = "doc_id", domainCol = "lang",
+          weights = Map("en" -> 0.5, "es" -> 0.3, "de" -> 0.2))
+        .select($"doc_id", $"lang")
+        .orderBy("doc_id"),
+      Some("""WITH w(lang, wt) AS (VALUES
+             |    ('de', CAST(0.2 AS DOUBLE)), ('en', CAST(0.5 AS DOUBLE)),
+             |    ('es', CAST(0.3 AS DOUBLE))),
+             |cnt AS (
+             |  SELECT d.lang, wt, CAST(count(*) AS DOUBLE) AS n
+             |  FROM documents d JOIN w ON w.lang = d.lang
+             |  GROUP BY d.lang, wt),
+             |t AS (SELECT min(n / wt) AS T FROM cnt),
+             |thr AS (
+             |  SELECT lang, floor(10000.0 * wt * (SELECT T FROM t) / n) AS th
+             |  FROM cnt)
+             |SELECT d.doc_id, d.lang
+             |FROM documents d
+             |JOIN thr ON thr.lang = d.lang
+             |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < thr.th
+             |ORDER BY d.doc_id""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
       q21, q22, q23, q24, q24b, q25, q26, q27, q28, q29, q30,
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-      q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57)
+      q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
+      q58, q59)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

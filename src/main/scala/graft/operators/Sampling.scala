@@ -58,4 +58,44 @@ object Sampling {
     }
     df.filter(hashBucket(col(idCol)) < threshold)
   }
+
+  /** Down-sample to target domain PROPORTIONS (the DoReMi-style
+    * training-mix step): keep the largest corpus whose domain mix
+    * matches `weights`, never up-sampling. Weights are relative (scale
+    * cancels out of the rate formula, so no float-order-sensitive
+    * normalization exists anywhere): with T = min over weighted
+    * domains of count_d / w_d, each domain keeps
+    * floor(Buckets * w_d * T / count_d) of its hash buckets — the
+    * binding domain keeps everything, every other domain is cut to
+    * proportion. Domains absent from `weights` are dropped.
+    *
+    * Plan shape at 100 TB: one dimension-sized groupBy for the domain
+    * counts, a 1-row global min broadcast back (the A1 rescale
+    * pattern — never a partition-less window), and the per-row
+    * keep/drop is the same retry-idempotent md5 bucket as
+    * [[hashSample]], evaluated scan-side after a broadcast join of the
+    * per-domain thresholds. The corpus itself shuffles zero times.
+    */
+  def mixToWeights(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "mixToWeights needs at least one domain weight")
+    weights.values.foreach(w => require(w > 0, s"weights must be positive: $w"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wDf = weights.toSeq.sortBy(_._1).toDF(domainCol, "__w")
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .join(broadcast(wDf), domainCol)
+    val tRow = counts.select(min(col("__n") / col("__w")).as("__T"))
+    val thresholds = counts.crossJoin(broadcast(tRow))
+      .select(col(domainCol),
+        floor(lit(Buckets.toDouble) * col("__w") * col("__T") / col("__n"))
+          .as("__thr"))
+    df.join(broadcast(thresholds), Seq(domainCol))
+      .filter(hashBucket(col(idCol)) < col("__thr"))
+      .select(df.columns.map(col): _*)
+  }
 }

@@ -108,6 +108,14 @@ class PlanSpec extends SparkSpec {
       "sanity: the dense path should plan the (documented) partition-less window")
   }
 
+  test("corpus mixing: thresholds broadcast, corpus never sort-merge-joined") {
+    val q = SparkEntry.queries("q59_mix_weights")(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "per-domain thresholds must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus side must not shuffle for the threshold join:\n$plan")
+  }
+
   test("normalize runs as a native expression, not a UDF") {
     val q = SparkEntry.queries("q14_normalize_text")(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString

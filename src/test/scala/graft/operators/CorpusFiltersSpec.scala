@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusFiltersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cases = Seq(
+    (1L, "A plain paragraph that ends properly. " * 20 + "\nAnd a second line!"),
+    (2L, null),
+    (3L, ""),
+    (4L, "- bullet one\n- bullet two\n* bullet three\n• bullet four"),
+    (5L, "to be continued...\nor with the unicode char…\nplain end."),
+    (6L, "function f() { return 1; } // JavaScript snippet"),
+    (7L, "Lorem ipsum dolor sit amet, consectetur adipiscing elit. " * 10),
+    (8L, "### markdown #### headers ##### everywhere"),
+    (9L, "1234 5678 !!! ??? +++ --- 9999"), // no alphabetic words
+    (10L, "word " * 60), // 60 words, all 4-char, no punct
+    (11L, "  spaced   out\ttabs\nand lines  "),
+    (12L, "......" + " six dots then words" * 30),
+    (13L, "Um parágrafo acentuado çãé. " * 20)) // accented-only words count via ASCII rule
+
+  test("kernel signals == expression twin on crafted edges + corpus sample") {
+    val edge = cases.toDF("doc_id", "text")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    for (df <- Seq(edge, corpus)) {
+      val kern = CorpusFilters.heuristicFilter(df, "doc_id", "text")
+      val exprd = df.select(
+        col("doc_id") +: CorpusFilters.heuristicSignalsExpr(col("text"))
+          .map { case (n, c) => c.as(n) }: _*)
+      val mismatches = kern.exceptAll(exprd).count() + exprd.exceptAll(kern).count()
+      assert(mismatches == 0, s"kernel/expr divergence on ${df.schema}")
+    }
+  }
+
+  test("rule battery fires on the right documents") {
+    val out = CorpusFilters.heuristicFilter(cases.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("keep") == 1)
+    assert(out(2L).getAs[Int]("keep") == 0) // null
+    assert(out(3L).getAs[Int]("keep") == 0) // empty
+    assert(out(4L).getAs[Double]("bullet_line_ratio") == 1.0)
+    assert(out(5L).getAs[Double]("ellipsis_line_ratio") == 2.0 / 3.0)
+    assert(out(6L).getAs[Int]("has_brace") == 1)
+    assert(out(6L).getAs[Int]("has_javascript") == 1)
+    assert(out(7L).getAs[Int]("has_lorem") == 1)
+    assert(out(7L).getAs[Int]("keep") == 0)
+    assert(out(8L).getAs[Double]("symbol_word_ratio") > 0.1)
+    assert(out(9L).getAs[Double]("alpha_word_ratio") == 0.0)
+    assert(out(10L).getAs[Int]("keep") == 1) // 60 words, mean len 4
+    assert(out(10L).getAs[Long]("word_count") == 60L)
+    assert(out(12L).getAs[Double]("symbol_word_ratio") > 0.0) // "......" = 2 runs
+    assert(out(13L).getAs[Int]("keep") == 0) // ASCII alpha rule: 'çãé.' words still count via other chars
+  }
+
+  test("mixToWeights hits target proportions, binding domain keeps all") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val weights = Map("en" -> 0.5, "es" -> 0.3, "de" -> 0.2)
+    val mixed = Sampling.mixToWeights(docs, "doc_id", "lang", weights)
+    val got = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == weights.keySet) // unweighted langs dropped
+    // binding domain: min(count/w) over en:218 es:73 de:70 -> es binds
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val binding = weights.keys.minBy(d => counts(d) / weights(d))
+    assert(got(binding) == counts(binding))
+    // achieved mix within hash-bucket quantization of the target
+    val total = got.values.sum.toDouble
+    weights.foreach { case (d, w) =>
+      val target = w / weights.values.sum
+      assert(math.abs(got(d) / total - target) < 0.05,
+        s"$d: got ${got(d) / total}, want ~$target")
+    }
+    // deterministic: rerun is identical
+    val again = Sampling.mixToWeights(docs, "doc_id", "lang", weights)
+    assert(mixed.exceptAll(again).count() == 0 && again.exceptAll(mixed).count() == 0)
+  }
+}
