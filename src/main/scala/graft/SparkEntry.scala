@@ -1661,13 +1661,80 @@ object SparkEntry {
              |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < thr.th
              |ORDER BY d.doc_id""".stripMargin))
 
+    /** Survivorship policy on near-dup clusters: same cluster machinery
+      * as q50, but the canonical member is elected by max quality score
+      * (ties -> least id) instead of least id — the keep-the-best-copy
+      * rule ([[ConnectedComponents.canonicalizeBy]]). Cluster identity
+      * (least id) is unchanged, so q50 and q60 agree on clusters and
+      * differ only in who survives.
+      */
+    private val q60 = Q(
+      "q60_canonicalize_best",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter($"doc_id" < 100)
+        val scored = docs.select($"doc_id",
+          TextAnalysis.qualityScore($"text").as("quality"))
+        val pairs = TextDedup.ngramJaccardPairs(
+          docs, idCol = "doc_id", textCol = "text", n = 3,
+          threshold = 0.60, blockCols = Seq("lang"))
+        ConnectedComponents
+          .canonicalizeBy(scored, pairs, "doc_id", "quality")
+          .select($"doc_id", $"cluster_id", $"cluster_size", $"quality",
+            $"is_canonical")
+          .orderBy("doc_id")
+      },
+      Some {
+        val allStops = TextAnalysis.stopwords.flatMap(_._2).distinct
+          .map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH RECURSIVE sh AS (
+           |  SELECT doc_id, lang,
+           |    list_distinct([substr(lower(text), i, 3)
+           |                   FOR i IN range(1, greatest(length(text) - 2, 0) + 1)]) AS g
+           |  FROM documents WHERE doc_id < 100),
+           |pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+           |        / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.60),
+           |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+           |          UNION SELECT id_b, id_a FROM pairs),
+           |reach(id, lbl) AS (
+           |  SELECT doc_id, doc_id FROM sh
+           |  UNION
+           |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v),
+           |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+           |q AS (
+           |  SELECT doc_id,
+           |    CASE WHEN text IS NULL OR len(toks) = 0 THEN 0.0
+           |         ELSE 0.5 * least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
+           |            + 0.3 * least(CAST(len(list_intersect(list_distinct(toks), $allStops)) AS DOUBLE) / 4.0, 1.0)
+           |            + 0.2 * (1.0 - CASE WHEN len(toks) > 0
+           |                THEN least(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+           |                           / CAST(len(toks) AS DOUBLE), 1.0)
+           |                ELSE 1.0 END)
+           |    END AS quality
+           |  FROM (SELECT doc_id, text,
+           |          CASE WHEN text IS NULL OR trim(text) = '' THEN []
+           |               ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+           |        FROM documents WHERE doc_id < 100)),
+           |r AS (
+           |  SELECT cc.id AS doc_id, cc.cluster_id, q.quality,
+           |    row_number() OVER (PARTITION BY cc.cluster_id
+           |                       ORDER BY q.quality DESC, cc.id) AS rn,
+           |    count(*) OVER (PARTITION BY cc.cluster_id) AS cluster_size
+           |  FROM cc JOIN q ON q.doc_id = cc.id)
+           |SELECT doc_id, cluster_id, cluster_size, quality,
+           |  CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_canonical
+           |FROM r ORDER BY doc_id""".stripMargin
+      })
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
       q21, q22, q23, q24, q24b, q25, q26, q27, q28, q29, q30,
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
-      q58, q59)
+      q58, q59, q60)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

@@ -201,4 +201,44 @@ object ConnectedComponents {
         "is_canonical",
         when(col(idCol) === $"cluster_id", lit(1)).otherwise(lit(0)))
   }
+
+  /** [[canonicalize]] with a SURVIVORSHIP POLICY: per duplicate
+    * cluster, the canonical member is the one with the highest
+    * `scoreCol` (ties broken by least id) instead of the least id —
+    * the keep-the-best-copy rule corpus curation actually wants (drop
+    * the truncated/boilerplate variant, keep the clean one).
+    * `cluster_id` stays the least DOC id so cluster identity is stable
+    * across policies; only the elected survivor changes.
+    *
+    * The election is one `max(struct(score, -id))` per cluster —
+    * partial-aggregatable (map-side combine), so a pathologically hot
+    * cluster costs a merge of per-partition maxima, never a per-group
+    * sort; no window over the corpus. Same ghost-id grounding as
+    * [[canonicalize]]: survivors are elected among rows of `docs` only.
+    */
+  def canonicalizeBy(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cc = connectedComponents(pairs, aCol, bCol)
+    val labeled = docs
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("__comp", coalesce($"component", col(idCol)))
+      .drop("component")
+    val groups = labeled.groupBy($"__comp")
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        min(col(idCol)).as("cluster_id"),
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("nid"))).as("__best"))
+    labeled.join(groups, "__comp")
+      .withColumn(
+        "is_canonical",
+        when(col(idCol) === -$"__best.nid", lit(1)).otherwise(lit(0)))
+      .drop("__comp", "__best")
+  }
 }

@@ -102,4 +102,32 @@ class ConnectedComponentsSpec extends SparkSpec {
     // every cluster has exactly one canonical member
     assert(got.groupBy(_._2).forall { case (_, rows) => rows.count(_._4 == 1) == 1 })
   }
+
+  test("canonicalizeBy elects the best-scored member; ties fall to least id") {
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.9), (5L, 0.9), (7L, 0.1), // cluster {2,5,7}: tie 2 vs 5 -> 2
+      (3L, 0.1), (4L, 0.8))                       // cluster {3,4}: 4 wins on score
+      .toDF("doc_id", "quality")
+    val pairs = Seq((2L, 5L), (5L, 7L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = ConnectedComponents.canonicalizeBy(docs, pairs, "doc_id", "quality")
+      .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._1)
+    val want = Seq(
+      (1L, 1L, 1L, 1), (2L, 2L, 3L, 1), (3L, 3L, 2L, 0), (4L, 3L, 2L, 1),
+      (5L, 2L, 3L, 0), (7L, 2L, 3L, 0))
+    assert(got.toSeq == want)
+    // cluster labels agree with the min-id policy; only survivors differ
+    val minId = ConnectedComponents.canonicalize(docs, pairs, "doc_id")
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(got.forall { case (id, cid, _, _) => minId(id) == cid })
+  }
+
+  test("canonicalizeBy keeps ghost-id grounding: survivor elected among real docs") {
+    val docs = Seq((2L, 0.1), (3L, 0.5), (5L, 0.9)).toDF("doc_id", "quality")
+    val pairs = Seq((0L, 2L), (2L, 5L)).toDF("id_a", "id_b")
+    val got = ConnectedComponents.canonicalizeBy(docs, pairs, "doc_id", "quality")
+      .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((2L, 2L, 2L, 0), (3L, 3L, 1L, 1), (5L, 2L, 2L, 1)))
+  }
 }
