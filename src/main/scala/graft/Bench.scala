@@ -94,10 +94,19 @@ object Bench {
       System.gc()
       (secs, err)
     }
+    // Cold+warm like the queries: the first pipeline run pays the star
+    // loader's one-time codegen, which would otherwise bill whichever
+    // strategy happens to run first (measured 15.6 vs 11.0 s for
+    // identical work when only the scalable run was cold).
+    def warmPipeline1m(s: graft.etl.StarLoader.IdStrategy): (Double, Option[String]) = {
+      val (_, coldErr) = runPipeline1m(s)
+      val (warmSecs, warmErr) = runPipeline1m(s)
+      (warmSecs, coldErr.orElse(warmErr))
+    }
     val (pipeline1m, pipelineErr) =
-      runPipeline1m(graft.etl.StarLoader.ScalableIds)
+      warmPipeline1m(graft.etl.StarLoader.ScalableIds)
     val (pipeline1mDense, pipelineDenseErr) =
-      runPipeline1m(graft.etl.StarLoader.DenseIds)
+      warmPipeline1m(graft.etl.StarLoader.DenseIds)
 
     // curate_docs: the composed training-data pipeline (annotate ->
     // exact dedup -> LSH near-dup canonicalize -> decontaminate ->
