@@ -1653,7 +1653,8 @@ object SparkEntry {
              |  GROUP BY d.lang, wt),
              |t AS (SELECT min(n / wt) AS T FROM cnt),
              |thr AS (
-             |  SELECT lang, floor(10000.0 * wt * (SELECT T FROM t) / n) AS th
+             |  SELECT lang, CASE WHEN n / wt = (SELECT T FROM t) THEN 10000
+             |               ELSE floor(10000.0 * wt * (SELECT T FROM t) / n) END AS th
              |  FROM cnt)
              |SELECT d.doc_id, d.lang
              |FROM documents d

@@ -76,7 +76,10 @@ object CorpusFilters {
         var ti = 0
         while (ti < toks.length) {
           val w = toks(ti)
-          charSum += w.length
+          // codepoints, not UTF-16 units: Spark length()/DuckDB length()
+          // count an astral-plane char (emoji) as 1 where String.length
+          // says 2, and the expression twin must stay bit-identical
+          charSum += w.codePointCount(0, w.length)
           var ci = 0
           var hasAlpha = false
           while (ci < w.length && !hasAlpha) {

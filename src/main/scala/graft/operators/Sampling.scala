@@ -90,9 +90,16 @@ object Sampling {
       .agg(count(lit(1)).cast("double").as("__n"))
       .join(broadcast(wDf), domainCol)
     val tRow = counts.select(min(col("__n") / col("__w")).as("__T"))
+    // The binding domain (n/w == T, an exact double comparison against
+    // its own division) gets the full bucket range explicitly:
+    // floor(Buckets*w*(n/w)/n) rounds to Buckets-1 for ~12% of (n, w)
+    // pairs, which would silently drop one bucket of rows the contract
+    // says are all kept.
     val thresholds = counts.crossJoin(broadcast(tRow))
       .select(col(domainCol),
-        floor(lit(Buckets.toDouble) * col("__w") * col("__T") / col("__n"))
+        when(col("__n") / col("__w") === col("__T"), lit(Buckets.toLong))
+          .otherwise(
+            floor(lit(Buckets.toDouble) * col("__w") * col("__T") / col("__n")))
           .as("__thr"))
     df.join(broadcast(thresholds), Seq(domainCol))
       .filter(hashBucket(col(idCol)) < col("__thr"))

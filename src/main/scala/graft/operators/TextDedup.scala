@@ -385,8 +385,8 @@ object TextDedup {
     * — the rows safe to append to the corpus. Exact-text duplicates are
     * near-dups at any threshold, so they are dropped too — including
     * texts shorter than `n`, which shingle to the empty set and are
-    * invisible to the LSH path (Jaccard 0); a direct anti-join on the
-    * raw text catches them. Residual scope: a short text that is a
+    * invisible to the LSH path (Jaccard 0); an anti-join on the text's
+    * md5 digest catches them. Residual scope: a short text that is a
     * NEAR-dup (not byte-identical) of an existing short text has no
     * shingles to compare and survives — below `n` characters there is
     * no n-gram signal to rank it by.
@@ -406,12 +406,18 @@ object TextDedup {
     val dupIds = pairs.select(col("id_incoming").as(idCol))
       .distinct().localCheckpoint()
     pairs.unpersist()
-    // one extra shuffle on the text key, same scale class as the LSH
-    // pipeline's own shuffles; existing side prunes to the text column
+    // exact-text match via md5 of the text, not the raw text: the
+    // anti-join then shuffles 32-byte digests instead of full document
+    // bodies (the LSH path's own shuffles are signatures/shingle
+    // hashes, and this join must stay in that scale class at 100 TB).
+    // A false drop needs an md5 collision (~2^-128); null-text incoming
+    // rows keep their null join key and survive, as before.
+    val exTextHashes = existing
+      .select(md5(col(textCol)).as("__th")).na.drop().distinct()
     incoming.join(dupIds, Seq(idCol), "left_anti")
-      .join(existing.select(col(textCol)).na.drop().distinct(),
-        Seq(textCol), "left_anti")
-      .select(incoming.columns.map(col): _*) // USING reorders; restore
+      .withColumn("__th", md5(col(textCol)))
+      .join(exTextHashes, Seq("__th"), "left_anti")
+      .select(incoming.columns.map(col): _*) // drop __th; restore order
   }
 
   /** DataFrame-only view of [[minHashLshDedup]] (call `.unpersist()` on

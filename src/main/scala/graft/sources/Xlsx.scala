@@ -231,26 +231,31 @@ object Xlsx {
       stripped.exists(ch => "ymdhsYMDHS".indexOf(ch.toInt) >= 0)
     }
 
-  /** Excel serial date -> ISO string ("yyyy-MM-dd" for whole days, else
-    * "yyyy-MM-dd HH:mm:ss", rounded to the second). 1900 date system
-    * with openpyxl's phantom-leap-day convention (what `pd.read_excel`
-    * sees): serials below 60 are offset from 1899-12-31; 60 and up from
-    * 1899-12-30, so the phantom 1900-02-29 (serial 60) collapses onto
-    * 1900-02-28 exactly as openpyxl's `from_excel(60)` does.
+  /** Excel serial date -> ISO string ("yyyy-MM-dd" for whole days,
+    * "yyyy-MM-dd HH:mm:ss" for whole seconds, else with ".SSS" —
+    * rounded to the millisecond, the finest unit a day-fraction double
+    * reliably carries). 1900 date system with openpyxl's
+    * phantom-leap-day convention (what `pd.read_excel` sees): serials
+    * below 60 are offset from 1899-12-31; 60 and up from 1899-12-30,
+    * so the phantom 1900-02-29 (serial 60) collapses onto 1900-02-28
+    * exactly as openpyxl's `from_excel(60)` does.
     */
   private[sources] def serialToIso(v: String): Option[String] =
     v.trim.toDoubleOption.filter(_ >= 0).map { serial =>
       val base =
         if (serial < 60) java.time.LocalDate.of(1899, 12, 31)
         else java.time.LocalDate.of(1899, 12, 30)
-      val totalSec = math.round(serial * 86400.0)
-      val dt = base.atStartOfDay().plusSeconds(totalSec)
-      if (totalSec % 86400 == 0) dt.toLocalDate.toString
-      else IsoDateTimeFmt.format(dt)
+      val totalMs = math.round(serial * 86400000.0)
+      val dt = base.atStartOfDay().plusNanos(totalMs * 1000000L)
+      if (totalMs % 86400000 == 0) dt.toLocalDate.toString
+      else if (totalMs % 1000 == 0) IsoDateTimeFmt.format(dt)
+      else IsoDateTimeMsFmt.format(dt)
     }
 
   private val IsoDateTimeFmt =
     java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+  private val IsoDateTimeMsFmt =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
 
   /** Column index from an A1-style reference ("BC12" -> 54). */
   private[sources] def colIndex(ref: String): Int = {
@@ -289,7 +294,9 @@ object Xlsx {
     * text". Non-finite doubles and pre-1900-03-01 dates (which Excel's
     * serial scheme cannot represent unambiguously) fall back to inline
     * text. [[read]] maps the styled serials back to the same ISO
-    * strings, so the write->read round trip is lossless either way.
+    * strings, so the write->read round trip is lossless for dates and
+    * millisecond-precision for timestamps (sub-millisecond digits —
+    * which Excel's own UI never shows — round at read time).
     */
   def writeSheets(sheets: Seq[(String, DataFrame)], path: String): Unit = {
     require(sheets.nonEmpty, "writeSheets needs at least one sheet")
@@ -412,8 +419,13 @@ object Xlsx {
                 val ldt = t.toLocalDateTime
                 dateToSerial(ldt.toLocalDate) match {
                   case Some(serial) =>
-                    val frac = ldt.toLocalTime.toSecondOfDay / 86400.0
-                    num(rowIdx, c, f"${serial + frac}%.10f", StyleDateTime)
+                    // nano-precision fraction; Locale.ROOT: the f""
+                    // interpolator uses the default locale, and a
+                    // decimal-comma locale would emit a corrupt cell
+                    val frac = ldt.toLocalTime.toNanoOfDay / 86400.0e9
+                    num(rowIdx, c,
+                      String.format(java.util.Locale.ROOT, "%.10f", Double.box(serial + frac)),
+                      StyleDateTime)
                   case None => text(rowIdx, c, IsoDateTimeFmt.format(ldt))
                 }
               case other => text(rowIdx, c, other)

@@ -20,7 +20,10 @@ class CorpusFiltersSpec extends SparkSpec {
     (10L, "word " * 60), // 60 words, all 4-char, no punct
     (11L, "  spaced   out\ttabs\nand lines  "),
     (12L, "......" + " six dots then words" * 30),
-    (13L, "Um parágrafo acentuado çãé. " * 20)) // accented-only words count via ASCII rule
+    (13L, "Um parágrafo acentuado çãé. " * 20), // accented-only words count via ASCII rule
+    // astral-plane chars: one emoji = 1 codepoint (Spark/DuckDB length)
+    // but 2 UTF-16 units — pins the kernel's codePointCount fix
+    (14L, "rocket 🚀 launch 🌍 globe. " * 15))
 
   test("kernel signals == expression twin on crafted edges + corpus sample") {
     val edge = cases.toDF("doc_id", "text")

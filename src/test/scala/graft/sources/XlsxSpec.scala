@@ -248,7 +248,10 @@ class XlsxSpec extends SparkSpec {
         java.sql.Timestamp.valueOf("2025-01-01 12:34:56"), "texto"),
       (-3L, Double.NaN, java.math.BigDecimal.ONE,
         java.sql.Date.valueOf("1899-06-15"), // pre-1900: no valid serial
-        java.sql.Timestamp.valueOf("2026-08-12 00:00:00"), null))
+        java.sql.Timestamp.valueOf("2026-08-12 00:00:00"), null),
+      (7L, 0.5, java.math.BigDecimal.TEN,
+        java.sql.Date.valueOf("2025-06-01"),
+        java.sql.Timestamp.valueOf("2025-06-01 01:02:03.25"), "ms"))
       .toDF("n", "x", "dec", "dia", "quando", "nome")
     Xlsx.write(df, f)
 
@@ -261,6 +264,9 @@ class XlsxSpec extends SparkSpec {
     // NaN and the pre-1900 date fall back to text; midnight timestamp
     // reads back date-only (serialToIso whole-day rule)
     assert(rows(2).toSeq == Seq("-3", "NaN", "1", "1899-06-15", "2026-08-12"))
+    // sub-second precision survives to the millisecond
+    assert(rows(3).toSeq == Seq("7", "0.5", "10", "2025-06-01",
+      "2025-06-01 01:02:03.250", "ms"))
 
     // and the sheet XML really does carry serials, not text, for dates
     val zip = new java.util.zip.ZipFile(f)
