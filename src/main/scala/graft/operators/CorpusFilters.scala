@@ -155,9 +155,14 @@ object CorpusFilters {
       when(nLines > 0,
         size(filter(lines, pred)).cast("double") / nLines.cast("double"))
         .otherwise(lit(0.0))
-    val termR = lineRatio(l => l.rlike("[.!?\"”]$"))
+    // \z, not $: Java's $ also matches BEFORE a trailing \r (a line
+    // terminator), so "abc.\r" would count as terminal-punctuated in
+    // the expression but not in the kernel's literal last-char check —
+    // or in DuckDB, whose RE2 $ anchors at end of text. Caught by the
+    // random-string parity property.
+    val termR = lineRatio(l => l.rlike("[.!?\"”]\\z"))
     val bulletR = lineRatio(l => l.rlike("^[-*•]"))
-    val ellipsisR = lineRatio(l => l.rlike("(\\.\\.\\.|…)$"))
+    val ellipsisR = lineRatio(l => l.rlike("(\\.\\.\\.|…)\\z"))
 
     val toks = TextAnalysis.tokens(c)
     val wc = size(toks).cast("long")

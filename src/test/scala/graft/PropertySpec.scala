@@ -126,6 +126,47 @@ class PartitionInvariantSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("heuristic-filter kernel == expression for random unicode-ish strings") {
+    import graft.operators.CorpusFilters
+    // includes newlines (line rules), bullets/ellipses, '#', braces,
+    // boilerplate markers AND astral-plane chars (UTF-16 vs codepoint
+    // length is exactly where a Java kernel diverges from Spark/DuckDB)
+    val alphabet = ("abc the XYZ áçÉ 0123 \t\n\r  .!?\"”…#{-*• ".toSeq.map(_.toString) ++
+      Seq("🚀", "😀", "lorem ipsum ", "javascript ", "... "))
+    val rnd = new scala.util.Random(37)
+    val texts = (0 until 300).map { i =>
+      (i.toLong, (0 until rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString)
+    } ++ Seq(300L -> null.asInstanceOf[String], 301L -> "", 302L -> "   ", 303L -> "\n\n")
+    val d = texts.toDF("id", "text")
+    val kern = d.select($"id", CorpusFilters.heuristicSignals($"text"))
+      .select($"id" +: (1 to 12).map(i => col(s"s._$i")): _*)
+    val exprd = d.select(
+      $"id" +: CorpusFilters.heuristicSignalsExpr($"text").map { case (n, c) => c.as(n) }: _*)
+    assert(kern.exceptAll(exprd).count() == 0 && exprd.exceptAll(kern).count() == 0)
+  }
+
+  test("mixToWeights: output is a subset, binding domain intact, membership is pure") {
+    val rnd = new scala.util.Random(41)
+    val domains = Seq("a", "b", "c", "d")
+    val rows = (0 until 2000).map(i => (i.toLong, domains(rnd.nextInt(domains.size))))
+    val df = rows.toDF("id", "dom")
+    val weights = Map("a" -> 0.6, "b" -> 0.25, "c" -> 0.15) // d unweighted -> dropped
+    val out = graft.operators.Sampling.mixToWeights(df, "id", "dom", weights)
+      .as[(Long, String)].collect().toSet
+    assert(out.subsetOf(rows.toSet), "output must be a subset of the input")
+    assert(out.forall(_._2 != "d"), "unweighted domains are dropped")
+    val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val binding = weights.keys.minBy(k => counts(k) / weights(k))
+    assert(out.count(_._2 == binding) == counts(binding),
+      "the binding domain keeps every row")
+    // membership is a pure per-row function: doubling a kept row's
+    // frame context cannot change its fate — rerun on a shuffled frame
+    val out2 = graft.operators.Sampling.mixToWeights(
+      rows.reverse.toDF("id", "dom"), "id", "dom", weights)
+      .as[(Long, String)].collect().toSet
+    assert(out == out2)
+  }
+
   test("dedup split partitions the input for random frames") {
     val rnd = new scala.util.Random(3)
     val rows = (0 until 500).map(i => (rnd.nextInt(50).toLong, i.toLong))
