@@ -40,7 +40,11 @@ object Curation {
       packShards: Int = 8,
       // portable md5 LSH mode so an external SQL engine can replay the
       // whole pipeline (q57); production default stays murmur3
-      portableHash: Boolean = false)
+      portableHash: Boolean = false,
+      // near-dup survivor election: least id (the q57-replayed default)
+      // or keep-best-by-quality ([[ConnectedComponents.canonicalizeBy]]
+      // on the stage-1 quality score)
+      keepBestQuality: Boolean = false)
 
   /** Curated corpus (`docs`: one row per surviving doc with annotations
     * and packed span) plus the stage caches backing it — call
@@ -84,8 +88,11 @@ object Curation {
     val pairs = TextDedup.minHashLshPairs(
       exact, idCol, textCol, n = params.shingleN,
       threshold = params.lshThreshold, portableHash = params.portableHash)
-    val canon = ConnectedComponents
-      .canonicalize(exact, pairs, idCol)
+    val clustered =
+      if (params.keepBestQuality)
+        ConnectedComponents.canonicalizeBy(exact, pairs, idCol, "quality")
+      else ConnectedComponents.canonicalize(exact, pairs, idCol)
+    val canon = clustered
       .filter(col("is_canonical") === 1)
       .drop("cluster_id", "cluster_size", "is_canonical")
       .persist(StorageLevel.MEMORY_AND_DISK)

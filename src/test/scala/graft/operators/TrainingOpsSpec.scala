@@ -594,6 +594,40 @@ class CurationSpec extends SparkSpec {
     out.unpersist(); res.unpersist()
   }
 
+  test("curate keepBestQuality elects per-cluster argmax-quality survivors") {
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    val train = docs.filter($"doc_id" % 97 =!= 0)
+    val params = CurationParams(minQuality = 0.0, maxRepetition = 1.0,
+      maxContamination = 1.0, lshThreshold = 0.6)
+    val minId = Curation.curate(train, bench, "doc_id", "text", "lang", params)
+    val byQ = Curation.curate(train, bench, "doc_id", "text", "lang",
+      params.copy(keepBestQuality = true))
+    val a = minId.docs.select("doc_id").as[Long].collect().toSet
+    val b = byQ.docs.select("doc_id").as[Long].collect().toSet
+    // same number of survivors (one per cluster), possibly different ids
+    assert(a.size == b.size && b.nonEmpty)
+    // every elected survivor's quality >= the min-id survivor's quality
+    // within the same cluster: verify via the standalone clusterer
+    val exact = Dedup.exactByColumns(
+      train.withColumn("quality", TextAnalysis.qualityScore($"text")),
+      Seq("text"), "doc_id")
+    val pairs = TextDedup.minHashLshPairs(exact, "doc_id", "text", n = 3, threshold = 0.6)
+    val clusters = ConnectedComponents
+      .canonicalize(exact.select("doc_id", "quality"), pairs, "doc_id")
+    val qOf = clusters.select("doc_id", "cluster_id", "quality")
+      .as[(Long, Long, Double)].collect()
+    val byCluster = qOf.groupBy(_._2)
+    byCluster.values.foreach { members =>
+      val aSurv = members.filter(m => a.contains(m._1))
+      val bSurv = members.filter(m => b.contains(m._1))
+      // clusters can lose their survivor to contamination/sampling —
+      // compare only when both policies kept a member
+      if (aSurv.nonEmpty && bSurv.nonEmpty)
+        assert(bSurv.map(_._3).max >= aSurv.map(_._3).max)
+    }
+    minId.unpersist(); byQ.unpersist(); pairs.unpersist(); exact.unpersist()
+  }
+
   test("curate is deterministic: two runs produce identical survivor sets") {
     val bench = docs.filter($"doc_id" % 97 === 0)
     val train = docs.filter($"doc_id" % 97 =!= 0)
