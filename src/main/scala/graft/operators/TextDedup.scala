@@ -412,12 +412,17 @@ object TextDedup {
     // hashes, and this join must stay in that scale class at 100 TB).
     // A false drop needs an md5 collision (~2^-128); null-text incoming
     // rows keep their null join key and survive, as before.
+    // internal column name guaranteed absent from the caller's frame
+    // (withColumn would silently OVERWRITE a caller column of the same
+    // name and the final select would then project digests as data)
+    val th = Iterator.from(0).map(i => s"__th$i")
+      .find(n => !incoming.columns.contains(n)).get
     val exTextHashes = existing
-      .select(md5(col(textCol)).as("__th")).na.drop().distinct()
+      .select(md5(col(textCol)).as(th)).na.drop().distinct()
     incoming.join(dupIds, Seq(idCol), "left_anti")
-      .withColumn("__th", md5(col(textCol)))
-      .join(exTextHashes, Seq("__th"), "left_anti")
-      .select(incoming.columns.map(col): _*) // drop __th; restore order
+      .withColumn(th, md5(col(textCol)))
+      .join(exTextHashes, Seq(th), "left_anti")
+      .select(incoming.columns.map(col): _*) // drop the digest; restore order
   }
 
   /** DataFrame-only view of [[minHashLshDedup]] (call `.unpersist()` on

@@ -246,7 +246,12 @@ object Xlsx {
         if (serial < 60) java.time.LocalDate.of(1899, 12, 31)
         else java.time.LocalDate.of(1899, 12, 30)
       val totalMs = math.round(serial * 86400000.0)
-      val dt = base.atStartOfDay().plusNanos(totalMs * 1000000L)
+      // seconds and millis added separately: totalMs * 1_000_000 ns
+      // overflows Long for dates past ~2192 (e.g. the 9999-12-31
+      // sentinel), which would silently wrap to a bogus 1816 date
+      val dt = base.atStartOfDay()
+        .plusSeconds(totalMs / 1000)
+        .plusNanos((totalMs % 1000) * 1000000L)
       if (totalMs % 86400000 == 0) dt.toLocalDate.toString
       else if (totalMs % 1000 == 0) IsoDateTimeFmt.format(dt)
       else IsoDateTimeMsFmt.format(dt)
@@ -426,7 +431,10 @@ object Xlsx {
                     num(rowIdx, c,
                       String.format(java.util.Locale.ROOT, "%.10f", Double.box(serial + frac)),
                       StyleDateTime)
-                  case None => text(rowIdx, c, IsoDateTimeFmt.format(ldt))
+                  case None => // pre-1900 fallback keeps ms precision too
+                    text(rowIdx, c,
+                      (if (ldt.getNano != 0) IsoDateTimeMsFmt else IsoDateTimeFmt)
+                        .format(ldt))
                 }
               case other => text(rowIdx, c, other)
             }

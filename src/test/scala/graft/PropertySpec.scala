@@ -138,8 +138,7 @@ class PartitionInvariantSpec extends SparkSpec {
       (i.toLong, (0 until rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString)
     } ++ Seq(300L -> null.asInstanceOf[String], 301L -> "", 302L -> "   ", 303L -> "\n\n")
     val d = texts.toDF("id", "text")
-    val kern = d.select($"id", CorpusFilters.heuristicSignals($"text"))
-      .select($"id" +: (1 to 12).map(i => col(s"s._$i")): _*)
+    val kern = CorpusFilters.heuristicFilter(d, "id", "text")
     val exprd = d.select(
       $"id" +: CorpusFilters.heuristicSignalsExpr($"text").map { case (n, c) => c.as(n) }: _*)
     assert(kern.exceptAll(exprd).count() == 0 && exprd.exceptAll(kern).count() == 0)

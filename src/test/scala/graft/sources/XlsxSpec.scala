@@ -286,4 +286,13 @@ class XlsxSpec extends SparkSpec {
     assert(Xlsx.serialToIso("60.5") == Some("1900-02-28 12:00:00"))
     assert(Xlsx.serialToIso("61") == Some("1900-03-01"))
   }
+
+  test("far-future serials don't overflow: 9999-12-31 sentinel round-trips") {
+    import graft.sources.Xlsx
+    // totalMs * 1e6 ns overflowed Long for serials past ~2192, wrapping
+    // the 9999-12-31 sentinel to a bogus 1816 date
+    assert(Xlsx.dateToSerial(java.time.LocalDate.of(9999, 12, 31)) == Some(2958465L))
+    assert(Xlsx.serialToIso("2958465") == Some("9999-12-31"))
+    assert(Xlsx.serialToIso("2958465.5") == Some("9999-12-31 12:00:00"))
+  }
 }
