@@ -44,7 +44,12 @@ object Curation {
       // near-dup survivor election: least id (the q57-replayed default)
       // or keep-best-by-quality ([[ConnectedComponents.canonicalizeBy]]
       // on the stage-1 quality score)
-      keepBestQuality: Boolean = false)
+      keepBestQuality: Boolean = false,
+      // apply the C4/Gopher heuristic rule battery
+      // ([[CorpusFilters.heuristicSignals]] composite keep) as part of
+      // the stage-2 gate — one more kernel on the same scan, no extra
+      // pass. Off by default: the q57 replay oracle predates it.
+      useHeuristicGate: Boolean = false)
 
   /** Curated corpus (`docs`: one row per surviving doc with annotations
     * and packed span) plus the stage caches backing it — call
@@ -79,6 +84,11 @@ object Curation {
       .withColumn("repetition", TextAnalysis.repetitionScore(col(textCol), 3))
       .filter(col("quality") >= params.minQuality &&
         col("repetition") <= params.maxRepetition)
+      .transform { d =>
+        if (params.useHeuristicGate)
+          d.filter(CorpusFilters.heuristicSignals(col(textCol))("_12") === 1)
+        else d
+      }
 
     // 3: exact dedup on the text, deterministic least-id survivor
     val exact = Dedup.exactByColumns(annotated, Seq(textCol), idCol)

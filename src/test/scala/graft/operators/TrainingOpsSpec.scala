@@ -594,6 +594,24 @@ class CurationSpec extends SparkSpec {
     out.unpersist(); res.unpersist()
   }
 
+  test("curate useHeuristicGate drops rule-failing docs, keeps the rest") {
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    val train = docs.filter($"doc_id" % 97 =!= 0)
+    val params = CurationParams(minQuality = 0.0, maxRepetition = 1.0,
+      maxContamination = 1.0, useHeuristicGate = true)
+    val res = Curation.curate(train, bench, "doc_id", "text", "lang", params)
+    val kept = res.docs.select("doc_id").as[Long].collect().toSet
+    res.unpersist()
+    assert(kept.nonEmpty)
+    // every survivor passes the standalone rule battery
+    val flags = CorpusFilters.heuristicFilter(train, "doc_id", "text")
+      .select("doc_id", "keep").as[(Long, Int)].collect().toMap
+    assert(kept.forall(flags(_) == 1))
+    // and the gate actually bites on this corpus (median ~56 words,
+    // Gopher bound 50 -> a nontrivial fraction fails)
+    assert(flags.values.exists(_ == 0))
+  }
+
   test("curate keepBestQuality elects per-cluster argmax-quality survivors") {
     val bench = docs.filter($"doc_id" % 97 === 0)
     val train = docs.filter($"doc_id" % 97 =!= 0)
