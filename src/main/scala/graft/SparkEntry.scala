@@ -511,7 +511,12 @@ object SparkEntry {
       (s, dir) => TextDedup.minHashLshPairs(
           t(s, dir, "documents"), idCol = "doc_id", textCol = "text",
           n = 3, numPerm = 64, bands = 16, threshold = 0.7,
-          portableHash = true)
+          portableHash = true,
+          // the frozen replay below pins the pure ratio stop-set bar;
+          // production's absolute floor (minDocFreq default) would
+          // empty the stop set at oracle scale — DfFloorSpec pins the
+          // floor semantics instead
+          minDocFreq = 0L)
         .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
         .orderBy("id_a", "id_b"),
       Some(s"""WITH sh0 AS (
@@ -572,7 +577,10 @@ object SparkEntry {
       "q24_production",
       (s, dir) => TextDedup.minHashLshPairs(
           t(s, dir, "documents"), idCol = "doc_id", textCol = "text",
-          n = 3, numPerm = 64, bands = 16, threshold = 0.7)
+          n = 3, numPerm = 64, bands = 16, threshold = 0.7,
+          // murmur3 must stay q24's exact twin (same pipeline, same
+          // stop set, different hash) — so the same ratio-only bar
+          minDocFreq = 0L)
         .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
         .orderBy("id_a", "id_b"),
       None)
@@ -1400,7 +1408,8 @@ object SparkEntry {
             docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 =!= 0),
             idCol = "doc_id", textCol = "text",
             n = 3, numPerm = 64, bands = 16, threshold = 0.7,
-            portableHash = true)
+            portableHash = true,
+            minDocFreq = 0L) // ratio-only bar: the frozen replay's form
           .select($"id_existing", $"id_incoming", round($"jaccard", 6).as("jaccard"))
           .orderBy("id_existing", "id_incoming")
       },
@@ -1476,7 +1485,8 @@ object SparkEntry {
             minQuality = 0.0, maxRepetition = 1.0,
             lshThreshold = 0.6, maxContamination = 0.5,
             sampleRates = Map.empty, defaultSampleRate = 1.0,
-            portableHash = true))
+            portableHash = true,
+            minDocFreq = 0L)) // ratio-only bar: the frozen replay's form
         res.docs
           .select($"doc_id", $"lang", $"shard", $"token_start",
             $"chunk_first", $"chunk_last")

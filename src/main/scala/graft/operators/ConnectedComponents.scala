@@ -186,20 +186,16 @@ object ConnectedComponents {
       idCol: String,
       aCol: String = "id_a",
       bCol: String = "id_b"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val cc = connectedComponents(pairs, aCol, bCol)
-    val labeled = docs
-      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .withColumn("__comp", coalesce($"component", col(idCol)))
-      .drop("component")
-    val groups = labeled.groupBy($"__comp")
+    requireOutputsFree(docs)
+    val comp = freshName("__comp", docs.columns)
+    val labeled = labelComponents(docs, pairs, idCol, aCol, bCol, comp)
+    val groups = labeled.groupBy(col(comp))
       .agg(count(lit(1)).as("cluster_size"), min(col(idCol)).as("cluster_id"))
-    labeled.join(groups, "__comp")
-      .drop("__comp")
+    labeled.join(groups, comp)
+      .drop(comp)
       .withColumn(
         "is_canonical",
-        when(col(idCol) === $"cluster_id", lit(1)).otherwise(lit(0)))
+        when(col(idCol) === col("cluster_id"), lit(1)).otherwise(lit(0)))
   }
 
   /** [[canonicalize]] with a SURVIVORSHIP POLICY: per duplicate
@@ -223,22 +219,66 @@ object ConnectedComponents {
       scoreCol: String,
       aCol: String = "id_a",
       bCol: String = "id_b"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val cc = connectedComponents(pairs, aCol, bCol)
-    val labeled = docs
-      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .withColumn("__comp", coalesce($"component", col(idCol)))
-      .drop("component")
-    val groups = labeled.groupBy($"__comp")
+    requireOutputsFree(docs)
+    val comp = freshName("__comp", docs.columns)
+    val best = freshName("__best", docs.columns)
+    val labeled = labelComponents(docs, pairs, idCol, aCol, bCol, comp)
+    val groups = labeled.groupBy(col(comp))
       .agg(
         count(lit(1)).as("cluster_size"),
         min(col(idCol)).as("cluster_id"),
-        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("nid"))).as("__best"))
-    labeled.join(groups, "__comp")
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("nid"))).as(best))
+    labeled.join(groups, comp)
       .withColumn(
         "is_canonical",
-        when(col(idCol) === -$"__best.nid", lit(1)).otherwise(lit(0)))
-      .drop("__comp", "__best")
+        when(col(idCol) === -col(s"$best.nid"), lit(1)).otherwise(lit(0)))
+      .drop(comp, best)
+  }
+
+  /** The outputs both canonicalizers add. A docs frame already carrying
+    * one (plausible when re-clustering an earlier run's output) would be
+    * silently overwritten by `withColumn`/`agg` — the same
+    * column-collision class [[TextDedup.dedupAgainst]] guards against —
+    * so the contract is loud: drop or rename them before re-clustering.
+    */
+  private val OutputCols = Seq("cluster_id", "cluster_size", "is_canonical")
+
+  private def requireOutputsFree(docs: DataFrame): Unit = {
+    val clash = docs.columns.intersect(OutputCols)
+    require(clash.isEmpty,
+      s"docs already has column(s) ${clash.mkString(", ")} — canonicalize " +
+        "would overwrite these outputs; drop or rename them first " +
+        "(re-clustering a previous canonicalize output does this)")
+  }
+
+  /** First name in `base`, `base0`, `base1`, … absent from `taken` —
+    * internal columns must never collide with caller data (a caller
+    * column named `__comp` would otherwise be consumed as the component
+    * label and projected away).
+    */
+  private def freshName(base: String, taken: Array[String]): String =
+    (Iterator(base) ++ Iterator.from(0).map(i => s"$base$i"))
+      .find(n => !taken.contains(n)).get
+
+  /** docs + component label (own id for unmatched docs) under `comp`,
+    * ghost-id-grounded as documented on [[canonicalize]].
+    */
+  private def labelComponents(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      aCol: String,
+      bCol: String,
+      comp: String): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    // "component" could shadow a caller column after the join; project
+    // the cc side to fresh names before joining.
+    val compIn = freshName("__component", docs.columns)
+    docs
+      .join(
+        cc.select(col("id").as(idCol), col("component").as(compIn)),
+        Seq(idCol), "left")
+      .withColumn(comp, coalesce(col(compIn), col(idCol)))
+      .drop(compIn)
   }
 }

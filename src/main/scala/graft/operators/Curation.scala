@@ -34,6 +34,9 @@ object Curation {
       lshThreshold: Double = 0.6,
       contaminationN: Int = 13,
       maxContamination: Double = 0.2,
+      // absolute floor under the LSH DF-prune ratio bar (see
+      // [[TextDedup.minHashLshDedup]]); the replay oracles pin 0
+      minDocFreq: Long = TextDedup.DefaultMinDocFreq,
       sampleRates: Map[String, Double] = Map.empty,
       defaultSampleRate: Double = 1.0,
       packBudget: Int = 512,
@@ -97,7 +100,8 @@ object Curation {
     // 4: near-dup clusters -> canonical survivor per cluster
     val pairs = TextDedup.minHashLshPairs(
       exact, idCol, textCol, n = params.shingleN,
-      threshold = params.lshThreshold, portableHash = params.portableHash)
+      threshold = params.lshThreshold, portableHash = params.portableHash,
+      minDocFreq = params.minDocFreq)
     val clustered =
       if (params.keepBestQuality)
         ConnectedComponents.canonicalizeBy(exact, pairs, idCol, "quality")

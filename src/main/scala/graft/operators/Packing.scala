@@ -19,6 +19,24 @@ import org.apache.spark.sql.expressions.Window
   */
 object Packing {
 
+  /** [[packSequences]] with the shard count derived from the input:
+    * `max(8, df.rdd.getNumPartitions)`. Each shard's running sum is a
+    * single window task, so the shard count IS the stage's parallelism
+    * — a fixed default would cap a 1000-executor cluster at 8 tasks.
+    * Deriving it from the scan's partition count scales it with the
+    * data while keeping the floor small corpora expect. NOTE: the
+    * derived count makes chunk membership depend on the input layout;
+    * pass `nShards` explicitly when runs must be byte-reproducible
+    * across different partitionings (the q54 oracle does).
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Int): DataFrame =
+    packSequences(df, idCol, textCol, budget,
+      math.max(8, df.rdd.getNumPartitions))
+
   /** Per-doc packed span: shard, n_tokens, token_start (offset of the
     * doc's first token inside its shard's concat stream), chunk_first /
     * chunk_last (budget-sized chunks the doc touches).

@@ -67,7 +67,12 @@ object Sampling {
     * domains of count_d / w_d, each domain keeps
     * floor(Buckets * w_d * T / count_d) of its hash buckets — the
     * binding domain keeps everything, every other domain is cut to
-    * proportion. Domains absent from `weights` are dropped.
+    * proportion. Domains absent from `weights` are dropped — and so are
+    * rows with a NULL domain (the threshold join is inner, and null
+    * never equals a weight key) and rows with a NULL id (a null hash
+    * bucket fails the `<` comparison): a row the mix cannot attribute
+    * to a weighted domain, or cannot deterministically keep/drop, is
+    * not in the mix. Filter nulls upstream if they must survive.
     *
     * Plan shape at 100 TB: one dimension-sized groupBy for the domain
     * counts, a 1-row global min broadcast back (the A1 rescale

@@ -200,6 +200,16 @@ object TextDedup {
     * — run [[Dedup.exactByColumns]] first for exact duplicates, as the
     * dedup ladder prescribes. Set 1.0 to disable.
     *
+    * `minDocFreq` is the ABSOLUTE floor under the ratio bar: a shingle
+    * is stopped only when its document frequency exceeds
+    * `max(maxDocFreqRatio * N, minDocFreq)`. The ratio alone is
+    * mix-sensitive on small corpora — at N = 20, "df > 10" prunes
+    * ordinary content words, silently blinding Jaccard to real
+    * similarity — so corpora smaller than `2 * minDocFreq` docs (at the
+    * default ratio) run effectively un-pruned. Both bars recompute per
+    * call, from the corpus actually passed. Set 0 to restore the pure
+    * ratio policy (the frozen SQL replay oracles pin that form).
+    *
     * Plan shape: one shingle-hash pass (persisted, shared by signing and
     * verify), one int shuffle for document frequencies, explode to
     * (bandIdx, bandHash, id) — one shuffle on the bucket key; the
@@ -219,10 +229,11 @@ object TextDedup {
       seed: Long = 42L,
       maxBucketSize: Int = 2000,
       maxDocFreqRatio: Double = 0.5,
-      portableHash: Boolean = false): LshPairs =
+      portableHash: Boolean = false,
+      minDocFreq: Long = DefaultMinDocFreq): LshPairs =
     lshCore(df.select(col(idCol), col(textCol)), idCol, textCol,
       n, numPerm, bands, threshold, seed, maxBucketSize, maxDocFreqRatio,
-      portableHash, crossSide = false, outA = "id_a", outB = "id_b")
+      portableHash, minDocFreq, crossSide = false, outA = "id_a", outB = "id_b")
 
   /** Cross-corpus near-dup pairs: every (existing, incoming) pair whose
     * verified Jaccard reaches `threshold` — the incremental-ingest shape
@@ -251,15 +262,24 @@ object TextDedup {
       seed: Long = 42L,
       maxBucketSize: Int = 2000,
       maxDocFreqRatio: Double = 0.5,
-      portableHash: Boolean = false): DataFrame = {
+      portableHash: Boolean = false,
+      minDocFreq: Long = DefaultMinDocFreq): DataFrame = {
     val tagged = existing
       .select(col(idCol), col(textCol)).withColumn("__side", lit(0))
       .union(incoming.select(col(idCol), col(textCol)).withColumn("__side", lit(1)))
     lshCore(tagged, idCol, textCol,
       n, numPerm, bands, threshold, seed, maxBucketSize, maxDocFreqRatio,
-      portableHash, crossSide = true,
+      portableHash, minDocFreq, crossSide = true,
       outA = "id_existing", outB = "id_incoming").pairs
   }
+
+  /** Default [[minHashLshDedup]] `minDocFreq`: chosen so the floor only
+    * engages where the ratio bar stops being meaningful (corpora under
+    * ~2000 docs at the default ratio) — large-corpus pruning behavior,
+    * and every recorded sf0.1 benchmark (5000 docs, ratio bar 2500),
+    * is unchanged.
+    */
+  val DefaultMinDocFreq: Long = 1000L
 
   /** The one LSH pipeline both the self-dedup and the cross-corpus
     * entry points run (a divergent copy would rot: a banding or pruning
@@ -280,11 +300,13 @@ object TextDedup {
       maxBucketSize: Int,
       maxDocFreqRatio: Double,
       portableHash: Boolean,
+      minDocFreq: Long,
       crossSide: Boolean,
       outA: String,
       outB: String): LshPairs = {
     require(numPerm % bands == 0, "numPerm must divide into bands")
     require(maxDocFreqRatio > 0.0, "maxDocFreqRatio must be positive")
+    require(minDocFreq >= 0, "minDocFreq must be non-negative")
     val rows = numPerm / bands
     val sideCols = if (crossSide) Seq("__side") else Seq.empty[String]
 
@@ -301,7 +323,9 @@ object TextDedup {
     val stop: Array[Long] =
       if (maxDocFreqRatio >= 1.0) Array.empty
       else {
-        val cutoff = (nDocs * maxDocFreqRatio).toLong
+        // ratio bar with the absolute floor under it (see minHashLshDedup
+        // scaladoc): both recomputed from THIS corpus's count
+        val cutoff = math.max((nDocs * maxDocFreqRatio).toLong, minDocFreq)
         shCached.select(explode(col("__sh")).as("__h"))
           .groupBy("__h").count()
           .filter(col("count") > cutoff)
@@ -439,9 +463,10 @@ object TextDedup {
       seed: Long = 42L,
       maxBucketSize: Int = 2000,
       maxDocFreqRatio: Double = 0.5,
-      portableHash: Boolean = false): DataFrame =
+      portableHash: Boolean = false,
+      minDocFreq: Long = DefaultMinDocFreq): DataFrame =
     minHashLshDedup(df, idCol, textCol, n, numPerm, bands, threshold, seed,
-      maxBucketSize, maxDocFreqRatio, portableHash).pairs
+      maxBucketSize, maxDocFreqRatio, portableHash, minDocFreq).pairs
 
   /** Distinct murmur3-hashed character n-gram shingles (JVM kernel, same
     * rationale as [[minHashKernel]]). Long-typed so the LSH path is

@@ -303,8 +303,28 @@ object Xlsx {
     * millisecond-precision for timestamps (sub-millisecond digits —
     * which Excel's own UI never shows — round at read time).
     */
+  /** Hard cap on rows per exported sheet. XLSX assembly is a driver-side
+    * operation for MB-scale human artifacts (see [[writeSheets]]); a
+    * caller handing it a corpus-sized DataFrame would OOM the driver
+    * after minutes of streaming, so misuse fails fast instead. The value
+    * is Excel's own worksheet row limit (2^20), which any workbook this
+    * writer could produce must respect anyway — spreadsheets past it
+    * belong in parquet/CSV sinks.
+    */
+  val MaxExportRows: Long = 1048576L
+
   def writeSheets(sheets: Seq[(String, DataFrame)], path: String): Unit = {
     require(sheets.nonEmpty, "writeSheets needs at least one sheet")
+    // One count per sheet before any byte is written: cheap next to the
+    // export itself (column-pruned to a count-star scan) and it turns a
+    // driver OOM into an actionable error naming the offending sheet.
+    sheets.foreach { case (name, df) =>
+      val n = df.count()
+      require(n + 1 <= MaxExportRows, // +1: the header row the writer adds
+        s"sheet '$name' has $n rows; XLSX export is a driver-side artifact " +
+          s"capped at ${MaxExportRows - 1} data rows (Excel's sheet limit) — " +
+          "write parquet/CSV for corpus-scale data")
+    }
     val out = new java.util.zip.ZipOutputStream(
       new java.io.BufferedOutputStream(new java.io.FileOutputStream(path)),
       java.nio.charset.StandardCharsets.UTF_8)

@@ -38,6 +38,15 @@ object ProfileScale {
     * per-copy de-correlated text (length and token shape preserved).
     */
   def scaled(spark: SparkSession, sfDir: String, factor: Int): DataFrame = {
+    // The rotation's period is the shortest alphabet (10 digits): copies
+    // k and k+10 would share the digit mapping, making digit-only tokens
+    // byte-identical across copies again — the exact quadratic pair
+    // artifact this de-correlation exists to prevent. Refuse factors the
+    // scheme cannot de-correlate rather than silently measuring it.
+    require(factor >= 1 && factor <= Digits.length,
+      s"factor must be in [1, ${Digits.length}]: the per-copy alphabet " +
+        "rotation repeats past the digit alphabet's period and copies " +
+        "would become byte-identical on digit-only tokens")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val span = docs.agg(max("doc_id")).head.getLong(0) + 1
     (0 until factor).map { k =>

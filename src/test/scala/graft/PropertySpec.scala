@@ -164,6 +164,17 @@ class PartitionInvariantSpec extends SparkSpec {
       rows.reverse.toDF("id", "dom"), "id", "dom", weights)
       .as[(Long, String)].collect().toSet
     assert(out == out2)
+    // null rows are dropped, exactly as the scaladoc contracts: a null
+    // domain can't be attributed to a weight, a null id can't be
+    // deterministically kept/dropped — and neither perturbs the fate
+    // of any other row
+    val withNulls = (rows.map { case (i, d) => (Option(i), Option(d)) } ++ Seq(
+      (Some(90001L), None), (None, Some("a")), (None, None)))
+    val out3 = graft.operators.Sampling.mixToWeights(
+      withNulls.toDF("id", "dom"), "id", "dom", weights)
+      .as[(Option[Long], Option[String])].collect().toSet
+    assert(out3 == out.map { case (i, d) => (Option(i), Option(d)) },
+      "null-domain/null-id rows silently drop; everything else is untouched")
   }
 
   test("dedup split partitions the input for random frames") {

@@ -130,4 +130,41 @@ class ConnectedComponentsSpec extends SparkSpec {
       .as[(Long, Long, Long, Int)].collect().sortBy(_._1)
     assert(got.toSeq == Seq((2L, 2L, 2L, 0), (3L, 3L, 1L, 1), (5L, 2L, 2L, 1)))
   }
+
+  test("canonicalizers refuse docs already carrying an output column") {
+    // re-clustering a previous run's output without dropping its labels
+    // would silently overwrite them — the contract is a loud error
+    val pairs = Seq((2L, 5L)).toDF("id_a", "id_b")
+    val relabeled = Seq((2L, 9L), (5L, 9L)).toDF("doc_id", "cluster_id")
+    val e1 = intercept[IllegalArgumentException] {
+      ConnectedComponents.canonicalize(relabeled, pairs, "doc_id")
+    }
+    assert(e1.getMessage.contains("cluster_id"))
+    val e2 = intercept[IllegalArgumentException] {
+      ConnectedComponents.canonicalizeBy(
+        Seq((2L, 0.1, 1), (5L, 0.2, 0)).toDF("doc_id", "quality", "is_canonical"),
+        pairs, "doc_id", "quality")
+    }
+    assert(e2.getMessage.contains("is_canonical"))
+  }
+
+  test("internal label/election names never collide with caller columns") {
+    // a docs frame that already carries __comp / __component / __best
+    // (plausible leftovers of other tooling) must ride through as DATA —
+    // the fresh-name scan keeps the operator's internals off them
+    val docs = Seq(
+      (2L, "x", 7L, 0.3), (5L, "y", 8L, 0.9), (9L, "z", 9L, 0.1))
+      .toDF("doc_id", "__comp", "__component", "quality")
+      .withColumn("__best", $"quality" * 2)
+    val pairs = Seq((2L, 5L)).toDF("id_a", "id_b")
+    val got = ConnectedComponents.canonicalizeBy(docs, pairs, "doc_id", "quality")
+      .select("doc_id", "__comp", "__component", "__best", "cluster_id", "is_canonical")
+      .as[(Long, String, Long, Double, Long, Int)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (2L, "x", 7L, 0.6, 2L, 0), (5L, "y", 8L, 1.8, 2L, 1), (9L, "z", 9L, 0.2, 9L, 1)))
+    val gotMin = ConnectedComponents.canonicalize(docs, pairs, "doc_id")
+      .select("doc_id", "__comp", "cluster_id", "is_canonical")
+      .as[(Long, String, Long, Int)].collect().sortBy(_._1)
+    assert(gotMin.toSeq == Seq((2L, "x", 2L, 1), (5L, "y", 2L, 0), (9L, "z", 9L, 1)))
+  }
 }

@@ -106,7 +106,9 @@ class TextDedupSpec extends SparkSpec {
       (4L, tmpl + "quarterly earnings rose on strong cloud revenue growth")
     ).toDF("id", "text")
     val res = TextDedup.minHashLshDedup(corpus, "id", "text",
-      n = 3, numPerm = 64, bands = 16, threshold = 0.6, maxDocFreqRatio = 0.5)
+      n = 3, numPerm = 64, bands = 16, threshold = 0.6, maxDocFreqRatio = 0.5,
+      minDocFreq = 0L) // ratio-only: this spec pins the ratio MECHANISM;
+                       // DfFloorSpec pins the small-corpus floor over it
     val pairs = res.pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
     // every template shingle is in 5/5 docs -> pruned
     assert(res.prunedShingles > 0)
@@ -561,6 +563,23 @@ class PackingSpec extends SparkSpec {
     val b = Packing.packSequences(df.repartition(13), "doc_id", "text", 512, 8)
       .select("doc_id", "shard").as[(Long, Long)].collect().toSet
     assert(a == b)
+  }
+
+  test("default shard count scales with input partitions, floored at 8") {
+    val df = (0L until 1000L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    // wide input: shard count follows the partition count, so the
+    // per-shard window stage keeps the scan's parallelism
+    val wide = Packing.packSequences(df.repartition(16), "doc_id", "text", 512)
+    val nWide = wide.select("shard").distinct().count()
+    assert(nWide > 8 && nWide <= 16,
+      s"expected up to 16 non-empty shards from a 16-partition input, got $nWide")
+    // narrow input: the floor of 8 holds (a 1-partition frame must not
+    // serialize packing through one window task)
+    val narrow = Packing.packSequences(df.coalesce(1), "doc_id", "text", 512)
+    val nNarrow = narrow.select("shard").distinct().count()
+    assert(nNarrow == 8, s"expected the 8-shard floor, got $nNarrow")
+    // and the derived default is the documented function of the input
+    assert(wide.agg(max("shard")).head.getLong(0) < 16)
   }
 }
 

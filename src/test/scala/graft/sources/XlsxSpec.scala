@@ -295,4 +295,19 @@ class XlsxSpec extends SparkSpec {
     assert(Xlsx.serialToIso("2958465") == Some("9999-12-31"))
     assert(Xlsx.serialToIso("2958465.5") == Some("9999-12-31 12:00:00"))
   }
+
+  test("corpus-sized exports fail fast instead of OOMing the driver") {
+    import spark.implicits._
+    // XLSX assembly is driver-side by design (MB-scale human artifacts);
+    // a row count past Excel's own sheet limit must be a loud error
+    // BEFORE any byte is written, naming the offending sheet
+    val big = spark.range(graft.sources.Xlsx.MaxExportRows).toDF("id")
+    val f = Files.createTempFile("graft", ".xlsx").toString
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Xlsx.writeSheets(Seq("ok" -> Seq(1).toDF("id"), "huge" -> big), f)
+    }
+    assert(e.getMessage.contains("huge") && e.getMessage.contains("parquet"))
+    // nothing was written: the guard ran before assembly started
+    assert(Files.size(java.nio.file.Paths.get(f)) == 0L)
+  }
 }

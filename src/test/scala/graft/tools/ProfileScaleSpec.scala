@@ -42,4 +42,17 @@ class ProfileScaleSpec extends SparkSpec {
     assert(crossCopy == 0, "rotation must kill cross-copy similarity")
     assert(p3.count() == 3 * p1, "within-copy dup structure replicates linearly")
   }
+
+  test("factors past the rotation's period are refused") {
+    // the digit alphabet has period 10: copies k and k+10 share the digit
+    // mapping, so factor 11 would silently reintroduce the cross-copy
+    // pair artifact — scaled() must refuse rather than measure it
+    val e = intercept[IllegalArgumentException] {
+      ProfileScale.scaled(spark, sfDir, 11)
+    }
+    assert(e.getMessage.contains("period"))
+    assert(intercept[IllegalArgumentException] {
+      ProfileScale.scaled(spark, sfDir, 0)
+    }.getMessage.contains("factor"))
+  }
 }
