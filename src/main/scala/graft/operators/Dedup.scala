@@ -59,19 +59,44 @@ object Dedup {
       .orderBy(quality.map(_.desc_nulls_last) :+ tieBreak.asc: _*), cacheRanked)
 
   /** Exact full-row (or column-subset) dedup for large corpora: one
-    * hash-shuffle groupBy, keeping the minimum id per group. Unlike
-    * `dropDuplicates` the survivor is deterministic. The semi-join is
-    * NULL-SAFE on the dedup columns (`<=>`): groupBy treats nulls as a
-    * group, so a null-unsafe join-back would silently drop every
-    * null-keyed row — survivor included — instead of deduping them.
+    * hash-shuffle groupBy, keeping the minimum-id row per group. Unlike
+    * `dropDuplicates` the survivor is deterministic (`idCol` must be
+    * unique). Null dedup keys form their own group, like any other.
+    *
+    * Plan shape: the survivor row rides a `min(struct(id, payload))`
+    * aggregate — partial-aggregatable (hot keys combine map-side, never
+    * materialize one window partition) and, critically, ONE scan of the
+    * input. The previous groupBy + semi-join-back form referenced the
+    * input subtree twice, so an expensive uncached upstream (the curate
+    * pipeline's annotate kernels) executed twice per doc — caught by
+    * the composed-plan audit (PlanSpec). The id leads the struct, so
+    * comparison never reaches the payload fields; payload types must
+    * still be orderable for the aggregate to analyze, so frames with
+    * MapType payload fall back to the two-scan semi-join form (maps
+    * can't ride a min) — callers with expensive upstreams and map
+    * columns should persist before deduping.
     */
   def exactByColumns(df: DataFrame, cols: Seq[String], idCol: String): DataFrame = {
-    val keep = df.groupBy(cols.map(col): _*).agg(min(col(idCol)).as(idCol))
-    val tagged = keep.select(
-      (cols :+ idCol).map(c => col(c).as(s"__keep_$c")): _*)
-    val cond = (cols.map(c => col(c) <=> col(s"__keep_$c")) :+
-      (col(idCol) === col(s"__keep_$idCol"))).reduce(_ && _)
-    df.join(tagged, cond, "left_semi")
+    val payload = df.columns.filterNot(c => cols.contains(c) || c == idCol)
+    val orderable = df.schema.fields.forall(f =>
+      f.name == idCol || cols.contains(f.name) ||
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+    if (orderable) {
+      val w = (Iterator("__w") ++ Iterator.from(0).map(i => s"__w$i"))
+        .find(n => !df.columns.contains(n)).get
+      df.groupBy(cols.map(col): _*)
+        .agg(min(struct((idCol +: payload).map(col): _*)).as(w))
+        .select(df.columns.map { c =>
+          if (cols.contains(c)) col(c) else col(w)(c).as(c)
+        }: _*)
+    } else {
+      val keep = df.groupBy(cols.map(col): _*).agg(min(col(idCol)).as(idCol))
+      val tagged = keep.select(
+        (cols :+ idCol).map(c => col(c).as(s"__keep_$c")): _*)
+      val cond = (cols.map(c => col(c) <=> col(s"__keep_$c")) :+
+        (col(idCol) === col(s"__keep_$idCol"))).reduce(_ && _)
+      df.join(tagged, cond, "left_semi")
+    }
   }
 
   /** Skew-aware keep-first: same result as [[keepFirst]].kept, without a

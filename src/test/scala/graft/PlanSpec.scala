@@ -116,6 +116,81 @@ class PlanSpec extends SparkSpec {
       s"the corpus side must not shuffle for the threshold join:\n$plan")
   }
 
+  test("composed curate plan (heuristic gate + keep-best) stays kernel-only, signals evaluated once") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ScalaUDF, HigherOrderFunction}
+    import org.apache.spark.sql.types.StructType
+    import graft.operators.Curation
+
+    // The r4 lesson (TextAnalysis.qualityScore scaladoc): an
+    // interpreted-HOF expression re-evaluates at EVERY reference site
+    // once composed into filter+project+join plans — measured 17x on
+    // the curation pipeline. The fix was JVM kernels on every hot
+    // path; this pins that the two r6 opt-in stages (heuristic gate,
+    // keep-best election) didn't smuggle a HOF form back in, and that
+    // the 12-field signals struct is ONE kernel call in the gate, not
+    // one per field reference.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val res = Curation.curate(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 =!= 0),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 === 0),
+      "doc_id", "text", "lang",
+      Curation.CurationParams(
+        minQuality = 0.0, maxRepetition = 1.0, maxContamination = 0.5,
+        useHeuristicGate = true, keepBestQuality = true))
+
+    // Transitive expression inventory: descend into cached relations
+    // (each counted ONCE — a cache is filled once however many times
+    // it is scanned) and AQE input plans.
+    val seenCaches = scala.collection.mutable.Set.empty[Long]
+    def planExprs(p: SparkPlan): Seq[Expression] = {
+      // a file scan's dataFilters echo the parent Filter's condition
+      // (pushdown metadata, not a second evaluation) — skip leaf-scan
+      // expressions so each kernel call site is counted once
+      val here =
+        if (p.nodeName.startsWith("Scan")) Seq.empty
+        else p.expressions.flatMap(_.collect { case e => e })
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => planExprs(a.inputPlan)
+        case i: InMemoryTableScanExec =>
+          if (seenCaches.add(i.relation.cacheBuilder.cachedPlan.id))
+            planExprs(i.relation.cacheBuilder.cachedPlan)
+          else Seq.empty
+        case _ => Seq.empty
+      }
+      here ++ below ++ p.children.flatMap(planExprs)
+    }
+    val exprs = planExprs(res.docs.queryExecution.executedPlan)
+
+    // 1. no interpreted higher-order function anywhere in the composed
+    //    tree — fingerprint/tokenStats/langId HOF forms are the
+    //    single-reference oracle recipes of q19/q21/q55 and must not
+    //    leak into the composed pipeline (NEXT r6 #5)
+    val hofs = exprs.collect { case h: HigherOrderFunction => h }
+    assert(hofs.isEmpty,
+      s"interpreted HOFs in the composed curate plan:\n${hofs.map(_.sql).mkString("\n")}")
+
+    // 2. the heuristic-gate signals struct: exactly one kernel call —
+    //    a per-field re-evaluation would show 12
+    val structUdfs = exprs.collect {
+      case u: ScalaUDF if u.dataType.isInstanceOf[StructType] => u }
+    assert(structUdfs.size == 1,
+      s"signals kernel should be called exactly once, got ${structUdfs.size}")
+
+    // 3. bounded kernel inventory for the whole composed pipeline:
+    //    quality + repetition (each once in the pushed gate predicate,
+    //    once in the annotate projection), signals (gate only), shingle
+    //    hashes + signature (LSH sign pass), contamination grams (one
+    //    per side). A reference-site blowup (k x per field, or the
+    //    join-back double-scan this audit originally caught in
+    //    exactByColumns) lands above this.
+    val udfs = exprs.collect { case u: ScalaUDF => u }
+    assert(udfs.size <= 9, s"unexpected kernel call sites: ${udfs.size}")
+    res.unpersist()
+  }
+
   test("normalize runs as a native expression, not a UDF") {
     val q = SparkEntry.queries("q14_normalize_text")(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString
