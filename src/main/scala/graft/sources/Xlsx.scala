@@ -10,7 +10,7 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import scala.collection.mutable.ArrayBuffer
 
-/** Dependency-free XLSX source (SURVEY.md S1). The reference ingests one
+/** Dependency-free Excel source (SURVEY.md S1). The reference ingests one
   * survey workbook per year (`pd.read_excel`, etl_ui.py:861); workbooks
   * are MB-scale, so parsing on the driver and parallelizing the rows is
   * the architecturally honest port (the cluster never needed to scan the
@@ -19,6 +19,9 @@ import scala.collection.mutable.ArrayBuffer
   * Supports the common subset: sheet1, shared strings, inline strings,
   * numeric cells. Every value lands as a string — identical to the CSV
   * path (cells are heterogeneous; coercion is per-column downstream).
+  * [[read]]/[[readRows]] dispatch on magic bytes, so legacy `.xls`
+  * (BIFF8) workbooks route to [[Biff]] transparently — the same
+  * two-format surface `pd.read_excel` gives the reference.
   */
 object Xlsx {
 
@@ -46,8 +49,23 @@ object Xlsx {
     * serial numbers); everything else — including percent-styled cells,
     * which pd.read_excel surfaces as their stored decimal, not the
     * display text — stays the literal cell text.
+    *
+    * Dispatches on the file's MAGIC BYTES, not its extension
+    * (`pd.read_excel` parity — etl_ui.py:850 accepts `.xls` and `.xlsx`
+    * uploads alike): a zip container parses as OOXML here, an OLE2
+    * container routes to the [[Biff]] BIFF8 reader, and anything else —
+    * including misnamed CSVs — fails with a typed, actionable error
+    * instead of a zip crash.
     */
   def readRows(path: String, sheet: Int = 1): Vector[Array[String]] = {
+    val magic = new Array[Byte](8)
+    val in = new java.io.FileInputStream(path)
+    val n = try in.read(magic) finally in.close()
+    if (n >= 8 && Biff.isCfb(magic)) return Biff.readRows(path, sheet)
+    if (n < 2 || magic(0) != 'P'.toByte || magic(1) != 'K'.toByte)
+      throw new IllegalArgumentException(
+        s"$path is neither an OOXML (.xlsx) nor an OLE2 (.xls) workbook — " +
+          "export the data as .xlsx or CSV")
     val zip = new ZipFile(path)
     try {
       val shared = Option(zip.getEntry("xl/sharedStrings.xml"))
