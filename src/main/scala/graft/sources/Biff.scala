@@ -225,8 +225,14 @@ object Biff {
     def atBoundary: Boolean = off == 0 && part > 0
     def hasMore: Boolean =
       part < parts.length && (off < parts(part).length || part + 1 < parts.length)
-    private def ensure(): Unit =
+    private def ensure(): Unit = {
       while (part < parts.length && off >= parts(part).length) { part += 1; off = 0 }
+      if (part >= parts.length)
+        throw new IllegalArgumentException(
+          "truncated BIFF record (string data runs past the record and its " +
+            "CONTINUE records) — the workbook is corrupt or uses an " +
+            "unsupported layout; convert it to .xlsx or CSV")
+    }
     def u8(): Int = { ensure(); val v = parts(part)(off) & 0xFF; off += 1; v }
     def u16(): Int = u8() | (u8() << 8)
     def u32(): Long = u16().toLong | (u16().toLong << 16)
