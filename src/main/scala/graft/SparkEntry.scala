@@ -1739,13 +1739,83 @@ object SparkEntry {
            |FROM r ORDER BY doc_id""".stripMargin
       })
 
+    /** The persistable-LSH-index probe ([[operators.LshIndex]]): q56's
+      * cross-corpus workload run as build-once/probe-once. SAME output
+      * contract as q56, but the stop set is FROZEN from the kept (even)
+      * side at build time — the index's documented staleness semantics —
+      * so the oracle's stop CTE scans even docs only. Bucket caps apply
+      * to the combined (kept cnt + incoming) size, which over the union
+      * of banded entries is exactly q56's `HAVING count(*) <= 2000` bar.
+      */
+    private val q61 = Q(
+      "q61_index_probe",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val index = operators.LshIndex.build(
+          docs.filter($"doc_id" % 2 === 0), idCol = "doc_id", textCol = "text",
+          n = 3, numPerm = 64, bands = 16,
+          portableHash = true,
+          minDocFreq = 0L) // ratio-only bar: the frozen replay's form
+        val res = operators.LshIndex.pairsAgainst(
+          index, docs.filter($"doc_id" % 2 =!= 0),
+          idCol = "doc_id", textCol = "text", threshold = 0.7)
+        index.unpersist()
+        res.pairs
+          .select($"id_existing", $"id_incoming", round($"jaccard", 6).as("jaccard"))
+          .orderBy("id_existing", "id_incoming")
+      },
+      Some(s"""WITH sh0 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN text IS NULL THEN CAST([] AS BIGINT[]) ELSE
+             |      list_distinct([CAST('0x' || substr(md5(substr(lower(text), i, 3)), 1, 8) AS BIGINT)
+             |                     FOR i IN range(1, greatest(length(text) - 2, 0) + 1)]) END AS hs0
+             |  FROM documents),
+             |stop AS (
+             |  SELECT h FROM (SELECT unnest(hs0) AS h FROM sh0 WHERE doc_id % 2 = 0)
+             |  GROUP BY h
+             |  HAVING count(*) > floor((SELECT count(*) FROM documents WHERE doc_id % 2 = 0) * 0.5)),
+             |pruned AS (
+             |  SELECT s.doc_id, coalesce(l.hs, CAST([] AS BIGINT[])) AS hs
+             |  FROM sh0 s LEFT JOIN (
+             |    SELECT doc_id, list(h) AS hs
+             |    FROM (SELECT doc_id, unnest(hs0) AS h FROM sh0)
+             |    WHERE h NOT IN (SELECT h FROM stop)
+             |    GROUP BY doc_id) l USING (doc_id)),
+             |sigs AS (
+             |  SELECT doc_id, hs,
+             |    $q24Sigs
+             |  FROM pruned),
+             |banded AS (
+             |  $q24Bands),
+             |ok_buckets AS (
+             |  SELECT band, bucket FROM banded
+             |  GROUP BY band, bucket HAVING count(*) <= 2000),
+             |cands AS (
+             |  SELECT DISTINCT a.doc_id AS id_existing, b.doc_id AS id_incoming
+             |  FROM banded a
+             |  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+             |    AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+             |  JOIN ok_buckets ob ON ob.band = a.band AND ob.bucket = a.bucket),
+             |j AS (
+             |  SELECT c.id_existing, c.id_incoming,
+             |    CAST(len(list_intersect(pa.hs, pb.hs)) AS DOUBLE) AS inter,
+             |    CAST(len(pa.hs) AS DOUBLE) + CAST(len(pb.hs) AS DOUBLE) AS tot
+             |  FROM cands c
+             |  JOIN pruned pa ON pa.doc_id = c.id_existing
+             |  JOIN pruned pb ON pb.doc_id = c.id_incoming)
+             |SELECT id_existing, id_incoming,
+             |  round(CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 0 END, 6) AS jaccard
+             |FROM j
+             |WHERE (CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 0 END) >= 0.7
+             |ORDER BY id_existing, id_incoming""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
       q21, q22, q23, q24, q24b, q25, q26, q27, q28, q29, q30,
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
-      q58, q59, q60)
+      q58, q59, q60, q61)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

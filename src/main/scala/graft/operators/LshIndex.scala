@@ -1,0 +1,367 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Persistable MinHash-LSH index: build once over the kept corpus, probe
+  * many times with incoming batches — the incremental-ingest form of
+  * [[TextDedup.minHashLshPairsAgainst]].
+  *
+  * The one-shot operator unions existing+incoming and re-runs the full
+  * shingle/sign/band pipeline over BOTH sides on every call — O(corpus)
+  * CPU per ingest. At a 100-TB kept corpus with daily crawls that
+  * re-payment dominates; this index pays the corpus-side cost ONCE:
+  * [[build]] shingles, signs and bands the kept corpus into a plain
+  * DataFrame the caller persists to Parquet, and [[pairsAgainst]] signs
+  * only the incoming batch and probes the stored buckets. The kept side
+  * is then a columnar SCAN (band/bucket filter pushdown, no text
+  * processing, and — when the incoming batch is broadcast-sized, the
+  * normal case — no shuffle of the stored entries at all).
+  *
+  * Index layout: ONE DataFrame (so one Parquet artifact), row kind
+  * discriminated by `band`:
+  *   - `band == -1` (one row): metadata — `bucket` holds the frozen
+  *     build parameters as a `v1;k=v;...` string, `sh` holds the frozen
+  *     document-frequency stop set.
+  *   - `band == -2` (one row per doc): `sh` = DF-pruned shingle hashes
+  *     (what pair verification compares), `sig` = the MinHash signature
+  *     (kept so the index can be re-banded without re-shingling),
+  *     `text_md5` = digest for the exact-text dedup rail.
+  *   - `band in [0, bands)` (one row per doc per band): `bucket` = the
+  *     band's bucket key, `cnt` = that bucket's size at build time.
+  *     Buckets larger than `maxBucketSize` are dropped HERE — under the
+  *     one-shot operator's union cap they could never survive any probe
+  *     (kept-side count alone already exceeds the cap), so dropping them
+  *     at build loses nothing and keeps every future probe's join
+  *     bounded.
+  *
+  * FROZEN STOP SET — the deliberate staleness trade-off: the one-shot
+  * operator recomputes document frequencies over existing+incoming on
+  * every call; the index freezes the stop set computed over the kept
+  * corpus at build time. Probes prune incoming shingles with that frozen
+  * set, so a boilerplate template that only becomes frequent in LATER
+  * crawls is not pruned until the index is rebuilt. The index IS the
+  * corpus, so freezing is the semantically honest choice (a stop set
+  * must describe the corpus it prunes — SCALE.md's own rule); rebuild
+  * the index (nightly compaction) to refresh it. With pruning disabled
+  * (`maxDocFreqRatio = 1.0`) or when kept-side and union stop sets agree
+  * (they are both empty below the [[TextDedup.DefaultMinDocFreq]] floor),
+  * probe results are IDENTICAL to the one-shot operator — pinned by
+  * LshIndexSpec.
+  *
+  * Bucket keys are stored as strings in both hash modes (casting the
+  * production int key is injective, so bucket groups are unchanged);
+  * one schema means one Parquet artifact regardless of mode.
+  */
+object LshIndex {
+
+  /** `band` value of the single metadata row. */
+  val MetaBand: Int = -1
+  /** `band` value of per-document shingle/signature rows. */
+  val DocBand: Int = -2
+
+  /** Frozen build parameters, parsed back from the index's meta row. */
+  final case class Meta(
+      n: Int, numPerm: Int, bands: Int, seed: Long, portableHash: Boolean,
+      maxBucketSize: Int, builtDroppedBuckets: Long, nDocs: Long)
+
+  private def metaString(m: Meta): String =
+    s"v1;n=${m.n};numPerm=${m.numPerm};bands=${m.bands};seed=${m.seed};" +
+      s"portable=${m.portableHash};cap=${m.maxBucketSize};" +
+      s"builtDropped=${m.builtDroppedBuckets};nDocs=${m.nDocs}"
+
+  /** Meta row + frozen stop set of `index`. Fails typed on a frame that
+    * is not a v1 LSH index (no meta row / unknown version).
+    */
+  def readMeta(index: DataFrame): (Meta, Array[Long]) = {
+    val rows = index.filter(col("band") === MetaBand)
+      .select(col("bucket"), col("sh")).collect()
+    require(rows.length == 1,
+      s"not an LSH index: expected exactly one meta row (band = $MetaBand), found ${rows.length}")
+    val s = rows(0).getString(0)
+    require(s != null && s.startsWith("v1;"), s"unknown LSH index version: $s")
+    val kv = s.split(";").drop(1)
+      .map { p => val i = p.indexOf('='); p.substring(0, i) -> p.substring(i + 1) }
+      .toMap
+    val meta = Meta(
+      n = kv("n").toInt, numPerm = kv("numPerm").toInt,
+      bands = kv("bands").toInt, seed = kv("seed").toLong,
+      portableHash = kv("portable").toBoolean,
+      maxBucketSize = kv("cap").toInt,
+      builtDroppedBuckets = kv("builtDropped").toLong,
+      nDocs = kv("nDocs").toLong)
+    val stop = Option(rows(0).getSeq[Long](1)).map(_.toArray).getOrElse(Array.empty[Long])
+    (meta, stop)
+  }
+
+  private def shingleCol(textCol: String, n: Int, portable: Boolean): Column =
+    if (portable) TextDedup.shingleHashesPortable(col(textCol), n)
+    else TextDedup.shingleHashes(col(textCol), n)
+
+  private def pruneUdf(stop: Array[Long]) = {
+    val stopSet = stop.toSet
+    udf((hs: Seq[Long]) => if (hs == null) null else hs.filterNot(stopSet.contains).toArray)
+  }
+
+  /** Band-bucket key over a signature column, as a string — identical
+    * group structure to [[TextDedup]]'s lshCore keys in both modes.
+    */
+  private def bucketOf(sig: Column, rows: Int, portable: Boolean): Column => Column =
+    if (portable) b => concat_ws(",", transform(slice(sig, b * rows + 1, lit(rows)), _.cast("string")))
+    else b => hash(slice(sig, b * rows + 1, lit(rows)), b).cast("string")
+
+  /** Build the index over the kept corpus. Returned frame is persisted
+    * (call `.unpersist()` once written); write it with
+    * `index.write.parquet(path)` and read it back with
+    * `spark.read.parquet` — the probe needs nothing else.
+    *
+    * Parameters mirror [[TextDedup.minHashLshDedup]]; `maxDocFreqRatio` /
+    * `minDocFreq` shape the FROZEN stop set (see object doc), and
+    * `maxBucketSize` is frozen as the cap every future probe enforces
+    * (a probe cannot resurrect a bucket dropped at build, so the cap is
+    * an index property, not a probe argument).
+    */
+  def build(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numPerm: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L,
+      maxBucketSize: Int = 2000,
+      maxDocFreqRatio: Double = 0.5,
+      portableHash: Boolean = false,
+      minDocFreq: Long = TextDedup.DefaultMinDocFreq): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    require(maxDocFreqRatio > 0.0, "maxDocFreqRatio must be positive")
+    require(minDocFreq >= 0, "minDocFreq must be non-negative")
+    val rows = numPerm / bands
+
+    val shCached = df
+      .select(col(idCol), md5(col(textCol)).as("text_md5"),
+        shingleCol(textCol, n, portableHash).as("sh"))
+      .persist()
+    val nDocs = shCached.count()
+    // same two-bar policy as lshCore: ratio with an absolute floor,
+    // both recomputed from THIS corpus; the result is then frozen
+    val stop: Array[Long] =
+      if (maxDocFreqRatio >= 1.0) Array.empty
+      else {
+        val cutoff = math.max((nDocs * maxDocFreqRatio).toLong, minDocFreq)
+        shCached.select(explode(col("sh")).as("__h"))
+          .groupBy("__h").count()
+          .filter(col("count") > cutoff)
+          .select("__h").collect().map(_.getLong(0))
+      }
+    val pruned =
+      if (stop.isEmpty) shCached
+      else {
+        val p = shCached.withColumn("sh", pruneUdf(stop)(col("sh"))).persist()
+        p.count()
+        shCached.unpersist()
+        p
+      }
+    val docs = pruned
+      .withColumn("sig",
+        udf(TextDedup.sigFromHashesKernel(numPerm, seed)).apply(col("sh")))
+      .persist()
+    docs.count()
+
+    val entriesRaw = docs.select(
+      col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bucketOf(col("sig"), rows, portableHash))).as(Seq("band", "bucket")))
+    val counts = entriesRaw.groupBy("band", "bucket").agg(count(lit(1)).as("cnt"))
+    val builtDropped = counts.filter(col("cnt") > maxBucketSize).count()
+    val entries = entriesRaw
+      .join(counts.filter(col("cnt") <= maxBucketSize), Seq("band", "bucket"))
+
+    val idType = df.schema(idCol).dataType
+    val meta = Meta(n, numPerm, bands, seed, portableHash, maxBucketSize, builtDropped, nDocs)
+    val metaRow = df.sparkSession.range(1).select(
+      lit(null).cast(idType).as(idCol),
+      lit(MetaBand).as("band"),
+      lit(metaString(meta)).as("bucket"),
+      lit(null).cast("long").as("cnt"),
+      typedLit(stop.toSeq).as("sh"),
+      lit(null).cast("array<bigint>").as("sig"),
+      lit(null).cast("string").as("text_md5"))
+    val docRows = docs.select(
+      col(idCol), lit(DocBand).as("band"),
+      lit(null).cast("string").as("bucket"), lit(null).cast("long").as("cnt"),
+      col("sh"), col("sig"), col("text_md5"))
+    val entryRows = entries.select(
+      col(idCol), col("band"), col("bucket"), col("cnt"),
+      lit(null).cast("array<bigint>").as("sh"),
+      lit(null).cast("array<bigint>").as("sig"),
+      lit(null).cast("string").as("text_md5"))
+
+    val index = metaRow.unionAll(docRows).unionAll(entryRows).persist()
+    index.count()
+    docs.unpersist()
+    pruned.unpersist()
+    index
+  }
+
+  /** Cross-corpus near-dup pairs against the stored index: identical
+    * output contract to [[TextDedup.minHashLshPairsAgainst]]
+    * (`id_existing`, `id_incoming`, `jaccard`) — with the kept side read
+    * from the index instead of re-shingled/re-signed. Only the incoming
+    * batch pays CPU; the stored side is a scan.
+    *
+    * Cap semantics match the one-shot operator exactly: a bucket is
+    * suppressed when its COMBINED size (stored `cnt` + incoming count)
+    * exceeds the frozen `maxBucketSize` — the union bucket size, since
+    * ids are unique across both corpora (same precondition as the
+    * one-shot form). `droppedBuckets` on the result counts buckets
+    * suppressed at probe time; build-time drops are in the meta row.
+    */
+  def pairsAgainst(
+      index: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5): TextDedup.LshPairs = {
+    val (m, stop) = readMeta(index)
+    val rows = m.numPerm / m.bands
+
+    val inShRaw = incoming.select(
+      col(idCol).as("id_incoming"),
+      shingleCol(textCol, m.n, m.portableHash).as("sh_b"))
+    val inSh =
+      (if (stop.isEmpty) inShRaw
+       else inShRaw.withColumn("sh_b", pruneUdf(stop)(col("sh_b")))).persist()
+    inSh.count()
+    val inBanded = inSh
+      .select(col("id_incoming"),
+        udf(TextDedup.sigFromHashesKernel(m.numPerm, m.seed)).apply(col("sh_b")).as("sig"))
+      .select(col("id_incoming"),
+        posexplode(transform(sequence(lit(0), lit(m.bands - 1)),
+          bucketOf(col("sig"), rows, m.portableHash))).as(Seq("band", "bucket")))
+      .persist()
+    inBanded.count()
+
+    // Distinct incoming buckets are bounded by bands * |incoming| — the
+    // incremental-ingest case broadcasts this side, so stored entries
+    // are scanned (band >= 0 pushes to Parquet) but never shuffled.
+    val inCnt = inBanded.groupBy("band", "bucket").agg(count(lit(1)).as("cnt_i"))
+    val entries = index.filter(col("band") >= 0)
+      .select(col(idCol).as("id_existing"), col("band"), col("bucket"), col("cnt"))
+    // Entries per bucket are capped at build, incoming counts ride the
+    // join row, so this frame is bounded by cap * |touched buckets|.
+    val joined = entries.join(inCnt, Seq("band", "bucket")).persist()
+    val droppedBuckets = joined.filter(col("cnt") + col("cnt_i") > m.maxBucketSize)
+      .select("band", "bucket").distinct().count()
+    val cands = joined.filter(col("cnt") + col("cnt_i") <= m.maxBucketSize)
+      .join(inBanded, Seq("band", "bucket"))
+      .select("id_existing", "id_incoming").distinct()
+
+    val docsSh = index.filter(col("band") === DocBand)
+      .select(col(idCol).as("id_existing"), col("sh").as("sh_a"))
+    val result = cands
+      .join(docsSh, "id_existing")
+      .join(inSh, "id_incoming")
+      .withColumn("jaccard", TextDedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_existing"), col("id_incoming"), col("jaccard"))
+      .persist()
+    result.count()
+    joined.unpersist()
+    inBanded.unpersist()
+    inSh.unpersist()
+    TextDedup.LshPairs(result, droppedBuckets, stop.length)
+  }
+
+  /** Index-backed twin of [[TextDedup.dedupAgainst]]: `incoming` minus
+    * near-dups of the indexed corpus (LSH pairs at `threshold`) minus
+    * exact-text matches (md5 rail — catches sub-`n`-length texts that
+    * shingle to the empty set), preserving `incoming`'s columns and
+    * order. The md5 digests come from the index's doc rows, so the
+    * kept corpus's raw text is never needed at probe time.
+    */
+  def dedupAgainst(
+      index: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = pairsAgainst(index, incoming, idCol, textCol, threshold)
+    // materialize the drop set before releasing the pair cache (same
+    // rationale as the one-shot operator)
+    val dupIds = pairs.pairs.select(col("id_incoming").as(idCol))
+      .distinct().localCheckpoint()
+    pairs.unpersist()
+    val th = Iterator.from(0).map(i => s"__th$i")
+      .find(c => !incoming.columns.contains(c)).get
+    val exTextHashes = index.filter(col("band") === DocBand)
+      .select(col("text_md5").as(th)).na.drop().distinct()
+    incoming.join(dupIds, Seq(idCol), "left_anti")
+      .withColumn(th, md5(col(textCol)))
+      .join(exTextHashes, Seq(th), "left_anti")
+      .select(incoming.columns.map(col): _*)
+  }
+
+  /** Append new documents (already deduped — the caller's survivors) to
+    * the index, signing ONLY the new docs with the frozen parameters and
+    * stop set. Ids must stay unique across the whole index.
+    *
+    * Appended entry rows carry BATCH-LOCAL bucket counts (recomputing
+    * exact corpus-wide counts would rewrite every touched bucket's
+    * stored rows — the compaction job's business, not the ingest path's).
+    * Understated counts only UNDER-suppress: a probe may verify a few
+    * pairs the one-shot cap would have skipped, never miss one. Rebuild
+    * with [[build]] periodically to restore exact counts and refresh the
+    * stop set — the nightly-compaction pattern.
+    */
+  def append(
+      index: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val (m, stop) = readMeta(index)
+    val rows = m.numPerm / m.bands
+
+    val sh = newDocs.select(
+      col(idCol), md5(col(textCol)).as("text_md5"),
+      shingleCol(textCol, m.n, m.portableHash).as("sh"))
+    val shPruned = if (stop.isEmpty) sh else sh.withColumn("sh", pruneUdf(stop)(col("sh")))
+    val docs = shPruned
+      .withColumn("sig",
+        udf(TextDedup.sigFromHashesKernel(m.numPerm, m.seed)).apply(col("sh")))
+      .persist()
+    val nNew = docs.count()
+
+    val entriesRaw = docs.select(
+      col(idCol),
+      posexplode(transform(sequence(lit(0), lit(m.bands - 1)),
+        bucketOf(col("sig"), rows, m.portableHash))).as(Seq("band", "bucket")))
+    val counts = entriesRaw.groupBy("band", "bucket").agg(count(lit(1)).as("cnt"))
+
+    val idType = newDocs.schema(idCol).dataType
+    val newMetaRow = newDocs.sparkSession.range(1).select(
+      lit(null).cast(idType).as(idCol),
+      lit(MetaBand).as("band"),
+      lit(metaString(m.copy(nDocs = m.nDocs + nNew))).as("bucket"),
+      lit(null).cast("long").as("cnt"),
+      typedLit(stop.toSeq).as("sh"),
+      lit(null).cast("array<bigint>").as("sig"),
+      lit(null).cast("string").as("text_md5"))
+    val docRows = docs.select(
+      col(idCol), lit(DocBand).as("band"),
+      lit(null).cast("string").as("bucket"), lit(null).cast("long").as("cnt"),
+      col("sh"), col("sig"), col("text_md5"))
+    val entryRows = entriesRaw.join(counts, Seq("band", "bucket")).select(
+      col(idCol), col("band"), col("bucket"), col("cnt"),
+      lit(null).cast("array<bigint>").as("sh"),
+      lit(null).cast("array<bigint>").as("sig"),
+      lit(null).cast("string").as("text_md5"))
+
+    val appended = index.filter(col("band") =!= MetaBand)
+      .unionAll(newMetaRow).unionAll(docRows).unionAll(entryRows)
+      .persist()
+    appended.count()
+    docs.unpersist()
+    appended
+  }
+}

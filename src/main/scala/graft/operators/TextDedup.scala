@@ -147,7 +147,7 @@ object TextDedup {
     * lets the LSH path shingle each document exactly once and share the
     * hashes between signing and verification.
     */
-  private def sigFromHashesKernel(numPerm: Int, seed: Long): Seq[Long] => Array[Long] = {
+  private[operators] def sigFromHashesKernel(numPerm: Int, seed: Long): Seq[Long] => Array[Long] = {
     val ps = perms(numPerm, seed).toArray
     (hs: Seq[Long]) => {
       val sig = Array.fill(numPerm)(MersennePrime)
