@@ -36,7 +36,38 @@ import org.apache.spark.sql.SparkSession
   * cold companion is in bench_detail.json).
   */
 object Bench {
+
+  /** 1m/5m/15m system load averages — recorded into the artifact so a
+    * machine-contaminated run is machine-readably discardable (three
+    * rounds of judge re-timing were spent adjudicating load artifacts
+    * the JSON had no way to declare; VERDICT r7 ask #2).
+    */
+  private def loadavg(): Seq[Double] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split(" ").take(3).toSeq.map(_.toDouble)
+      finally src.close()
+    } catch { case _: Throwable => Seq.empty }
+
+  /** Fixed single-thread CPU probe: 400M dependent xorshift steps —
+    * pure register arithmetic, no allocation, no Spark. Its wall time
+    * depends ONLY on how much of one core this process actually gets,
+    * so first-vs-last drift flags load arriving mid-run and the
+    * absolute value normalizes artifacts across rounds (quiet machine
+    * reference is recorded in SCALE.md alongside the discard rule).
+    */
+  private def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 400000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    if (x == 0L) print("") // keep the loop observable
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
+    val loadBefore = loadavg()
+    val calFirst = calibrate()
     // Optional args: query names restrict the run to that subset (for
     // isolating one query's numbers without a fresh-JVM BenchOne);
     // --shared-session additionally reports curate_docs' steady state
@@ -185,12 +216,19 @@ object Bench {
     // re-runs curate in ONE session until the time stabilizes and
     // reports the steady state next to the fresh-session warm number
     // (NEXT r4/r6 #2 — closes the last known artifact-vs-real gap).
-    val curateSteady: Option[Double] =
+    // A failing iteration is FAST — taking a bare min over times would
+    // report a broken steady state as a good one, so the min is over
+    // successful runs only and any error surfaces in the errors map.
+    val steadyRuns: Seq[(Double, Option[String])] =
       if (sharedSession && wanted("curate_docs")) {
         val s = root.newSession()
-        val times = (1 to 3).map(_ => runCurate(s)._1)
-        Some(times.min)
-      } else None
+        (1 to 3).map(_ => runCurate(s))
+      } else Seq.empty
+    val steadyErr = steadyRuns.flatMap(_._2).headOption
+    val curateSteady: Option[Double] = {
+      val okTimes = steadyRuns.collect { case (t, None) => t }
+      if (okTimes.nonEmpty) Some(okTimes.min) else None
+    }
 
     def jsonStr(s: String): String =
       "\"" + s.flatMap {
@@ -206,7 +244,8 @@ object Bench {
       results.collect { case (n, _, _, Some(e)) => n -> e } ++
         pipelineErr.map("pipeline_1m" -> _) ++
         pipelineDenseErr.map("pipeline_1m_dense" -> _) ++
-        curateErr.map("curate_docs" -> _)
+        curateErr.map("curate_docs" -> _) ++
+        steadyErr.map("curate_docs_steady" -> _)
     val ok = results.filter(_._4.isEmpty)
     val warm = ok.map { case (n, _, w, _) => n -> w }
     val total = warm.map(_._2).sum
@@ -220,14 +259,36 @@ object Bench {
     val detailJson = results.map { case (n, c, w, _) =>
       jsonStr(n) + s""":{"cold":${ms(c)},"warm":${ms(w)}}"""
     }.mkString("{", ",", "}")
+    // Subset runs (query-name args) must NOT clobber the full-run
+    // detail file with a partial map — a history consumer has no way
+    // to tell clobbered detail from a real full run. Partial detail
+    // goes to a separate file instead.
+    val detailFile = if (only.isEmpty) "bench_detail.json" else "bench_detail_partial.json"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_detail.json"),
+      java.nio.file.Paths.get(detailFile),
       s"""{"queries":$detailJson,"billing_note":"stdout line reports the warm second run of each query in a fresh session on a shared context","sf":${jsonStr(sfDir)}}""".getBytes("UTF-8"))
 
     val errJson = errors.map { case (n, e) => jsonStr(n) + ":" + jsonStr(e) }
       .mkString("{", ",", "}")
+    // Unmeasured composites are OMITTED from the JSON, not printed as a
+    // literal 0.0 a history consumer could mistake for a measurement.
+    val pipelineField =
+      if (wanted("pipeline_1m")) s""","pipeline_1m":${ms(pipeline1m)}""" else ""
+    val pipelineDenseField =
+      if (wanted("pipeline_1m_dense")) s""","pipeline_1m_dense":${ms(pipeline1mDense)}""" else ""
+    val curateField =
+      if (wanted("curate_docs")) s""","curate_docs":${ms(curateDocs)}""" else ""
     val steadyField = curateSteady.map(v => s""","curate_docs_steady":${ms(v)}""").getOrElse("")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","billing":"warm","queries":${jsonNumMap(warm)},"pipeline_1m":${ms(pipeline1m)},"pipeline_1m_dense":${ms(pipeline1mDense)},"curate_docs":${ms(curateDocs)}$steadyField,"detail":"bench_detail.json","errors":$errJson,"sf":${jsonStr(sfDir)}}""")
+    // Load sentinel (VERDICT r7 ask #2): loadavg around the run plus the
+    // fixed CPU calibration probe first-and-last. Discard rule lives in
+    // SCALE.md ("Bench artifact load sentinel").
+    val loadAfter = loadavg()
+    val calLast = calibrate()
+    def jsonArr(xs: Seq[Double]): String = xs.map(ms).mkString("[", ",", "]")
+    val sentinel =
+      s""","loadavg":{"before":${jsonArr(loadBefore)},"after":${jsonArr(loadAfter)}}""" +
+        s""","calibration":{"first":${ms(calFirst)},"last":${ms(calLast)}}"""
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","billing":"warm","queries":${jsonNumMap(warm)}$pipelineField$pipelineDenseField$curateField$steadyField,"detail":${jsonStr(detailFile)}$sentinel,"errors":$errJson,"sf":${jsonStr(sfDir)}}""")
     root.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
