@@ -1809,13 +1809,43 @@ object SparkEntry {
              |WHERE (CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 0 END) >= 0.7
              |ORDER BY id_existing, id_incoming""".stripMargin))
 
+    /** REAL image decode ([[Multimodal.ImageCodec]], JDK `javax.imageio`):
+      * synthetic solid-color PNGs with dimensions/color arithmetic
+      * functions of doc_id, encoded then DECODED inside the query. The
+      * oracle recomputes the expected width/height/channel means
+      * arithmetically — PNG is lossless, so the encode→decode loop must
+      * reproduce them exactly; a hash match proves real pixel decode,
+      * not byte bookkeeping.
+      */
+    private val q62 = Q(
+      "q62_image_decode",
+      (s, dir) => {
+        val ids = t(s, dir, "documents").select($"doc_id").filter($"doc_id" < 500)
+        val png = udf((i: Long) => Multimodal.ImageCodec.solidPng(
+          1 + (i % 31).toInt, 1 + (i % 17).toInt,
+          (i % 256).toInt, (i * 7 % 256).toInt, (i * 13 % 256).toInt))
+        Multimodal.imageStats(ids.withColumn("img", png($"doc_id")), "img")
+          .select($"doc_id",
+            $"image_stats.width".as("width"), $"image_stats.height".as("height"),
+            $"image_stats.mean_r".as("mean_r"), $"image_stats.mean_g".as("mean_g"),
+            $"image_stats.mean_b".as("mean_b"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(1 + doc_id % 31 AS INT) AS width,
+             |  CAST(1 + doc_id % 17 AS INT) AS height,
+             |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+             |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+             |  CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+             |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
       q21, q22, q23, q24, q24b, q25, q26, q27, q28, q29, q30,
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
-      q58, q59, q60, q61)
+      q58, q59, q60, q61, q62)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

@@ -9,12 +9,15 @@ import org.apache.spark.sql.types._
   * extraction runs as a codegen-friendly column UDF with codec state
   * initialized once per executor, not per row.
   *
-  * The actual media decode is STUBBED (no image/audio libraries in this
-  * environment): [[StubCodec]] produces deterministic pseudo-features
-  * derived from the raw bytes. The Spark-side contract — schema, binary
+  * IMAGE decode is REAL since round 8: [[ImageCodec]] uses the JDK's
+  * built-in `javax.imageio` (PNG/JPEG — zero new dependencies) for
+  * magic-byte mime sniffing, header-only dimension reads, and full
+  * pixel-stat decode; [[withImageMetadata]] / [[imageStats]] are the
+  * column surfaces. Audio/video decode stays STUBBED (the JDK ships no
+  * codec): [[StubCodec]] produces deterministic pseudo-features derived
+  * from the raw bytes, and the Spark-side contract — schema, binary
   * transport, per-partition batching, feature vector shape — is real and
-  * tested; swapping [[StubCodec.decode]] for a real codec changes no
-  * plumbing.
+  * tested, so swapping in a real codec changes no plumbing.
   */
 object Multimodal {
 
@@ -81,6 +84,127 @@ object Multimodal {
       .withColumn("frame_bytes",
         expr(s"substring($contentCol, int(frame_idx * octet_length($contentCol) / $nFrames) + 1, " +
           s"greatest(int(octet_length($contentCol) / $nFrames), 1))"))
+  }
+
+  /** REAL image codec — the JDK's built-in `javax.imageio` (PNG + JPEG
+    * decode ship with every JVM; zero new dependencies). Closes the
+    * "codec is the one environment stub" gap for images; audio/video
+    * have no JDK codec and stay on [[StubCodec]].
+    *
+    * All entry points return `Option`/null on undecodable bytes — a
+    * corrupt payload row yields a null struct, never a task failure
+    * (at 100 TB some payloads WILL be corrupt).
+    */
+  object ImageCodec extends Serializable {
+    // ImageIO's default stream cache is a temp FILE per read — per-row
+    // disk churn on executors. Byte-array payloads need no cache.
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Magic-byte mime sniff (PNG / JPEG only — the formats the JDK
+      * decodes). Content-based, never trusts an extension column.
+      */
+    def sniffMime(bytes: Array[Byte]): Option[String] =
+      if (bytes == null || bytes.length < 4) None
+      else if ((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+        Some("image/png")
+      else if ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8)
+        Some("image/jpeg")
+      else None
+
+    /** Header-only (width, height): the reader parses the size records
+      * without decoding pixel data — the metadata-sniff path stays cheap
+      * on multi-MB payloads.
+      */
+    def dimensions(bytes: Array[Byte]): Option[(Int, Int)] = {
+      if (sniffMime(bytes).isEmpty) return None
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
+            finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: Exception => None }
+    }
+
+    /** Full-decode pixel statistics (field names are the output struct's
+      * column names).
+      */
+    final case class Stats(
+        width: Int, height: Int,
+        mean_r: Double, mean_g: Double, mean_b: Double)
+
+    def stats(bytes: Array[Byte]): Option[Stats] = {
+      if (sniffMime(bytes).isEmpty) return None
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+            i += 1
+          }
+          val n = (w.toLong * h).toDouble
+          Some(Stats(w, h, sr / n, sg / n, sb / n))
+        }
+      } catch { case _: Exception => None }
+    }
+
+    /** Deterministic solid-color PNG — the fixture/oracle generator
+      * (PNG is lossless, so decode must reproduce exactly these pixels).
+      */
+    def solidPng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, w, h, Array.fill(w * h)((r << 16) | (g << 8) | b), 0, w)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** [[withAssetMetadata]]'s real-codec twin for image columns: mime from
+    * magic bytes, width/height from a header-only read (null for bytes
+    * the JDK cannot decode) — same `asset_meta` struct shape, so the two
+    * paths interchange downstream.
+    */
+  def withImageMetadata(df: DataFrame, contentCol: String): DataFrame = {
+    val dims = udf((bytes: Array[Byte]) => ImageCodec.dimensions(bytes))
+    val mime = udf((bytes: Array[Byte]) =>
+      ImageCodec.sniffMime(bytes).getOrElse("application/octet-stream"))
+      .asNonNullable() // total function: the stub path's lit() is non-null too
+    val d = Iterator.from(0).map(i => s"__dims$i")
+      .find(c => !df.columns.contains(c)).get
+    df.withColumn(d, dims(col(contentCol)))
+      .withColumn("asset_meta", struct(
+        mime(col(contentCol)).as("media_type"),
+        octet_length(col(contentCol)).cast("long").as("n_bytes"),
+        col(s"$d._1").as("width"),
+        col(s"$d._2").as("height")))
+      .drop(d)
+  }
+
+  /** Real pixel statistics over a binary image column: appends
+    * `image_stats: struct<width, height, mean_r, mean_g, mean_b>` (null
+    * for undecodable payloads). Full decode per row — the feature-
+    * extraction path, not the metadata path; it is still one binary
+    * column through one codegen'd UDF, same Tungsten-resident shape as
+    * [[extractFeatures]].
+    */
+  def imageStats(df: DataFrame, contentCol: String): DataFrame = {
+    val f = udf((bytes: Array[Byte]) => ImageCodec.stats(bytes))
+    df.withColumn("image_stats", f(col(contentCol)))
   }
 
   /** Feature extraction over the binary content column: appends

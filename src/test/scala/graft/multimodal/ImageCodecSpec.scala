@@ -1,0 +1,83 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.multimodal.Multimodal.ImageCodec
+import org.apache.spark.sql.functions._
+
+/** Real-codec (javax.imageio) contract: PNG decode is pixel-exact, JPEG
+  * header reads are real, undecodable bytes degrade to null — never a
+  * task failure — and the column surfaces keep the stub paths' shapes.
+  */
+class ImageCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jpegBytes(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, Array.fill(w * h)((gray << 16) | (gray << 8) | gray), 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("PNG encode→decode round-trips dimensions and solid color exactly") {
+    val bytes = ImageCodec.solidPng(13, 7, 200, 17, 99)
+    assert(ImageCodec.sniffMime(bytes).contains("image/png"))
+    assert(ImageCodec.dimensions(bytes).contains((13, 7)))
+    val s = ImageCodec.stats(bytes).get
+    assert(s == ImageCodec.Stats(13, 7, 200.0, 17.0, 99.0))
+  }
+
+  test("JPEG: mime sniff, header dimensions, lossy-but-close decode") {
+    val bytes = jpegBytes(24, 16, 128)
+    assert(ImageCodec.sniffMime(bytes).contains("image/jpeg"))
+    assert(ImageCodec.dimensions(bytes).contains((24, 16)))
+    val s = ImageCodec.stats(bytes).get
+    assert(s.width == 24 && s.height == 16)
+    // JPEG is lossy: a uniform gray field survives within a few counts
+    assert(math.abs(s.mean_r - 128.0) < 4 &&
+      math.abs(s.mean_g - 128.0) < 4 && math.abs(s.mean_b - 128.0) < 4)
+  }
+
+  test("corrupt / non-image / truncated bytes degrade to None, never throw") {
+    assert(ImageCodec.sniffMime(null).isEmpty)
+    assert(ImageCodec.sniffMime("not an image".getBytes).isEmpty)
+    assert(ImageCodec.dimensions("junk junk junk".getBytes).isEmpty)
+    assert(ImageCodec.stats(Array[Byte](0x89.toByte, 'P', 'N', 'G')).isEmpty)
+    // valid magic, garbage body
+    val corrupt = ImageCodec.solidPng(4, 4, 1, 2, 3).take(20) ++ Array.fill(40)(0x5A.toByte)
+    assert(ImageCodec.stats(corrupt).isEmpty)
+  }
+
+  test("withImageMetadata: real sniff + header dims; non-images keep null dims") {
+    val rows = Seq(
+      (1L, ImageCodec.solidPng(5, 9, 10, 20, 30)),
+      (2L, jpegBytes(8, 4, 64)),
+      (3L, "plain text payload".getBytes)
+    ).toDF("id", "content")
+    val got = Multimodal.withImageMetadata(rows, "content")
+      .select($"id", $"asset_meta.media_type", $"asset_meta.width", $"asset_meta.height")
+      .as[(Long, String, Option[Int], Option[Int])].collect().sortBy(_._1)
+    assert(got(0) == ((1L, "image/png", Some(5), Some(9))))
+    assert(got(1) == ((2L, "image/jpeg", Some(8), Some(4))))
+    assert(got(2) == ((3L, "application/octet-stream", None, None)))
+    // asset_meta shape matches the stub path's schema contract
+    val stub = Multimodal.withAssetMetadata(rows, "content", "image/stub")
+    assert(Multimodal.withImageMetadata(rows, "content").schema("asset_meta").dataType ==
+      stub.schema("asset_meta").dataType)
+  }
+
+  test("imageStats column surface: exact PNG stats, null for undecodable rows") {
+    val rows = Seq(
+      (1L, ImageCodec.solidPng(3, 2, 255, 0, 128)),
+      (2L, "payload".getBytes)
+    ).toDF("id", "content")
+    val got = Multimodal.imageStats(rows, "content")
+      .select($"id", $"image_stats.width", $"image_stats.mean_r", $"image_stats.mean_b",
+        $"image_stats".isNull.as("is_null"))
+      .as[(Long, Option[Int], Option[Double], Option[Double], Boolean)]
+      .collect().sortBy(_._1)
+    assert(got(0) == ((1L, Some(3), Some(255.0), Some(128.0), false)))
+    assert(got(1)._5) // undecodable -> null struct
+  }
+}
