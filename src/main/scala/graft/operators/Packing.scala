@@ -19,15 +19,24 @@ import org.apache.spark.sql.expressions.Window
   */
 object Packing {
 
-  /** [[packSequences]] with the shard count derived from the input:
-    * `max(8, df.rdd.getNumPartitions)`. Each shard's running sum is a
-    * single window task, so the shard count IS the stage's parallelism
-    * — a fixed default would cap a 1000-executor cluster at 8 tasks.
-    * Deriving it from the scan's partition count scales it with the
-    * data while keeping the floor small corpora expect. NOTE: the
-    * derived count makes chunk membership depend on the input layout;
-    * pass `nShards` explicitly when runs must be byte-reproducible
-    * across different partitionings (the q54 oracle does).
+  /** Documents per shard the derived default aims for: a 100k-row
+    * window task is seconds of work, and the implied shard count grows
+    * linearly with the corpus (1B docs -> 10k shards on a 1000-executor
+    * cluster).
+    */
+  val DefaultDocsPerShard: Long = 100000L
+
+  /** [[packSequences]] with the shard count derived from the CORPUS
+    * SIZE: `max(8, ceil(count / DefaultDocsPerShard))`. Each shard's
+    * running sum is a single window task, so the shard count IS the
+    * stage's parallelism — a fixed default would cap a 1000-executor
+    * cluster at 8 tasks. Deriving it from the row count (one `count()`
+    * pre-pass) scales it with the data AND keeps the default
+    * reproducible: the same corpus packs identically whatever
+    * partitioning it arrives in (the r7 default derived from
+    * `rdd.getNumPartitions` made chunk membership layout-dependent —
+    * replaced this round, determinism pinned by PackingDefaultSpec).
+    * Pass `nShards` explicitly to skip the pre-pass or pin a layout.
     */
   def packSequences(
       df: DataFrame,
@@ -35,7 +44,7 @@ object Packing {
       textCol: String,
       budget: Int): DataFrame =
     packSequences(df, idCol, textCol, budget,
-      math.max(8, df.rdd.getNumPartitions))
+      math.max(8L, (df.count() + DefaultDocsPerShard - 1) / DefaultDocsPerShard).toInt)
 
   /** Per-doc packed span: shard, n_tokens, token_start (offset of the
     * doc's first token inside its shard's concat stream), chunk_first /

@@ -565,21 +565,30 @@ class PackingSpec extends SparkSpec {
     assert(a == b)
   }
 
-  test("default shard count scales with input partitions, floored at 8") {
+  test("default shard count is corpus-derived: identical packing across partitionings") {
+    // r7's default derived from rdd.getNumPartitions, so the SAME corpus
+    // packed differently depending on the layout it arrived in; the
+    // count-derived default must be layout-independent
     val df = (0L until 1000L).map(i => (i, "a b c")).toDF("doc_id", "text")
-    // wide input: shard count follows the partition count, so the
-    // per-shard window stage keeps the scan's parallelism
-    val wide = Packing.packSequences(df.repartition(16), "doc_id", "text", 512)
-    val nWide = wide.select("shard").distinct().count()
-    assert(nWide > 8 && nWide <= 16,
-      s"expected up to 16 non-empty shards from a 16-partition input, got $nWide")
-    // narrow input: the floor of 8 holds (a 1-partition frame must not
-    // serialize packing through one window task)
-    val narrow = Packing.packSequences(df.coalesce(1), "doc_id", "text", 512)
-    val nNarrow = narrow.select("shard").distinct().count()
-    assert(nNarrow == 8, s"expected the 8-shard floor, got $nNarrow")
-    // and the derived default is the documented function of the input
-    assert(wide.agg(max("shard")).head.getLong(0) < 16)
+    def packed(d: org.apache.spark.sql.DataFrame) =
+      Packing.packSequences(d, "doc_id", "text", 512)
+        .select("doc_id", "shard", "token_start", "chunk_first", "chunk_last")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val wide = packed(df.repartition(16))
+    val narrow = packed(df.coalesce(1))
+    assert(wide == narrow)
+    // small corpus -> the 8-shard floor (packing must not serialize
+    // through one window task even on a 1-partition frame)
+    assert(wide.map(_._2).size == 8)
+  }
+
+  test("default shard count grows with the corpus past the floor") {
+    // 900_001 docs / 100k docs-per-shard -> ceil = 10 shards > floor 8
+    val big = spark.range(900001L).select(
+      col("id").as("doc_id"), lit("tok").as("text"))
+    val shards = Packing.packSequences(big, "doc_id", "text", 1 << 20)
+      .select("shard").distinct().count()
+    assert(shards == 10, s"expected 10 derived shards, got $shards")
   }
 }
 
