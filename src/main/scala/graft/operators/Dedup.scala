@@ -75,6 +75,14 @@ object Dedup {
     * MapType payload fall back to the two-scan semi-join form (maps
     * can't ride a min) — callers with expensive upstreams and map
     * columns should persist before deduping.
+    *
+    * NULL ids never survive — in EITHER form. The semi-join form drops
+    * them structurally (null never equals the winner id; a min over ids
+    * ignores nulls), and the one-scan form filters them up front so the
+    * two paths cannot diverge (struct ordering sorts nulls FIRST, so an
+    * unfiltered null-id row would win the min there and only there —
+    * caught by the r7 ADVICE pass). `idCol` is a row identity; rows
+    * without one are not identifiable and are treated as such.
     */
   def exactByColumns(df: DataFrame, cols: Seq[String], idCol: String): DataFrame = {
     val payload = df.columns.filterNot(c => cols.contains(c) || c == idCol)
@@ -84,7 +92,8 @@ object Dedup {
     if (orderable) {
       val w = (Iterator("__w") ++ Iterator.from(0).map(i => s"__w$i"))
         .find(n => !df.columns.contains(n)).get
-      df.groupBy(cols.map(col): _*)
+      df.filter(col(idCol).isNotNull)
+        .groupBy(cols.map(col): _*)
         .agg(min(struct((idCol +: payload).map(col): _*)).as(w))
         .select(df.columns.map { c =>
           if (cols.contains(c)) col(c) else col(w)(c).as(c)

@@ -46,6 +46,27 @@ class ExactDedupNullSpec extends SparkSpec {
     // null group keeps its min id (3), not dropped wholesale
     assert(got == Set(1L, 3L, 5L))
   }
+
+  test("null IDS never survive, and both plan forms agree (r7 ADVICE)") {
+    // struct ordering sorts nulls first, so before r8 the one-scan form
+    // let a null-id row WIN the min while the semi-join fallback dropped
+    // it — same input, different results depending on payload type
+    val rows = Seq(
+      (Option.empty[Long], "a", "p0"), // null id in a shared group
+      (Some(7L), "a", "p1"),
+      (Some(2L), "b", "p2"),
+      (Option.empty[Long], "c", "p3")) // group whose ONLY row has a null id
+    val oneScan = rows.toDF("id", "k", "payload") // orderable payload
+    // map payload forces the two-scan semi-join fallback
+    val twoScan = oneScan.withColumn("payload",
+      org.apache.spark.sql.functions.map(
+        org.apache.spark.sql.functions.lit("v"), $"payload"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.exactByColumns(df, Seq("k"), "id")
+        .select("id").as[Option[Long]].collect().toSet
+    assert(ids(oneScan) == Set(Some(7L), Some(2L)))
+    assert(ids(twoScan) == Set(Some(7L), Some(2L)))
+  }
 }
 
 class SurrogateKeysSpec extends SparkSpec {
