@@ -72,7 +72,16 @@ object Biff {
     require(sectorShift == 9 || sectorShift == 12,
       s"unsupported CFB sector size ${1 << sectorShift}")
 
-    private def sectorOff(sector: Int): Int = 512 + sector * sectorSize
+    // [MS-CFB] 2.1: sector n starts at (n + 1) << sectorShift — the
+    // header occupies exactly ONE sector-sized slot, so for v4 files
+    // (4096-byte sectors) sector 0 is at 4096, not 512. The previous
+    // `512 + n * sectorSize` happened to be correct only for v3.
+    private def sectorOff(sector: Int): Int = (sector + 1) * sectorSize
+
+    private def corrupt(what: String): Nothing =
+      throw new IllegalArgumentException(
+        s"corrupt .xls workbook ($what) — open it in a spreadsheet tool " +
+          "and save as .xlsx or CSV")
 
     // FAT: sector numbers listed in the header DIFAT (109 entries) plus
     // DIFAT continuation sectors (85+ MB files only — supported anyway)
@@ -112,7 +121,11 @@ object Biff {
       var s = start
       var guard = 0
       while (s != EndOfChain && s >= 0 && guard < fat.length + 1) {
+        // a chain entry pointing past the FAT (or the file) is corrupt
+        // data, not a reader bug — typed error, never a bare AIOOBE
+        if (s >= fat.length) corrupt(s"FAT chain entry $s outside the FAT")
         val off = sectorOff(s)
+        if (off >= bytes.length) corrupt(s"sector $s outside the file")
         out.write(bytes, off, math.min(sectorSize, bytes.length - off))
         s = fat(s)
         guard += 1
@@ -157,7 +170,9 @@ object Biff {
       var s = start
       var guard = 0
       while (s != EndOfChain && s >= 0 && guard < miniFat.length + 1) {
+        if (s >= miniFat.length) corrupt(s"miniFAT chain entry $s outside the miniFAT")
         val off = s * miniSize
+        if (off >= miniStreamBytes.length) corrupt(s"mini sector $s outside the mini stream")
         out.write(miniStreamBytes, off,
           math.min(miniSize, miniStreamBytes.length - off))
         s = miniFat(s)

@@ -177,6 +177,44 @@ object BiffFixture {
     }
   }
 
+  /** Wrap a (>= 4096-byte) workbook stream in a v4 CFB container:
+    * 4096-byte sectors, so sector n lives at (n+1) << 12 — the header
+    * occupies a FULL sector-sized slot, not 512 bytes. Pins the
+    * [MS-CFB] 2.1 addressing (r7 ADVICE: the old `512 + n*size` only
+    * happened to be right for v3).
+    */
+  def cfbV4(stream: Array[Byte], streamName: String = "Workbook"): Array[Byte] = {
+    val S = 4096
+    require(stream.length >= S, "v4 fixture keeps the stream in the regular FAT")
+    def fatSector(entries: Seq[Long]): Array[Byte] = {
+      val b = ByteBuffer.allocate(S).order(ByteOrder.LITTLE_ENDIAN)
+      (0 until S / 4).foreach(i => b.putInt(i * 4, entries.lift(i).getOrElse(Free).toInt))
+      b.array()
+    }
+    val header = {
+      val h = ByteBuffer.allocate(S).order(ByteOrder.LITTLE_ENDIAN) // 512 used, rest zero
+      h.put(Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte))
+      h.putShort(24, 0x003E.toShort); h.putShort(26, 4.toShort) // major version 4
+      h.putShort(28, 0xFFFE.toShort)
+      h.putShort(30, 12.toShort); h.putShort(32, 6.toShort) // sectorShift 12
+      h.putInt(40, 1) // v4: number of directory sectors
+      h.putInt(44, 1); h.putInt(48, 1) // one FAT sector; directory at sector 1
+      h.putInt(56, 4096)
+      h.putInt(60, Eoc.toInt); h.putInt(64, 0) // no miniFAT
+      h.putInt(68, Eoc.toInt); h.putInt(72, 0)
+      (0 until 109).foreach(i => h.putInt(76 + i * 4, (if (i == 0) 0L else Free).toInt))
+      h.array()
+    }
+    val nSect = (stream.length + S - 1) / S
+    // sectors: 0 FAT, 1 directory, 2.. stream
+    val fat = Seq(FatSect, Eoc) ++
+      (0 until nSect).map(i => if (i == nSect - 1) Eoc else (3 + i).toLong)
+    val dir = java.util.Arrays.copyOf(cat(
+      dirEntry("Root Entry", 5, start = Eoc, size = 0, child = 1),
+      dirEntry(streamName, 2, start = 2, size = stream.length.toLong)), S)
+    cat(header, fatSector(fat), dir, java.util.Arrays.copyOf(stream, nSect * S))
+  }
+
   def write(bytes: Array[Byte]): String = {
     val f = Files.createTempFile("graft", ".xls")
     Files.write(f, bytes)
@@ -240,5 +278,67 @@ class BiffSpec extends SparkSpec {
     Files.write(f, "id;nome\n1;abc\n".getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException] { Xlsx.readRows(f.toString) }
     assert(e.getMessage.contains("neither an OOXML"))
+  }
+
+  test("v4 CFB (4096-byte sectors): sector n at (n+1)<<12 per [MS-CFB]") {
+    val ws = BiffFixture.workbookStream(pad = 516 * 8) // push past one 4096-byte sector
+    assert(ws.length >= 4096)
+    val path = BiffFixture.write(BiffFixture.cfbV4(ws))
+    expectGrid(Biff.readRows(path))
+  }
+
+  test("corrupt FAT chain fails typed, never a bare ArrayIndexOutOfBounds") {
+    // point the directory's start sector far outside the FAT
+    val good = BiffFixture.cfb(
+      BiffFixture.workbookStream(pad = 516 * 9), streamName = "Workbook")
+    val buf = ByteBuffer.wrap(good).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(48, 12345) // header: first directory sector
+    val path = BiffFixture.write(good)
+    val e = intercept[IllegalArgumentException] { Biff.readRows(path) }
+    assert(e.getMessage.contains("corrupt"))
+  }
+
+  test("BIFF and XLSX readers agree cell-for-cell on equivalent workbooks (one date policy)") {
+    // The same grid expressed in both containers: the BIFF fixture's
+    // XF/FORMAT date routing (builtin 14, custom dd/mm/yyyy) must land
+    // in the same serialToIso the xlsx styles.xml path uses — a
+    // divergence in date-style DETECTION shows up here even though the
+    // serial conversion is shared by construction. (The BOOLERR cell is
+    // expressed as the string it surfaces as: xlsx `t="b"` cells keep
+    // their raw 0/1 text by design, matching pandas' read of typed
+    // bools only through the writer's own round-trip.)
+    val xlsPath = BiffFixture.write(BiffFixture.cfb(BiffFixture.workbookStream()))
+
+    val f = Files.createTempFile("graft-parity", ".xlsx").toFile
+    val zip = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(f))
+    def put(name: String, content: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes("UTF-8")); zip.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheets><sheet name="S" sheetId="1"/></sheets></workbook>""".stripMargin)
+    put("xl/styles.xml",
+      """<?xml version="1.0"?><styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<numFmts count="1"><numFmt numFmtId="164" formatCode="dd/mm/yyyy"/></numFmts>
+        |<cellXfs count="3">
+        |<xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/>
+        |<xf numFmtId="164" applyNumberFormat="1"/>
+        |</cellXfs></styleSheet>""".stripMargin)
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>header_a</t></is></c><c r="B1" t="inlineStr"><is><t>header_b</t></is></c><c r="C1" t="inlineStr"><is><t>inline label</t></is></c></row>
+        |<row r="2"><c r="A2"><v>3.25</v></c><c r="B2"><v>42</v></c><c r="C2"><v>123.45</v></c><c r="D2"><v>1.5</v></c></row>
+        |<row r="3"><c r="A3" s="1"><v>45000</v></c><c r="B3" s="2"><v>45000</v></c><c r="C3" t="inlineStr"><is><t>TRUE</t></is></c></row>
+        |<row r="4"><c r="A4"><v>7.5</v></c><c r="B4" t="inlineStr"><is><t>computed</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zip.close()
+
+    val a = Biff.readRows(xlsPath)
+    val b = Xlsx.readRows(f.getAbsolutePath)
+    assert(a.size == b.size)
+    a.zip(b).zipWithIndex.foreach { case ((ra, rb), i) =>
+      assert(ra.toSeq == rb.toSeq, s"row $i diverged: ${ra.toSeq} vs ${rb.toSeq}")
+    }
   }
 }
