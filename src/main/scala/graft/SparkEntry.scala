@@ -1839,13 +1839,56 @@ object SparkEntry {
              |  CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
              |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin))
 
+    /** IVF ANN against the persisted index ([[operators.IvfIndex]]):
+      * build-once cell assignment, probe reads only the probed cells.
+      * The output contract is identical to the one-shot q43 (assignment
+      * is a pure function of the frozen quantizer), so the oracle is
+      * q43's replay verbatim — a hash match proves the index path
+      * returns bit-identical neighbors to the recomputing path.
+      */
+    private val q63 = Q(
+      "q63_ivf_index_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val index = operators.IvfIndex.build(
+          e, idCol = "vec_id", vecCol = "embedding",
+          centroids = IvfCentroids.centroids)
+        val res = operators.IvfIndex.topKAgainst(
+            index, e.filter($"vec_id" < 5),
+            idCol = "vec_id", vecCol = "embedding", k = 5, nProbe = 4)
+          .select($"query_id", $"rank", $"neighbor_id", round($"sim", 6).as("sim"))
+          .orderBy("query_id", "rank")
+        index.unpersist()
+        res
+      },
+      Some(s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+             |           FROM embeddings),
+             |assigned AS (
+             |  SELECT vec_id AS neighbor_id, vec,
+             |    ${sqlIvfCells("vec")}[1].cell AS cell
+             |  FROM v),
+             |probes AS (
+             |  SELECT vec_id AS query_id, vec AS qv,
+             |    unnest(list_transform(${sqlIvfCells("vec")}[1:4], s -> s.cell)) AS cell
+             |  FROM v WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT DISTINCT p.query_id, c.neighbor_id,
+             |    ${sqlCos("c.vec", "p.qv")} AS sim
+             |  FROM assigned c JOIN probes p ON c.cell = p.cell AND c.neighbor_id != p.query_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, sim,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(sim, 6) AS sim
+             |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
       q21, q22, q23, q24, q24b, q25, q26, q27, q28, q29, q30,
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
-      q58, q59, q60, q61, q62)
+      q58, q59, q60, q61, q62, q63)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persistable IVF (inverted-file) index: assign the corpus to its
+  * frozen-quantizer cells ONCE, probe many times with query batches —
+  * the incremental-serving form of [[Similarity.ivfTopKFrozen]], and the
+  * embedding-side sibling of [[LshIndex]] (VERDICT r7 ask #1's
+  * build-once/probe-many pattern, applied to the ANN family).
+  *
+  * The one-shot operator re-runs cell assignment (a nCentroids x dim
+  * L2 kernel per row) over the ENTIRE corpus on every call — O(N) CPU
+  * per query batch. This index pays that cost once: [[build]] assigns
+  * each vector to its nearest centroid and returns a plain DataFrame
+  * the caller persists with `index.write.partitionBy("cell")
+  * .parquet(path)`; [[topKAgainst]] then ranks each query's `nProbe`
+  * cells from the frozen centroid matrix (stored in the index's meta
+  * row) and reads ONLY those cell partitions — static partition pruning,
+  * pinned by IvfIndexSpec's plan assertion. At a 100-TB corpus a probe
+  * batch touches O(N * nProbe / nCentroids) bytes and zero assignment
+  * CPU; the corpus never shuffles (queries broadcast into the cell
+  * join).
+  *
+  * Index layout: ONE DataFrame, row kind discriminated by `cell`:
+  *   - `cell == -2` (one row): metadata — `params` holds the frozen
+  *     build parameters as a `v1;k=v;...` string, `ctrs` the frozen
+  *     centroid matrix. The centroids ride IN the artifact, so a probe
+  *     needs nothing but the index (no side-channel model file, no
+  *     version skew between quantizer and assignment).
+  *   - `cell == -1` (one row per null vector): unprobeable by
+  *     construction (probe cells are >= 0) — same "null never matches"
+  *     contract as the one-shot operator's -1 assignment.
+  *   - `cell >= 0`: one row per document — (`id`, `cell`, `vec`).
+  *
+  * Unlike [[LshIndex]] there is NO staleness trade-off: the quantizer
+  * is frozen by design (the production IVF deployment shape — see
+  * [[IvfCentroids]]), assignment is a pure per-row function of it, and
+  * [[append]] is therefore EXACT — `append(build(a), b)` probes
+  * identically to `build(a union b)`, pinned by IvfIndexSpec. Rebuild
+  * only to re-fit the quantizer itself.
+  */
+object IvfIndex {
+
+  /** `cell` value of the single metadata row. */
+  val MetaCell: Int = -2
+  /** `cell` assigned to null vectors (never probed; probes are >= 0). */
+  val NullCell: Int = -1
+
+  /** Frozen build parameters, parsed back from the index's meta row. */
+  final case class Meta(dim: Int, nCentroids: Int, nDocs: Long)
+
+  private def metaString(m: Meta): String =
+    s"v1;dim=${m.dim};nCentroids=${m.nCentroids};nDocs=${m.nDocs}"
+
+  /** Meta row of `index`: frozen params + centroid matrix. Fails typed
+    * on a frame that is not a v1 IVF index.
+    */
+  def readMeta(index: DataFrame): (Meta, Array[Array[Double]]) = {
+    require(index.columns.contains("cell") && index.columns.contains("params"),
+      "not an IVF index: expected columns (id, cell, vec, ctrs, params)")
+    val rows = index.filter(col("cell") === MetaCell)
+      .select(col("params"), col("ctrs")).collect()
+    require(rows.length == 1,
+      s"not an IVF index: expected exactly one meta row (cell = $MetaCell), found ${rows.length}")
+    val s = rows(0).getString(0)
+    require(s != null && s.startsWith("v1;"), s"unknown IVF index version: $s")
+    val kv = s.split(";").drop(1)
+      .map { p => val i = p.indexOf('='); p.substring(0, i) -> p.substring(i + 1) }
+      .toMap
+    val meta = Meta(
+      dim = kv("dim").toInt,
+      nCentroids = kv("nCentroids").toInt,
+      nDocs = kv("nDocs").toLong)
+    val ctrs = rows(0).getSeq[scala.collection.Seq[Double]](1)
+      .map(_.toArray).toArray
+    require(ctrs.length == meta.nCentroids, "corrupt IVF index: centroid count mismatch")
+    (meta, ctrs)
+  }
+
+  /** Build the index over the corpus with a frozen quantizer (a fitted
+    * centroid matrix — [[IvfCentroids]] or any [[graft.tools.FitIvf]]
+    * output). Returned frame is persisted (call `.unpersist()` once
+    * written); write it with `index.write.partitionBy("cell")
+    * .parquet(path)` so probes prune to their cells, and read it back
+    * with `spark.read.parquet` — the probe needs nothing else.
+    */
+  def build(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val dim = centroids.head.length
+    require(centroids.forall(_.length == dim), "centroids must share one dimensionality")
+    val ctrs = centroids.map(_.toArray).toArray
+    val assignUdf = udf((v: Array[Double]) =>
+      if (v == null) NullCell else Similarity.nearestCells(ctrs, v, 1)(0))
+
+    val docs = corpus
+      .select(col(idCol), Similarity.asDouble(col(vecCol)).as("vec"))
+      .withColumn("cell", assignUdf(col("vec")))
+      .select(col(idCol), col("cell"),
+        col("vec"),
+        lit(null).cast("array<array<double>>").as("ctrs"),
+        lit(null).cast("string").as("params"))
+      .persist()
+    val nDocs = docs.count()
+
+    val idType = corpus.schema(idCol).dataType
+    val meta = Meta(dim, centroids.length, nDocs)
+    val metaRow = corpus.sparkSession.range(1).select(
+      lit(null).cast(idType).as(idCol),
+      lit(MetaCell).as("cell"),
+      lit(null).cast("array<double>").as("vec"),
+      typedLit(centroids.map(_.toSeq)).as("ctrs"),
+      lit(metaString(meta)).as("params"))
+
+    val index = metaRow.unionAll(docs).persist()
+    index.count()
+    docs.unpersist()
+    index
+  }
+
+  /** Approximate top-k against the stored index: identical output
+    * contract to [[Similarity.ivfTopKFrozen]] (`query_id`, `rank`,
+    * `neighbor_id`, `sim`) — with cell assignment read from the index
+    * instead of recomputed. Only the query batch pays assignment CPU;
+    * the corpus side is a scan of the probed cells.
+    *
+    * The probed-cell set is collected to the driver to drive a static
+    * `isin` filter — bounded by `nCentroids` ints (model-sized by
+    * construction), and the reason a cell-partitioned Parquet index
+    * prunes at planning time instead of relying on runtime DPP.
+    */
+  def topKAgainst(
+      index: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val (m, ctrs) = readMeta(index)
+    require(nProbe > 0 && nProbe <= m.nCentroids,
+      s"nProbe must be in [1, ${m.nCentroids}]")
+    val probeUdf = udf((v: Array[Double]) =>
+      if (v == null) Array.empty[Int] else Similarity.nearestCells(ctrs, v, nProbe))
+    val q = queries
+      .select(col(idCol).as("query_id"), Similarity.asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__cell", explode(probeUdf(col("__qv"))))
+      .persist()
+    // <= nCentroids values: the static partition-pruning filter
+    val probed = q.select("__cell").distinct().collect().map(_.getInt(0)).toSeq
+    val assigned = index
+      .filter(col("cell").isInCollection(probed))
+      .select(col(idCol).as("neighbor_id"), col("cell").as("__cell"), col("vec").as("__cv"))
+    val out = Similarity.scoreProbedCells(assigned, q, k)
+    // scoreProbedCells ends in a window over fully-derived frames; the
+    // probe cache only needs to live until the caller materializes. Tie
+    // its release to nothing: localCheckpoint would cost a write, so we
+    // leave unpersist to context cleanup of the tiny (|Q| x nProbe) frame.
+    out
+  }
+
+  /** Append new vectors to the index, assigning ONLY the new rows with
+    * the frozen centroid matrix from the meta row. Ids must stay unique
+    * across the whole index. Exact: probes against the result are
+    * identical to probes against a fresh [[build]] over the union —
+    * assignment is a pure function of the frozen quantizer, and no
+    * cross-corpus statistic (counts, stop sets) exists to go stale.
+    */
+  def append(
+      index: DataFrame,
+      newVecs: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val (m, ctrs) = readMeta(index)
+    val assignUdf = udf((v: Array[Double]) =>
+      if (v == null) NullCell else Similarity.nearestCells(ctrs, v, 1)(0))
+    val newDocs = newVecs
+      .select(col(idCol), Similarity.asDouble(col(vecCol)).as("vec"))
+      .withColumn("cell", assignUdf(col("vec")))
+      .select(col(idCol), col("cell"), col("vec"),
+        lit(null).cast("array<array<double>>").as("ctrs"),
+        lit(null).cast("string").as("params"))
+      .persist()
+    val nNew = newDocs.count()
+
+    val idType = newVecs.schema(idCol).dataType
+    val newMetaRow = newVecs.sparkSession.range(1).select(
+      lit(null).cast(idType).as(idCol),
+      lit(MetaCell).as("cell"),
+      lit(null).cast("array<double>").as("vec"),
+      typedLit(ctrs.map(_.toSeq).toSeq).as("ctrs"),
+      lit(metaString(m.copy(nDocs = m.nDocs + nNew))).as("params"))
+
+    val appended = index.filter(col("cell") =!= MetaCell)
+      .unionAll(newMetaRow.select(index.columns.map(col): _*))
+      .unionAll(newDocs.select(index.columns.map(col): _*))
+      .persist()
+    appended.count()
+    newDocs.unpersist()
+    appended
+  }
+}

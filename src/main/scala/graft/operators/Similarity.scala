@@ -208,7 +208,7 @@ object Similarity {
     * cell), but the dedup is free after the bucket join and keeps the
     * tail safe for any multi-assignment caller.
     */
-  private def scoreProbedCells(assigned: DataFrame, q: DataFrame, k: Int): DataFrame = {
+  private[operators] def scoreProbedCells(assigned: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val scored = assigned.join(broadcast(q), "__cell")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("__cv"), col("__qv")))
@@ -229,7 +229,7 @@ object Similarity {
     * over the same literals is bit-identical, and ties break on the
     * lower cell id in both engines.
     */
-  private def nearestCells(ctrs: Array[Array[Double]], v: Array[Double], take: Int): Array[Int] = {
+  private[operators] def nearestCells(ctrs: Array[Array[Double]], v: Array[Double], take: Int): Array[Int] = {
     val ds = new Array[Double](ctrs.length)
     var ci = 0
     while (ci < ctrs.length) {

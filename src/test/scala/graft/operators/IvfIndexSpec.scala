@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pins [[IvfIndex]]'s contract: probing the built index is EXACTLY
+  * equivalent to the one-shot [[Similarity.ivfTopKFrozen]] (assignment
+  * is a pure function of the frozen quantizer — no stop set, no counts,
+  * so unlike [[LshIndex]] there is no documented divergence at all),
+  * [[IvfIndex.append]] is exact, and a cell-partitioned Parquet index
+  * prunes the probe scan to the probed cells at planning time.
+  */
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private def queries = emb.filter($"vec_id" < 5)
+
+  private def topkSet(df: DataFrame): Set[(Long, Int, Long, Double)] =
+    df.select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 9).as("s"))
+      .as[(Long, Int, Long, Double)].collect().toSet
+
+  test("topKAgainst == one-shot ivfTopKFrozen (same quantizer, k, nProbe)") {
+    val index = IvfIndex.build(emb, "vec_id", "embedding", IvfCentroids.centroids)
+    val got = IvfIndex.topKAgainst(index, queries, "vec_id", "embedding", k = 5, nProbe = 4)
+    val want = Similarity.ivfTopKFrozen(
+      emb, queries, "vec_id", "embedding", k = 5,
+      centroids = IvfCentroids.centroids, nProbe = 4)
+    assert(topkSet(got) == topkSet(want))
+    assert(topkSet(got).nonEmpty)
+    index.unpersist()
+  }
+
+  test("index round-trips through cell-partitioned Parquet and the probe scan prunes") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val index = IvfIndex.build(emb, "vec_id", "embedding", IvfCentroids.centroids)
+    val direct = IvfIndex.topKAgainst(index, queries, "vec_id", "embedding", k = 5, nProbe = 2)
+    index.write.partitionBy("cell").mode("overwrite").parquet(s"$dir/index")
+    index.unpersist()
+    val reloaded = spark.read.parquet(s"$dir/index")
+    val (meta, ctrs) = IvfIndex.readMeta(reloaded)
+    assert(meta.dim == 64 && meta.nCentroids == 16 && meta.nDocs == emb.count())
+    assert(ctrs.map(_.toSeq).toSeq == IvfCentroids.centroids)
+    val probed = IvfIndex.topKAgainst(reloaded, queries, "vec_id", "embedding", k = 5, nProbe = 2)
+    assert(topkSet(probed) == topkSet(direct))
+    // the scale claim: the probe reads ONLY probed cell partitions —
+    // the isin filter must land in the INDEX scan's PartitionFilters
+    // (the query-side embeddings scan is unpartitioned and legitimately
+    // prints an empty filter list, so assert on the index scan alone)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val idxScans = scans(probed.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("ivfidx")))
+    assert(idxScans.nonEmpty, "no parquet scan over the index directory found")
+    assert(idxScans.forall(_.partitionFilters.nonEmpty),
+      s"index scan not partition-pruned:\n${idxScans.map(_.toString).mkString}")
+  }
+
+  test("append is exact: probes equal a fresh build over the union") {
+    val a = emb.filter($"vec_id" % 2 === 0)
+    val b = emb.filter($"vec_id" % 2 === 1)
+    val incremental = IvfIndex.append(
+      IvfIndex.build(a, "vec_id", "embedding", IvfCentroids.centroids),
+      b, "vec_id", "embedding")
+    val rebuilt = IvfIndex.build(emb, "vec_id", "embedding", IvfCentroids.centroids)
+    val got = IvfIndex.topKAgainst(incremental, queries, "vec_id", "embedding", k = 5, nProbe = 4)
+    val want = IvfIndex.topKAgainst(rebuilt, queries, "vec_id", "embedding", k = 5, nProbe = 4)
+    assert(topkSet(got) == topkSet(want))
+    val (m, _) = IvfIndex.readMeta(incremental)
+    assert(m.nDocs == emb.count()) // meta doc count tracks appends
+    incremental.unpersist(); rebuilt.unpersist()
+  }
+
+  test("null vectors land in the null cell and are never served as neighbors") {
+    val withNull = emb.select($"vec_id", $"embedding")
+      .unionAll(Seq((9999L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val index = IvfIndex.build(withNull, "vec_id", "embedding", IvfCentroids.centroids)
+    assert(index.filter(col("cell") === IvfIndex.NullCell).count() == 1)
+    val out = IvfIndex.topKAgainst(index, queries, "vec_id", "embedding", k = 5, nProbe = 16)
+    assert(out.filter(col("neighbor_id") === 9999L).isEmpty)
+    index.unpersist()
+  }
+
+  test("readMeta fails typed on non-index frames") {
+    val notIndex = Seq((1L, "x")).toDF("id", "text")
+    val e1 = intercept[IllegalArgumentException](IvfIndex.readMeta(notIndex))
+    assert(e1.getMessage.contains("not an IVF index"))
+    val noMeta = IvfIndex.build(emb, "vec_id", "embedding", IvfCentroids.centroids)
+      .filter(col("cell") =!= IvfIndex.MetaCell)
+    val e2 = intercept[IllegalArgumentException](IvfIndex.readMeta(noMeta))
+    assert(e2.getMessage.contains("exactly one meta row"))
+  }
+}
