@@ -60,6 +60,17 @@ object ProfileScale {
     }.reduce(_ union _)
   }
 
+  /** sf embeddings, `factor`-way replicated with disjoint ids; vectors
+    * unmodified (see the `ivf` mode comment for why that is safe here).
+    */
+  def scaledEmb(spark: SparkSession, sfDir: String, factor: Int): DataFrame = {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val span = e.agg(max("vec_id")).head.getLong(0) + 1
+    (0 until factor).map { k =>
+      e.select((col("vec_id") + lit(k * span)).as("vec_id"), col("embedding"))
+    }.reduce(_ union _)
+  }
+
   def main(args: Array[String]): Unit = {
     val factors = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 4, 10)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -160,6 +171,48 @@ object ProfileScale {
             maxDocFreqRatio = 1.0)
         }
         println(f"PROFILE index_oneshot factor=$f pairs=$nOne cold=$oneCold%.1f warm=$oneWarm%.1f")
+      }
+      if (only.forall(_ == "ivf")) {
+        // The IvfIndex claim (T35): indexed corpus scales with f, query
+        // batch FIXED. The one-shot operator re-runs cell assignment (a
+        // 16x64 L2 kernel per row) over the whole corpus every call, so
+        // its cost grows with f at full weight; the index probe reads
+        // only the probed cell PARTITIONS of the Parquet index (4 of 16
+        // cells at nProbe=4) and pays zero assignment CPU — it should
+        // grow at roughly nProbe/nCentroids of the one-shot slope.
+        // Vectors are replicated unmodified (disjoint ids): cell sizes
+        // scale uniformly and top-k output stays bounded, so the curve
+        // measures scan+join machinery, not result growth.
+        val s = root.newSession()
+        def corpus(sx: SparkSession) = scaledEmb(sx, sfDir, f)
+        def queries(sx: SparkSession) = scaledEmb(sx, sfDir, 1).filter(col("vec_id") < 25)
+        val dir = java.nio.file.Files.createTempDirectory("ivfidx_profile").toString
+        val tb0 = System.nanoTime()
+        val built = graft.operators.IvfIndex.build(
+          corpus(s), "vec_id", "embedding", graft.operators.IvfCentroids.centroids)
+        built.write.partitionBy("cell").mode("overwrite").parquet(s"$dir/index")
+        val buildSecs = (System.nanoTime() - tb0) / 1e9
+        val nDocs = graft.operators.IvfIndex.readMeta(built)._1.nDocs
+        built.unpersist()
+        val index = s.read.parquet(s"$dir/index")
+        def probeOnce(): (Long, Double) = {
+          val t = System.nanoTime()
+          val n = graft.operators.IvfIndex.topKAgainst(
+            index, queries(s), "vec_id", "embedding", k = 5, nProbe = 4).count()
+          val secs = (System.nanoTime() - t) / 1e9
+          s.catalog.clearCache(); System.gc()
+          (n, secs)
+        }
+        val (nTop, probeCold) = probeOnce()
+        val (_, probeWarm) = probeOnce()
+        println(f"PROFILE ivf_probe factor=$f docs=$nDocs rows=$nTop " +
+          f"build=$buildSecs%.1f probe_cold=$probeCold%.1f probe_warm=$probeWarm%.1f")
+        val (nOne, oneCold, oneWarm) = timed { sx =>
+          graft.operators.Similarity.ivfTopKFrozen(
+            corpus(sx), queries(sx), "vec_id", "embedding", k = 5,
+            centroids = graft.operators.IvfCentroids.centroids, nProbe = 4)
+        }
+        println(f"PROFILE ivf_oneshot factor=$f rows=$nOne cold=$oneCold%.1f warm=$oneWarm%.1f")
       }
     }
     root.stop()
