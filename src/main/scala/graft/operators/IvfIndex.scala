@@ -162,6 +162,51 @@ object IvfIndex {
     out
   }
 
+  /** Index-backed embedding near-dup gate: `incoming` minus rows whose
+    * cosine similarity against ANY indexed vector in their probed cells
+    * reaches `threshold`, preserving `incoming`'s columns and order —
+    * the embedding-side twin of [[LshIndex.dedupAgainst]].
+    *
+    * Recall semantics: candidate generation is IVF-bucketed (each
+    * incoming vector is compared only inside its `nProbe` nearest
+    * cells), the same approximation class as
+    * [[Similarity.embeddingDupPairsLsh]]'s sign buckets — a duplicate
+    * whose stored twin lives only in unprobed cells is missed. True
+    * duplicates (cosine ~1) assign to the same cell by construction, so
+    * even `nProbe = 1` catches exact copies; raise `nProbe` for
+    * near-dups straddling a cell boundary.
+    */
+  def dedupAgainst(
+      index: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nProbe: Int = 2): DataFrame = {
+    val (m, ctrs) = readMeta(index)
+    require(nProbe > 0 && nProbe <= m.nCentroids,
+      s"nProbe must be in [1, ${m.nCentroids}]")
+    val probeUdf = udf((v: Array[Double]) =>
+      if (v == null) Array.empty[Int] else Similarity.nearestCells(ctrs, v, nProbe))
+    val q = incoming
+      .select(col(idCol).as("__qid"), Similarity.asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__cell", explode(probeUdf(col("__qv"))))
+      .persist()
+    val probed = q.select("__cell").distinct().collect().map(_.getInt(0)).toSeq
+    val dupIds = index
+      .filter(col("cell").isInCollection(probed))
+      .select(col(idCol).as("__nid"), col("cell").as("__cell"), col("vec").as("__cv"))
+      .join(broadcast(q), "__cell")
+      .filter(col("__nid") =!= col("__qid"))
+      .filter(Similarity.cosine(col("__cv"), col("__qv")) >= threshold)
+      .select(col("__qid").as(idCol))
+      .distinct()
+      .localCheckpoint() // materialize before the probe cache is released
+    q.unpersist()
+    incoming.join(dupIds, Seq(idCol), "left_anti")
+      .select(incoming.columns.map(col): _*)
+  }
+
   /** Append new vectors to the index, assigning ONLY the new rows with
     * the frozen centroid matrix from the meta row. Ids must stay unique
     * across the whole index. Exact: probes against the result are

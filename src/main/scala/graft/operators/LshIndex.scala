@@ -364,4 +364,73 @@ object LshIndex {
     docs.unpersist()
     appended
   }
+
+  /** Compaction: repair what [[append]] leaves approximate — WITHOUT
+    * touching any text. Appended entry rows carry batch-local bucket
+    * counts, so probes against an appended index can under-suppress
+    * (verify a few pairs the exact cap would skip — never miss one);
+    * compact recomputes exact corpus-wide counts from the stored entry
+    * rows alone, re-applies the frozen cap (a bucket grown past it by
+    * appends is dropped, exactly as [[build]] would), and rewrites the
+    * meta row's doc count. Pure metadata surgery over stored rows — no
+    * shingling, no signing, no raw text, so the nightly compaction job
+    * costs one groupBy over entry rows instead of a corpus re-read.
+    *
+    * What it deliberately does NOT refresh: the frozen stop set. Stored
+    * shingle hashes are already pruned by it, so the information needed
+    * to recompute document frequencies honestly is gone from the index
+    * by design; a stop-set refresh is a [[build]] over the raw corpus.
+    * With the stop set empty (the common small-corpus case under the DF
+    * floor), `compact(append(build(a), b))` probes IDENTICALLY to
+    * `build(a union b)` — pinned by LshIndexSpec.
+    *
+    * Edge: entries of buckets dropped AT BUILD are gone from the index,
+    * so compact's exact counts cover surviving entries only. Appended
+    * docs landing in such a bucket can keep it alive below the cap —
+    * their mutual pairs are real, but a fresh [[build]] over the union
+    * would suppress the whole bucket (its true size exceeds the cap).
+    * Harmless (bounded by the cap, pairs still verified), and the
+    * nightly [[build]] restores strict parity.
+    */
+  def compact(index: DataFrame, idCol: String): DataFrame = {
+    val (m, stop) = readMeta(index)
+    val docs = index.filter(col("band") === DocBand)
+      .select(col(idCol), col("sh"), col("sig"), col("text_md5"))
+      .persist()
+    val nDocs = docs.count()
+
+    val entries = index.filter(col("band") >= 0)
+      .select(col(idCol), col("band"), col("bucket"))
+    val counts = entries.groupBy("band", "bucket").agg(count(lit(1)).as("cnt"))
+    val dropped = counts.filter(col("cnt") > m.maxBucketSize).count()
+    val entryRows = entries
+      .join(counts.filter(col("cnt") <= m.maxBucketSize), Seq("band", "bucket"))
+      .select(
+        col(idCol), col("band"), col("bucket"), col("cnt"),
+        lit(null).cast("array<bigint>").as("sh"),
+        lit(null).cast("array<bigint>").as("sig"),
+        lit(null).cast("string").as("text_md5"))
+
+    val idType = index.schema(idCol).dataType
+    val metaRow = index.sparkSession.range(1).select(
+      lit(null).cast(idType).as(idCol),
+      lit(MetaBand).as("band"),
+      lit(metaString(m.copy(nDocs = nDocs, builtDroppedBuckets = dropped))).as("bucket"),
+      lit(null).cast("long").as("cnt"),
+      typedLit(stop.toSeq).as("sh"),
+      lit(null).cast("array<bigint>").as("sig"),
+      lit(null).cast("string").as("text_md5"))
+    val docRows = docs.select(
+      col(idCol), lit(DocBand).as("band"),
+      lit(null).cast("string").as("bucket"), lit(null).cast("long").as("cnt"),
+      col("sh"), col("sig"), col("text_md5"))
+
+    val compacted = metaRow.select(index.columns.map(col): _*)
+      .unionAll(docRows.select(index.columns.map(col): _*))
+      .unionAll(entryRows.select(index.columns.map(col): _*))
+      .persist()
+    compacted.count()
+    docs.unpersist()
+    compacted
+  }
 }

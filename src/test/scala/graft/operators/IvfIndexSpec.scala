@@ -88,6 +88,63 @@ class IvfIndexSpec extends SparkSpec {
     index.unpersist()
   }
 
+  test("dedupAgainst drops exact and near copies, keeps novel vectors, preserves columns") {
+    val corpus = emb.filter($"vec_id" < 100)
+    val index = IvfIndex.build(corpus, "vec_id", "embedding", IvfCentroids.centroids)
+    // incoming: exact copies of indexed vectors under new ids (cosine 1,
+    // same cell — must drop even at nProbe=1) + fresh vectors from
+    // outside the indexed slice (novel unless near-dup by chance at a
+    // 0.999 bar — they are not, by construction of the fixture)
+    val copies = corpus.filter($"vec_id" < 10)
+      .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+    val novel = emb.filter($"vec_id" >= 100 && $"vec_id" < 110)
+      .select($"vec_id", $"embedding")
+    val incoming = copies.unionAll(novel)
+    val out = IvfIndex.dedupAgainst(
+      index, incoming, "vec_id", "embedding", threshold = 0.999, nProbe = 1)
+    val kept = out.select("vec_id").as[Long].collect().toSet
+    assert(kept == novel.select("vec_id").as[Long].collect().toSet)
+    assert(out.columns.toSeq == incoming.columns.toSeq)
+    index.unpersist()
+  }
+
+  test("dedupAgainst matches a direct probed-cell cosine filter on the real corpus") {
+    val a = emb.filter($"vec_id" % 2 === 0)
+    val b = emb.filter($"vec_id" % 2 === 1)
+    val index = IvfIndex.build(a, "vec_id", "embedding", IvfCentroids.centroids)
+    val got = IvfIndex.dedupAgainst(
+        index, b, "vec_id", "embedding", threshold = 0.35, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    // independent reference: per-incoming probe cells via the same frozen
+    // quantizer, exact cosine inside them, survivors = below-threshold
+    val ctrs = IvfCentroids.centroids
+    val probeCells = b.select($"vec_id", Similarity.asDouble($"embedding").as("v"))
+      .as[(Long, Array[Double])].collect()
+      .map { case (id, v) => id -> IvfCentroids.centroids.indices
+        .sortBy(i => (ctrs(i).zip(v).map { case (c, x) => (x - c) * (x - c) }.sum, i))
+        .take(4).toSet }
+      .toMap
+    val corpus = a.select($"vec_id", Similarity.asDouble($"embedding").as("v"))
+      .as[(Long, Array[Double])].collect()
+    val corpusCell = corpus.map { case (id, v) => id -> IvfCentroids.centroids.indices
+      .minBy(i => (ctrs(i).zip(v).map { case (c, x) => (x - c) * (x - c) }.sum, i)) }.toMap
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      val den = math.sqrt(x.map(p => p * p).sum) * math.sqrt(y.map(q => q * q).sum)
+      if (den > 0) d / den else 0.0
+    }
+    val wantDropped = b.select($"vec_id", Similarity.asDouble($"embedding").as("v"))
+      .as[(Long, Array[Double])].collect()
+      .filter { case (id, v) =>
+        corpus.exists { case (nid, nv) =>
+          nid != id && probeCells(id).contains(corpusCell(nid)) && cos(nv, v) >= 0.35 } }
+      .map(_._1).toSet
+    val want = b.select("vec_id").as[Long].collect().toSet -- wantDropped
+    assert(got == want)
+    assert(wantDropped.nonEmpty) // the gate dropped something real
+    index.unpersist()
+  }
+
   test("readMeta fails typed on non-index frames") {
     val notIndex = Seq((1L, "x")).toDF("id", "text")
     val e1 = intercept[IllegalArgumentException](IvfIndex.readMeta(notIndex))

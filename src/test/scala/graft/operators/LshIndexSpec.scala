@@ -149,6 +149,62 @@ class LshIndexSpec extends SparkSpec {
     got.unpersist(); want.unpersist(); index1.unpersist(); index0.unpersist()
   }
 
+  test("compact(append(build(a), b)) probes identically to build(a union b)") {
+    // default DF floor keeps the stop set empty at this corpus size, so
+    // compaction's only remaining divergence source (the frozen stop
+    // set) is inert and strict parity with a fresh build must hold
+    val a = docs.filter($"doc_id" % 4 === 0)
+    val b = docs.filter($"doc_id" % 4 === 2)
+    val probe = docs.filter($"doc_id" % 2 =!= 0)
+
+    val appended = LshIndex.append(
+      LshIndex.build(a, "doc_id", "text"), b, "doc_id", "text")
+    val compacted = LshIndex.compact(appended, "doc_id")
+    val rebuilt = LshIndex.build(a.unionAll(b), "doc_id", "text")
+
+    val got = LshIndex.pairsAgainst(compacted, probe, "doc_id", "text", threshold = 0.7)
+    val want = LshIndex.pairsAgainst(rebuilt, probe, "doc_id", "text", threshold = 0.7)
+    assert(pairSet(got.pairs) == pairSet(want.pairs))
+    assert(pairSet(got.pairs).nonEmpty)
+
+    // compact repaired the meta row and exact counts without text access
+    val (mc, _) = LshIndex.readMeta(compacted)
+    val (mr, _) = LshIndex.readMeta(rebuilt)
+    assert(mc.nDocs == mr.nDocs && mc.builtDroppedBuckets == mr.builtDroppedBuckets)
+    got.unpersist(); want.unpersist(); compacted.unpersist(); rebuilt.unpersist()
+  }
+
+  test("compact restores exact cap suppression that append's batch-local counts miss") {
+    // tiny cap: a bucket filled across build+append batches exceeds the
+    // cap only in COMBINED size. The appended index's batch-local counts
+    // under-suppress; after compact the exact counts must suppress
+    // exactly as a fresh build does.
+    val a = docs.filter($"doc_id" % 4 === 0)
+    val b = docs.filter($"doc_id" % 4 === 2)
+    val probe = docs.filter($"doc_id" % 2 =!= 0)
+    // self-tuned cap = a's largest build bucket: build(a) then drops
+    // nothing (the strict-parity precondition — the documented compact
+    // edge concerns build-dropped entries), while the union's grown
+    // buckets overflow it
+    val cap = {
+      val unc = LshIndex.build(a, "doc_id", "text", maxBucketSize = Int.MaxValue)
+      val m = unc.filter(col("band") >= 0).agg(max("cnt")).head.getLong(0)
+      unc.unpersist(); m.toInt
+    }
+    val built = LshIndex.build(a, "doc_id", "text", maxBucketSize = cap)
+    assert(LshIndex.readMeta(built)._1.builtDroppedBuckets == 0L)
+    val appended = LshIndex.append(built, b, "doc_id", "text")
+    val compacted = LshIndex.compact(appended, "doc_id")
+    val rebuilt = LshIndex.build(a.unionAll(b), "doc_id", "text", maxBucketSize = cap)
+    // ...and the combined corpus DOES overflow the cap somewhere, or
+    // this test exercises nothing
+    assert(LshIndex.readMeta(rebuilt)._1.builtDroppedBuckets > 0L)
+    val got = LshIndex.pairsAgainst(compacted, probe, "doc_id", "text", threshold = 0.5)
+    val want = LshIndex.pairsAgainst(rebuilt, probe, "doc_id", "text", threshold = 0.5)
+    assert(pairSet(got.pairs) == pairSet(want.pairs))
+    got.unpersist(); want.unpersist(); compacted.unpersist(); rebuilt.unpersist()
+  }
+
   test("readMeta fails typed on a frame that is not an index") {
     val notIndex = Seq((1, "x")).toDF("band", "bucket")
     val e = intercept[IllegalArgumentException] {
