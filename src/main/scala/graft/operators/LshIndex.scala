@@ -365,6 +365,57 @@ object LshIndex {
     appended
   }
 
+  /** Probe SEVERAL index generations with one incoming batch — the
+    * production layout for a kept corpus too large to rebuild as one
+    * artifact (e.g. one index per monthly crawl, each built and
+    * compacted once, never touched again). The incoming batch is
+    * shingled once per generation (each generation's frozen stop set
+    * prunes differently — per-batch CPU, still O(incoming)); pairs are
+    * the union of per-generation probes. Generations must share build
+    * parameters (n / numPerm / bands / seed / hash mode — enforced
+    * typed); ids must be unique across ALL generations and the batch.
+    *
+    * Bucket caps apply per generation: a near-dup cluster sharded
+    * across generations is capped by each generation's combined count,
+    * not the global one — the documented multi-generation trade-off
+    * (generations are independent artifacts; a global cap would need a
+    * cross-generation count pass, which is [[build]]-over-everything).
+    */
+  def pairsAgainstMany(
+      indexes: Seq[DataFrame],
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5): TextDedup.LshPairs = {
+    require(indexes.nonEmpty, "need at least one index generation")
+    val metas = indexes.map(readMeta(_)._1)
+    val base = metas.head
+    require(metas.forall(m => m.n == base.n && m.numPerm == base.numPerm &&
+      m.bands == base.bands && m.seed == base.seed &&
+      m.portableHash == base.portableHash),
+      "index generations disagree on build parameters " +
+        "(n/numPerm/bands/seed/hash mode) — rebuild with one recipe")
+    val probes = indexes.map(ix => pairsAgainst(ix, incoming, idCol, textCol, threshold))
+    val pairs = probes.map(_.pairs).reduce(_ unionAll _)
+      .localCheckpoint() // materialize before releasing per-probe caches
+    probes.foreach(_.unpersist())
+    TextDedup.LshPairs(pairs,
+      probes.map(_.droppedBuckets).sum, probes.map(_.prunedShingles).max)
+  }
+
+  /** [[dedupAgainst]] over several index generations: `incoming` minus
+    * near-dups (and exact-text md5 matches) of ANY generation,
+    * preserving `incoming`'s columns and order.
+    */
+  def dedupAgainstMany(
+      indexes: Seq[DataFrame],
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8): DataFrame =
+    indexes.foldLeft(incoming)((acc, ix) =>
+      dedupAgainst(ix, acc, idCol, textCol, threshold))
+
   /** Compaction: repair what [[append]] leaves approximate — WITHOUT
     * touching any text. Appended entry rows carry batch-local bucket
     * counts, so probes against an appended index can under-suppress

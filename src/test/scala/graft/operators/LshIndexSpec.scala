@@ -149,6 +149,42 @@ class LshIndexSpec extends SparkSpec {
     got.unpersist(); want.unpersist(); index1.unpersist(); index0.unpersist()
   }
 
+  test("pairsAgainstMany over split generations == one-shot against the union corpus") {
+    // two generations partitioning the kept corpus; stop sets empty
+    // (default floor), default caps never engage at this size -> the
+    // multi-generation probe must equal the one-shot over the union
+    val gen1 = LshIndex.build(docs.filter($"doc_id" % 4 === 0), "doc_id", "text")
+    val gen2 = LshIndex.build(docs.filter($"doc_id" % 4 === 2), "doc_id", "text")
+    val got = LshIndex.pairsAgainstMany(Seq(gen1, gen2), incoming, "doc_id", "text",
+      threshold = 0.7)
+    val want = TextDedup.minHashLshPairsAgainst(
+      existing, incoming, "doc_id", "text", threshold = 0.7)
+    assert(pairSet(got.pairs) == pairSet(want))
+    assert(pairSet(got.pairs).nonEmpty)
+    want.unpersist()
+
+    // ...and the dedup form drops duplicates of ANY generation
+    val gotSurv = LshIndex.dedupAgainstMany(Seq(gen1, gen2), incoming,
+        "doc_id", "text", threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    val wantSurv = TextDedup.dedupAgainst(existing, incoming, "doc_id", "text",
+        threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotSurv == wantSurv)
+    gen1.unpersist(); gen2.unpersist()
+  }
+
+  test("pairsAgainstMany refuses mixed-recipe generations, typed") {
+    val gen1 = LshIndex.build(docs.filter($"doc_id" % 4 === 0), "doc_id", "text")
+    val gen2 = LshIndex.build(docs.filter($"doc_id" % 4 === 2), "doc_id", "text",
+      bands = 8)
+    val e = intercept[IllegalArgumentException] {
+      LshIndex.pairsAgainstMany(Seq(gen1, gen2), incoming, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("generations disagree"))
+    gen1.unpersist(); gen2.unpersist()
+  }
+
   test("compact(append(build(a), b)) probes identically to build(a union b)") {
     // default DF floor keeps the stop set empty at this corpus size, so
     // compaction's only remaining divergence source (the frozen stop
