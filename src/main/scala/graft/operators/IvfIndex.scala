@@ -162,6 +162,54 @@ object IvfIndex {
     out
   }
 
+  /** Probe SEVERAL index generations and return the GLOBAL top-k — the
+    * [[LshIndex.pairsAgainstMany]] layout applied to ANN serving (one
+    * index per ingest epoch, each built once). Correctness leans on a
+    * standard identity: the global top-k of a union is contained in the
+    * union of per-part top-ks, so re-ranking the per-generation top-ks
+    * yields EXACTLY `topKAgainst(build(union))` — no approximation
+    * stacking (pinned by IvfIndexSpec). Generations must share the
+    * frozen quantizer bit-for-bit (typed error otherwise: cell spaces
+    * from different quantizers are not comparable); ids must be unique
+    * across all generations.
+    */
+  def topKAgainstMany(
+      indexes: Seq[DataFrame],
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 2): DataFrame = {
+    require(indexes.nonEmpty, "need at least one index generation")
+    val ctrsAll = indexes.map(readMeta(_)._2)
+    require(ctrsAll.forall(c => c.map(_.toSeq).toSeq == ctrsAll.head.map(_.toSeq).toSeq),
+      "index generations disagree on the frozen quantizer — " +
+        "cell spaces from different centroid matrices are not comparable")
+    val per = indexes.map(ix => topKAgainst(ix, queries, idCol, vecCol, k, nProbe))
+    val union = per.reduce(_ unionAll _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    union
+      .select("query_id", "neighbor_id", "sim").distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** [[dedupAgainst]] over several index generations: `incoming` minus
+    * near-dups of ANY generation, columns and order preserved.
+    */
+  def dedupAgainstMany(
+      indexes: Seq[DataFrame],
+      incoming: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nProbe: Int = 2): DataFrame =
+    indexes.foldLeft(incoming)((acc, ix) =>
+      dedupAgainst(ix, acc, idCol, vecCol, threshold, nProbe))
+
   /** Index-backed embedding near-dup gate: `incoming` minus rows whose
     * cosine similarity against ANY indexed vector in their probed cells
     * reaches `threshold`, preserving `incoming`'s columns and order —

@@ -145,6 +145,45 @@ class IvfIndexSpec extends SparkSpec {
     index.unpersist()
   }
 
+  test("topKAgainstMany over split generations == one index over the union") {
+    val gen1 = IvfIndex.build(emb.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", IvfCentroids.centroids)
+    val gen2 = IvfIndex.build(emb.filter($"vec_id" % 2 === 1),
+      "vec_id", "embedding", IvfCentroids.centroids)
+    val whole = IvfIndex.build(emb, "vec_id", "embedding", IvfCentroids.centroids)
+    val got = IvfIndex.topKAgainstMany(Seq(gen1, gen2), queries,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+    val want = IvfIndex.topKAgainst(whole, queries,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+    assert(topkSet(got) == topkSet(want))
+    assert(topkSet(got).nonEmpty)
+
+    // the dedup form drops near-dups of ANY generation
+    val incoming = emb.filter($"vec_id" >= 100 && $"vec_id" < 150)
+      .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+    val gotSurv = IvfIndex.dedupAgainstMany(Seq(gen1, gen2), incoming,
+        "vec_id", "embedding", threshold = 0.999, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val wantSurv = IvfIndex.dedupAgainst(whole, incoming,
+        "vec_id", "embedding", threshold = 0.999, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(gotSurv == wantSurv)
+    assert(gotSurv.size < 50) // the exact copies were dropped
+    gen1.unpersist(); gen2.unpersist(); whole.unpersist()
+  }
+
+  test("topKAgainstMany refuses mixed quantizers, typed") {
+    val gen1 = IvfIndex.build(emb.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", IvfCentroids.centroids)
+    val gen2 = IvfIndex.build(emb.filter($"vec_id" % 2 === 1),
+      "vec_id", "embedding", IvfCentroids.centroids.map(_.map(_ * 2.0)))
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.topKAgainstMany(Seq(gen1, gen2), queries, "vec_id", "embedding", k = 5)
+    }
+    assert(e.getMessage.contains("disagree on the frozen quantizer"))
+    gen1.unpersist(); gen2.unpersist()
+  }
+
   test("readMeta fails typed on non-index frames") {
     val notIndex = Seq((1L, "x")).toDF("id", "text")
     val e1 = intercept[IllegalArgumentException](IvfIndex.readMeta(notIndex))
