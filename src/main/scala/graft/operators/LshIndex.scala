@@ -217,15 +217,15 @@ object LshIndex {
     * one-shot form). `droppedBuckets` on the result counts buckets
     * suppressed at probe time; build-time drops are in the meta row.
     */
-  def pairsAgainst(
-      index: DataFrame,
-      incoming: DataFrame,
-      idCol: String,
-      textCol: String,
-      threshold: Double = 0.5): TextDedup.LshPairs = {
-    val (m, stop) = readMeta(index)
+  /** Shingle, prune (frozen stop set), sign and band the incoming batch —
+    * the probe-side CPU. Returns (`inSh` = id_incoming/sh_b,
+    * `inBanded` = id_incoming/band/bucket), both persisted; callers
+    * unpersist.
+    */
+  private def signIncoming(
+      m: Meta, stop: Array[Long], incoming: DataFrame,
+      idCol: String, textCol: String): (DataFrame, DataFrame) = {
     val rows = m.numPerm / m.bands
-
     val inShRaw = incoming.select(
       col(idCol).as("id_incoming"),
       shingleCol(textCol, m.n, m.portableHash).as("sh_b"))
@@ -241,6 +241,17 @@ object LshIndex {
           bucketOf(col("sig"), rows, m.portableHash))).as(Seq("band", "bucket")))
       .persist()
     inBanded.count()
+    (inSh, inBanded)
+  }
+
+  def pairsAgainst(
+      index: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5): TextDedup.LshPairs = {
+    val (m, stop) = readMeta(index)
+    val (inSh, inBanded) = signIncoming(m, stop, incoming, idCol, textCol)
 
     // Distinct incoming buckets are bounded by bands * |incoming| — the
     // incremental-ingest case broadcasts this side, so stored entries
@@ -375,46 +386,171 @@ object LshIndex {
     * parameters (n / numPerm / bands / seed / hash mode — enforced
     * typed); ids must be unique across ALL generations and the batch.
     *
-    * Bucket caps apply per generation: a near-dup cluster sharded
-    * across generations is capped by each generation's combined count,
-    * not the global one — the documented multi-generation trade-off
-    * (generations are independent artifacts; a global cap would need a
-    * cross-generation count pass, which is [[build]]-over-everything).
+    * Bucket-cap semantics are selectable. Default (`globalCap = false`):
+    * caps apply PER GENERATION — a near-dup cluster sharded across
+    * generations is capped by each generation's combined count, not the
+    * global one; generations stay fully independent artifacts and may
+    * even disagree on frozen stop sets (the incoming batch is re-pruned
+    * per generation). With `globalCap = true` the probe runs ONE
+    * cross-generation count pass — union of the touched buckets' entry
+    * rows, grouped by (band, bucket) — and suppresses buckets whose
+    * GLOBAL size (all generations + incoming) exceeds the shared cap:
+    * exactly the one-shot operator's union cap, without rebuilding
+    * anything. That pass recomputes sizes from the stored entry rows, so
+    * it is exact even over generations grown by [[append]] (whose stored
+    * `cnt`s are batch-local); the price is a stricter compatibility bar —
+    * all generations must share the cap AND the frozen stop set (one
+    * shingle space; typed error otherwise), and the count pass costs one
+    * groupBy over the touched buckets' entries (still O(incoming)-probe:
+    * untouched buckets are never read).
     */
   def pairsAgainstMany(
       indexes: Seq[DataFrame],
       incoming: DataFrame,
       idCol: String,
       textCol: String,
-      threshold: Double = 0.5): TextDedup.LshPairs = {
+      threshold: Double = 0.5,
+      globalCap: Boolean = false): TextDedup.LshPairs = {
     require(indexes.nonEmpty, "need at least one index generation")
-    val metas = indexes.map(readMeta(_)._1)
+    val metasStops = indexes.map(readMeta)
+    val metas = metasStops.map(_._1)
     val base = metas.head
     require(metas.forall(m => m.n == base.n && m.numPerm == base.numPerm &&
       m.bands == base.bands && m.seed == base.seed &&
       m.portableHash == base.portableHash),
       "index generations disagree on build parameters " +
         "(n/numPerm/bands/seed/hash mode) — rebuild with one recipe")
-    val probes = indexes.map(ix => pairsAgainst(ix, incoming, idCol, textCol, threshold))
-    val pairs = probes.map(_.pairs).reduce(_ unionAll _)
-      .localCheckpoint() // materialize before releasing per-probe caches
-    probes.foreach(_.unpersist())
-    TextDedup.LshPairs(pairs,
-      probes.map(_.droppedBuckets).sum, probes.map(_.prunedShingles).max)
+    if (!globalCap) {
+      val probes = indexes.map(ix => pairsAgainst(ix, incoming, idCol, textCol, threshold))
+      val pairs = probes.map(_.pairs).reduce(_ unionAll _)
+        .localCheckpoint() // materialize before releasing per-probe caches
+      probes.foreach(_.unpersist())
+      TextDedup.LshPairs(pairs,
+        probes.map(_.droppedBuckets).sum, probes.map(_.prunedShingles).max)
+    } else {
+      requireOneShingleSpace(metas, metasStops.map(_._2))
+      val stop = metasStops.head._2
+      val (inSh, inBanded) = signIncoming(base, stop, incoming, idCol, textCol)
+      val inCnt = inBanded.groupBy("band", "bucket").agg(count(lit(1)).as("cnt_i"))
+      // stored entries of TOUCHED buckets only, all generations — the
+      // cross-generation count pass never reads an unprobed bucket
+      val touched = indexes.map(_.filter(col("band") >= 0)
+          .select(col(idCol).as("id_existing"), col("band"), col("bucket")))
+        .reduce(_ unionAll _)
+        .join(inCnt, Seq("band", "bucket"))
+        .persist()
+      // exact global size per touched bucket, recomputed from entry rows
+      // (the compact counting rule — stored cnts are never trusted here)
+      val counts = touched.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("cnt_g"), first("cnt_i").as("cnt_i"))
+      val droppedBuckets = counts
+        .filter(col("cnt_g") + col("cnt_i") > base.maxBucketSize).count()
+      val cands = touched
+        .join(counts.filter(col("cnt_g") + col("cnt_i") <= base.maxBucketSize)
+          .select("band", "bucket"), Seq("band", "bucket"))
+        .join(inBanded, Seq("band", "bucket"))
+        .select("id_existing", "id_incoming").distinct()
+      val docsSh = indexes.map(_.filter(col("band") === DocBand)
+          .select(col(idCol).as("id_existing"), col("sh").as("sh_a")))
+        .reduce(_ unionAll _)
+      val result = cands
+        .join(docsSh, "id_existing")
+        .join(inSh, "id_incoming")
+        .withColumn("jaccard", TextDedup.jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_existing"), col("id_incoming"), col("jaccard"))
+        .persist()
+      result.count()
+      touched.unpersist()
+      inBanded.unpersist()
+      inSh.unpersist()
+      TextDedup.LshPairs(result, droppedBuckets, stop.length)
+    }
   }
 
   /** [[dedupAgainst]] over several index generations: `incoming` minus
     * near-dups (and exact-text md5 matches) of ANY generation,
-    * preserving `incoming`'s columns and order.
+    * preserving `incoming`'s columns and order. `globalCap` selects the
+    * cross-generation exact cap (see [[pairsAgainstMany]]); the md5
+    * exact-text rail is cap-independent and always spans all
+    * generations.
     */
   def dedupAgainstMany(
       indexes: Seq[DataFrame],
       incoming: DataFrame,
       idCol: String,
       textCol: String,
-      threshold: Double = 0.8): DataFrame =
-    indexes.foldLeft(incoming)((acc, ix) =>
-      dedupAgainst(ix, acc, idCol, textCol, threshold))
+      threshold: Double = 0.8,
+      globalCap: Boolean = false): DataFrame =
+    if (!globalCap)
+      indexes.foldLeft(incoming)((acc, ix) =>
+        dedupAgainst(ix, acc, idCol, textCol, threshold))
+    else {
+      val pairs = pairsAgainstMany(indexes, incoming, idCol, textCol, threshold,
+        globalCap = true)
+      val dupIds = pairs.pairs.select(col("id_incoming").as(idCol))
+        .distinct().localCheckpoint()
+      pairs.unpersist()
+      val th = Iterator.from(0).map(i => s"__th$i")
+        .find(c => !incoming.columns.contains(c)).get
+      val exTextHashes = indexes.map(_.filter(col("band") === DocBand)
+          .select(col("text_md5").as(th))).reduce(_ unionAll _)
+        .na.drop().distinct()
+      incoming.join(dupIds, Seq(idCol), "left_anti")
+        .withColumn(th, md5(col(textCol)))
+        .join(exTextHashes, Seq(th), "left_anti")
+        .select(incoming.columns.map(col): _*)
+    }
+
+  /** The global-cap / merge compatibility bar: one cap and one frozen
+    * stop set across generations (stored shingles pruned by DIFFERENT
+    * stop sets live in different spaces — comparing or counting them
+    * together would be silently wrong).
+    */
+  private def requireOneShingleSpace(
+      metas: Seq[Meta], stops: Seq[Array[Long]]): Unit = {
+    require(metas.forall(_.maxBucketSize == metas.head.maxBucketSize),
+      "index generations disagree on maxBucketSize — a global cap needs one cap")
+    val sets = stops.map(_.sorted.toSeq)
+    require(sets.forall(_ == sets.head),
+      "index generations disagree on the frozen stop set — stored " +
+        "shingles were pruned differently and share no comparable space; " +
+        "rebuild the generations from raw text with one recipe")
+  }
+
+  /** Merge several compatible generations into ONE index artifact —
+    * the consolidation step of the monthly-artifact lifecycle (probe
+    * many small generations daily, merge to a single artifact monthly)
+    * — WITHOUT touching any raw text: stored doc/entry rows are
+    * unioned and [[compact]] recomputes exact corpus-wide bucket
+    * counts, re-applies the shared cap, and rewrites the meta row's
+    * doc count. Generations must agree on build parameters, cap and
+    * frozen stop set (typed error otherwise — see the shingle-space
+    * rule on [[pairsAgainstMany]]); ids must be unique across all
+    * generations. With stop sets empty (the common case under the DF
+    * floor), `mergeMany(Seq(build(a), build(b)))` probes identically
+    * to `build(a union b)` — pinned by LshIndexSpec — modulo the
+    * documented [[compact]] edge for buckets already dropped at a
+    * generation's own build.
+    */
+  def mergeMany(indexes: Seq[DataFrame], idCol: String): DataFrame = {
+    require(indexes.nonEmpty, "need at least one index generation")
+    val metasStops = indexes.map(readMeta)
+    val metas = metasStops.map(_._1)
+    val base = metas.head
+    require(metas.forall(m => m.n == base.n && m.numPerm == base.numPerm &&
+      m.bands == base.bands && m.seed == base.seed &&
+      m.portableHash == base.portableHash),
+      "index generations disagree on build parameters " +
+        "(n/numPerm/bands/seed/hash mode) — rebuild with one recipe")
+    requireOneShingleSpace(metas, metasStops.map(_._2))
+    // head's meta row carries the shared recipe + stop set; compact
+    // recomputes nDocs, exact counts and the dropped-bucket tally from
+    // the unioned stored rows
+    val combined = indexes.head.filter(col("band") === MetaBand)
+      .unionAll(indexes.map(_.filter(col("band") =!= MetaBand)).reduce(_ unionAll _))
+    compact(combined, idCol)
+  }
 
   /** Compaction: repair what [[append]] leaves approximate — WITHOUT
     * touching any text. Appended entry rows carry batch-local bucket

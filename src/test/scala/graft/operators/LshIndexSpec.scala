@@ -241,6 +241,120 @@ class LshIndexSpec extends SparkSpec {
     got.unpersist(); want.unpersist(); compacted.unpersist(); rebuilt.unpersist()
   }
 
+  test("mergeMany of split generations probes identically to build over the union") {
+    val a = docs.filter($"doc_id" % 4 === 0)
+    val b = docs.filter($"doc_id" % 4 === 2)
+    val gen1 = LshIndex.build(a, "doc_id", "text")
+    val gen2 = LshIndex.build(b, "doc_id", "text")
+    val merged = LshIndex.mergeMany(Seq(gen1, gen2), "doc_id")
+    val rebuilt = LshIndex.build(a.unionAll(b), "doc_id", "text")
+    val got = LshIndex.pairsAgainst(merged, incoming, "doc_id", "text", threshold = 0.7)
+    val want = LshIndex.pairsAgainst(rebuilt, incoming, "doc_id", "text", threshold = 0.7)
+    assert(pairSet(got.pairs) == pairSet(want.pairs))
+    assert(pairSet(got.pairs).nonEmpty)
+    // meta repaired from stored rows: doc count sums, counts exact
+    val (mm, _) = LshIndex.readMeta(merged)
+    val (mr, _) = LshIndex.readMeta(rebuilt)
+    assert(mm.nDocs == mr.nDocs && mm.builtDroppedBuckets == mr.builtDroppedBuckets)
+    got.unpersist(); want.unpersist()
+    merged.unpersist(); rebuilt.unpersist(); gen1.unpersist(); gen2.unpersist()
+  }
+
+  test("global-cap pairsAgainstMany == one-shot union cap; per-generation caps under-suppress") {
+    val a = docs.filter($"doc_id" % 4 === 0)
+    val b = docs.filter($"doc_id" % 4 === 2)
+    // self-tuned cap: each generation's own buckets fit (no build drops —
+    // the strict-parity precondition), the cross-generation union does not
+    val cap = {
+      val u1 = LshIndex.build(a, "doc_id", "text", maxBucketSize = Int.MaxValue)
+      val u2 = LshIndex.build(b, "doc_id", "text", maxBucketSize = Int.MaxValue)
+      val m = Seq(u1, u2).map(_.filter(col("band") >= 0)
+        .agg(max("cnt")).head.getLong(0)).max
+      u1.unpersist(); u2.unpersist()
+      m.toInt
+    }
+    val gen1 = LshIndex.build(a, "doc_id", "text", maxBucketSize = cap)
+    val gen2 = LshIndex.build(b, "doc_id", "text", maxBucketSize = cap)
+    assert(LshIndex.readMeta(gen1)._1.builtDroppedBuckets == 0L &&
+      LshIndex.readMeta(gen2)._1.builtDroppedBuckets == 0L)
+    val global = LshIndex.pairsAgainstMany(Seq(gen1, gen2), incoming,
+      "doc_id", "text", threshold = 0.5, globalCap = true)
+    val want = TextDedup.minHashLshPairsAgainst(
+      existing, incoming, "doc_id", "text", threshold = 0.5, maxBucketSize = cap)
+    assert(pairSet(global.pairs) == pairSet(want))
+    assert(global.droppedBuckets > 0) // the cap actually engaged globally
+    // the per-generation path caps each generation separately, so it
+    // verifies a superset of the exact-global pairs on this fixture
+    val perGen = LshIndex.pairsAgainstMany(Seq(gen1, gen2), incoming,
+      "doc_id", "text", threshold = 0.5)
+    assert(pairSet(global.pairs).subsetOf(pairSet(perGen.pairs)))
+    assert(pairSet(perGen.pairs) != pairSet(global.pairs))
+    global.unpersist(); perGen.unpersist(); want.unpersist()
+    gen1.unpersist(); gen2.unpersist()
+  }
+
+  test("global-cap path is exact over un-compacted appended generations") {
+    // append leaves batch-local cnts; the global path never trusts stored
+    // cnts (it recounts entry rows), so even an un-compacted appended
+    // generation probes with exact cap semantics
+    val a = docs.filter($"doc_id" % 4 === 0)
+    val b = docs.filter($"doc_id" % 4 === 2)
+    val appended = LshIndex.append(
+      LshIndex.build(a, "doc_id", "text"), b, "doc_id", "text")
+    val got = LshIndex.pairsAgainstMany(Seq(appended), incoming,
+      "doc_id", "text", threshold = 0.7, globalCap = true)
+    val want = TextDedup.minHashLshPairsAgainst(
+      existing, incoming, "doc_id", "text", threshold = 0.7)
+    assert(pairSet(got.pairs) == pairSet(want))
+    assert(pairSet(got.pairs).nonEmpty)
+    got.unpersist(); want.unpersist(); appended.unpersist()
+
+    // ...and the global dedup twin spans generations' md5 rails
+    val gen1 = LshIndex.build(a, "doc_id", "text")
+    val gen2 = LshIndex.build(b, "doc_id", "text")
+    val gotSurv = LshIndex.dedupAgainstMany(Seq(gen1, gen2), incoming,
+        "doc_id", "text", threshold = 0.7, globalCap = true)
+      .select("doc_id").as[Long].collect().toSet
+    val wantSurv = TextDedup.dedupAgainst(existing, incoming, "doc_id", "text",
+        threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotSurv == wantSurv)
+    gen1.unpersist(); gen2.unpersist()
+  }
+
+  test("global cap and mergeMany refuse generations with differing frozen stop sets, typed") {
+    // gen1 freezes a non-empty stop set (ratio bar, no floor); gen2's is
+    // empty — their stored shingles live in different spaces
+    val kept = Seq(
+      (0L, "zzzzzzzzzzzzzzzzzzzz"),
+      (2L, "zzzzzzzzzzzzzzzzzzzy"),
+      (4L, "pack my box with five dozen jugs")
+    ).toDF("doc_id", "text")
+    val gen1 = LshIndex.build(kept, "doc_id", "text",
+      maxDocFreqRatio = 0.5, minDocFreq = 0L)
+    assert(LshIndex.readMeta(gen1)._2.nonEmpty) // fixture sanity: frozen stop set engaged
+    val gen2 = LshIndex.build(
+      Seq((6L, "how vexingly quick daft zebras jump")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    // matches gen1's doc 4 through shingles the frozen stop set leaves alone
+    val probe = Seq((1L, "pack my box with five dozen jugs")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      LshIndex.pairsAgainstMany(Seq(gen1, gen2), probe, "doc_id", "text",
+        globalCap = true)
+    }
+    assert(e1.getMessage.contains("frozen stop set"))
+    val e2 = intercept[IllegalArgumentException] {
+      LshIndex.mergeMany(Seq(gen1, gen2), "doc_id")
+    }
+    assert(e2.getMessage.contains("frozen stop set"))
+    // the per-generation default path stays available for exactly this
+    // layout (each generation re-prunes the incoming batch itself)
+    val ok = LshIndex.pairsAgainstMany(Seq(gen1, gen2), probe, "doc_id", "text",
+      threshold = 0.5)
+    assert(pairSet(ok.pairs).map(_._1).contains(4L))
+    ok.unpersist(); gen1.unpersist(); gen2.unpersist()
+  }
+
   test("readMeta fails typed on a frame that is not an index") {
     val notIndex = Seq((1, "x")).toDF("band", "bucket")
     val e = intercept[IllegalArgumentException] {
