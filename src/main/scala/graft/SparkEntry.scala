@@ -1882,13 +1882,76 @@ object SparkEntry {
              |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(sim, 6) AS sim
              |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
+    /** Multi-generation LSH index lifecycle ([[operators.LshIndex]]):
+      * the kept (even-id) corpus is built as TWO independent generation
+      * artifacts, consolidated with `mergeMany` — a pure stored-row
+      * merge, no raw-text access — and the merged index probed with the
+      * odd-id batch. Pruning is disabled (`maxDocFreqRatio = 1.0`) so
+      * every generation's frozen stop set is empty by construction (the
+      * compatibility bar mergeMany requires) and the oracle needs no
+      * stop CTE; banding the union with one HAVING bar replays the
+      * merged index's exact combined cap. The cross-generation
+      * `globalCap` probe path is pinned equal to this in LshIndexSpec.
+      */
+    private val q64 = Q(
+      "q64_index_merge_probe",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        def gen(m: Int) = operators.LshIndex.build(
+          docs.filter($"doc_id" % 4 === m), idCol = "doc_id", textCol = "text",
+          n = 3, numPerm = 64, bands = 16,
+          portableHash = true, maxDocFreqRatio = 1.0)
+        val (gen1, gen2) = (gen(0), gen(2))
+        val merged = operators.LshIndex.mergeMany(Seq(gen1, gen2), "doc_id")
+        val res = operators.LshIndex.pairsAgainst(
+          merged, docs.filter($"doc_id" % 2 =!= 0),
+          idCol = "doc_id", textCol = "text", threshold = 0.7)
+        gen1.unpersist(); gen2.unpersist(); merged.unpersist()
+        res.pairs
+          .select($"id_existing", $"id_incoming", round($"jaccard", 6).as("jaccard"))
+          .orderBy("id_existing", "id_incoming")
+      },
+      Some(s"""WITH sh0 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN text IS NULL THEN CAST([] AS BIGINT[]) ELSE
+             |      list_distinct([CAST('0x' || substr(md5(substr(lower(text), i, 3)), 1, 8) AS BIGINT)
+             |                     FOR i IN range(1, greatest(length(text) - 2, 0) + 1)]) END AS hs
+             |  FROM documents),
+             |sigs AS (
+             |  SELECT doc_id, hs,
+             |    $q24Sigs
+             |  FROM sh0),
+             |banded AS (
+             |  $q24Bands),
+             |ok_buckets AS (
+             |  SELECT band, bucket FROM banded
+             |  GROUP BY band, bucket HAVING count(*) <= 2000),
+             |cands AS (
+             |  SELECT DISTINCT a.doc_id AS id_existing, b.doc_id AS id_incoming
+             |  FROM banded a
+             |  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+             |    AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+             |  JOIN ok_buckets ob ON ob.band = a.band AND ob.bucket = a.bucket),
+             |j AS (
+             |  SELECT c.id_existing, c.id_incoming,
+             |    CAST(len(list_intersect(pa.hs, pb.hs)) AS DOUBLE) AS inter,
+             |    CAST(len(pa.hs) AS DOUBLE) + CAST(len(pb.hs) AS DOUBLE) AS tot
+             |  FROM cands c
+             |  JOIN sh0 pa ON pa.doc_id = c.id_existing
+             |  JOIN sh0 pb ON pb.doc_id = c.id_incoming)
+             |SELECT id_existing, id_incoming,
+             |  round(CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 0 END, 6) AS jaccard
+             |FROM j
+             |WHERE (CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 0 END) >= 0.7
+             |ORDER BY id_existing, id_incoming""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
       q21, q22, q23, q24, q24b, q25, q26, q27, q28, q29, q30,
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
-      q58, q59, q60, q61, q62, q63)
+      q58, q59, q60, q61, q62, q63, q64)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.
