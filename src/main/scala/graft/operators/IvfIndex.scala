@@ -122,16 +122,55 @@ object IvfIndex {
     index
   }
 
+  /** The number of distinct probed cells up to which the probe inlines
+    * them as a literal `isin` filter (static partition pruning at
+    * PLANNING time). Real IVF deployments sit far below this (cell
+    * counts are model-sized, ~sqrt(N), <= 64k even at extreme scale);
+    * the bound exists so a 1M+-centroid quantizer under a huge query
+    * batch cannot build a million-literal filter expression — past it
+    * the probe switches to a broadcast semi join (see
+    * [[cellRestricted]]).
+    */
+  val DefaultMaxStaticProbeCells: Int = 65536
+
+  /** Restrict `index` to the cells the exploded probe frame `q`
+    * (carrying `__cell`) touches — one semantics, two physical shapes:
+    *   - up to `maxStatic` distinct probed cells (every realistic IVF):
+    *     collect them and inline a literal `isin`, which lands in a
+    *     cell-partitioned Parquet scan's `partitionFilters` at planning
+    *     time (pinned by IvfIndexSpec);
+    *   - beyond that: a broadcast LEFT SEMI join against the distinct
+    *     probed cells — no driver-side literal list, no mega-expression
+    *     to plan, bounded driver memory (the decision collects at most
+    *     `maxStatic + 1` ints). The `__cell >= 0` filter on the
+    *     broadcast side propagates `cell >= 0` into the scan's
+    *     partition filters (the null-cell partition is always skipped)
+    *     and makes the scan DPP-eligible; Spark only executes the
+    *     dynamic prune when it can reuse the join's broadcast, so this
+    *     path's guarantee is bounded planning cost, NOT partition
+    *     pruning — which is the honest trade: a batch probing more
+    *     than 64k distinct cells touches most of the index regardless,
+    *     while every realistic probe stays on the static path above.
+    */
+  private def cellRestricted(
+      index: DataFrame, q: DataFrame, maxStatic: Int): DataFrame = {
+    val cells = q.select(col("__cell")).distinct()
+    val probed = cells.limit(math.max(maxStatic, 0) + 1)
+      .collect().map(_.getInt(0)).toSeq
+    if (probed.length <= maxStatic)
+      index.filter(col("cell").isInCollection(probed))
+    else
+      index.join(broadcast(cells.filter(col("__cell") >= 0)),
+        col("cell") === col("__cell"), "left_semi")
+  }
+
   /** Approximate top-k against the stored index: identical output
     * contract to [[Similarity.ivfTopKFrozen]] (`query_id`, `rank`,
     * `neighbor_id`, `sim`) — with cell assignment read from the index
     * instead of recomputed. Only the query batch pays assignment CPU;
-    * the corpus side is a scan of the probed cells.
-    *
-    * The probed-cell set is collected to the driver to drive a static
-    * `isin` filter — bounded by `nCentroids` ints (model-sized by
-    * construction), and the reason a cell-partitioned Parquet index
-    * prunes at planning time instead of relying on runtime DPP.
+    * the corpus side is a scan of the probed cells (pruned statically,
+    * or via a semi join past `maxStaticProbeCells` — see
+    * [[cellRestricted]]).
     */
   def topKAgainst(
       index: DataFrame,
@@ -139,7 +178,8 @@ object IvfIndex {
       idCol: String,
       vecCol: String,
       k: Int,
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int = 2,
+      maxStaticProbeCells: Int = DefaultMaxStaticProbeCells): DataFrame = {
     val (m, ctrs) = readMeta(index)
     require(nProbe > 0 && nProbe <= m.nCentroids,
       s"nProbe must be in [1, ${m.nCentroids}]")
@@ -149,10 +189,7 @@ object IvfIndex {
       .select(col(idCol).as("query_id"), Similarity.asDouble(col(vecCol)).as("__qv"))
       .withColumn("__cell", explode(probeUdf(col("__qv"))))
       .persist()
-    // <= nCentroids values: the static partition-pruning filter
-    val probed = q.select("__cell").distinct().collect().map(_.getInt(0)).toSeq
-    val assigned = index
-      .filter(col("cell").isInCollection(probed))
+    val assigned = cellRestricted(index, q, maxStaticProbeCells)
       .select(col(idCol).as("neighbor_id"), col("cell").as("__cell"), col("vec").as("__cv"))
     val out = Similarity.scoreProbedCells(assigned, q, k)
     // scoreProbedCells ends in a window over fully-derived frames; the
@@ -179,13 +216,12 @@ object IvfIndex {
       idCol: String,
       vecCol: String,
       k: Int,
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int = 2,
+      maxStaticProbeCells: Int = DefaultMaxStaticProbeCells): DataFrame = {
     require(indexes.nonEmpty, "need at least one index generation")
-    val ctrsAll = indexes.map(readMeta(_)._2)
-    require(ctrsAll.forall(c => c.map(_.toSeq).toSeq == ctrsAll.head.map(_.toSeq).toSeq),
-      "index generations disagree on the frozen quantizer — " +
-        "cell spaces from different centroid matrices are not comparable")
-    val per = indexes.map(ix => topKAgainst(ix, queries, idCol, vecCol, k, nProbe))
+    requireOneQuantizer(indexes.map(readMeta(_)._2))
+    val per = indexes.map(ix =>
+      topKAgainst(ix, queries, idCol, vecCol, k, nProbe, maxStaticProbeCells))
     val union = per.reduce(_ unionAll _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
@@ -206,9 +242,51 @@ object IvfIndex {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      nProbe: Int = 2): DataFrame =
+      nProbe: Int = 2,
+      maxStaticProbeCells: Int = DefaultMaxStaticProbeCells): DataFrame =
     indexes.foldLeft(incoming)((acc, ix) =>
-      dedupAgainst(ix, acc, idCol, vecCol, threshold, nProbe))
+      dedupAgainst(ix, acc, idCol, vecCol, threshold, nProbe, maxStaticProbeCells))
+
+  /** Generations must share the frozen quantizer bit-for-bit: cell
+    * spaces from different centroid matrices are not comparable.
+    */
+  private def requireOneQuantizer(ctrsAll: Seq[Array[Array[Double]]]): Unit =
+    require(ctrsAll.forall(c => c.map(_.toSeq).toSeq == ctrsAll.head.map(_.toSeq).toSeq),
+      "index generations disagree on the frozen quantizer — " +
+        "cell spaces from different centroid matrices are not comparable")
+
+  /** Merge several same-quantizer generations into ONE index artifact —
+    * the consolidation step of the epoch-artifact lifecycle, and (unlike
+    * [[LshIndex.mergeMany]]) EXACT with nothing to repair: assignment is
+    * a pure function of the shared frozen quantizer and no cross-corpus
+    * statistic exists, so the merge is a stored-row union plus one
+    * rewritten meta row. `mergeMany(Seq(build(a), build(b)))` probes
+    * identically to `build(a union b)` — pinned by IvfIndexSpec. Ids
+    * must be unique across all generations.
+    */
+  def mergeMany(indexes: Seq[DataFrame], idCol: String): DataFrame = {
+    require(indexes.nonEmpty, "need at least one index generation")
+    val metasCtrs = indexes.map(readMeta)
+    requireOneQuantizer(metasCtrs.map(_._2))
+    val base = metasCtrs.head._1
+    val ctrs = metasCtrs.head._2
+    val docs = indexes.map(_.filter(col("cell") =!= MetaCell)).reduce(_ unionAll _)
+      .persist()
+    val nDocs = docs.count()
+    val idType = indexes.head.schema(idCol).dataType
+    val metaRow = indexes.head.sparkSession.range(1).select(
+      lit(null).cast(idType).as(idCol),
+      lit(MetaCell).as("cell"),
+      lit(null).cast("array<double>").as("vec"),
+      typedLit(ctrs.map(_.toSeq).toSeq).as("ctrs"),
+      lit(metaString(base.copy(nDocs = nDocs))).as("params"))
+    val merged = metaRow.select(indexes.head.columns.map(col): _*)
+      .unionAll(docs.select(indexes.head.columns.map(col): _*))
+      .persist()
+    merged.count()
+    docs.unpersist()
+    merged
+  }
 
   /** Index-backed embedding near-dup gate: `incoming` minus rows whose
     * cosine similarity against ANY indexed vector in their probed cells
@@ -230,7 +308,8 @@ object IvfIndex {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int = 2,
+      maxStaticProbeCells: Int = DefaultMaxStaticProbeCells): DataFrame = {
     val (m, ctrs) = readMeta(index)
     require(nProbe > 0 && nProbe <= m.nCentroids,
       s"nProbe must be in [1, ${m.nCentroids}]")
@@ -240,9 +319,7 @@ object IvfIndex {
       .select(col(idCol).as("__qid"), Similarity.asDouble(col(vecCol)).as("__qv"))
       .withColumn("__cell", explode(probeUdf(col("__qv"))))
       .persist()
-    val probed = q.select("__cell").distinct().collect().map(_.getInt(0)).toSeq
-    val dupIds = index
-      .filter(col("cell").isInCollection(probed))
+    val dupIds = cellRestricted(index, q, maxStaticProbeCells)
       .select(col(idCol).as("__nid"), col("cell").as("__cell"), col("vec").as("__cv"))
       .join(broadcast(q), "__cell")
       .filter(col("__nid") =!= col("__qid"))

@@ -172,6 +172,73 @@ class IvfIndexSpec extends SparkSpec {
     gen1.unpersist(); gen2.unpersist(); whole.unpersist()
   }
 
+  test("semi-join probe path (past maxStaticProbeCells) matches the static path") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfsemi").toString
+    val index = IvfIndex.build(emb, "vec_id", "embedding", IvfCentroids.centroids)
+    index.write.partitionBy("cell").mode("overwrite").parquet(s"$dir/index")
+    index.unpersist()
+    val reloaded = spark.read.parquet(s"$dir/index")
+    // force the huge-quantizer fallback: every probe exceeds the bound
+    val joined = IvfIndex.topKAgainst(reloaded, queries, "vec_id", "embedding",
+      k = 5, nProbe = 4, maxStaticProbeCells = 0)
+    val static = IvfIndex.topKAgainst(reloaded, queries, "vec_id", "embedding",
+      k = 5, nProbe = 4)
+    assert(topkSet(joined) == topkSet(static))
+    assert(topkSet(joined).nonEmpty)
+    // the broadcast side's `__cell >= 0` filter must propagate into the
+    // index scan's partition filters (the null-cell partition is always
+    // skipped; full dynamic pruning is documented as best-effort)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    joined.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val idxScans = scans(joined.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("ivfsemi")))
+    assert(idxScans.nonEmpty, "no parquet scan over the index directory found")
+    assert(idxScans.forall(_.partitionFilters.exists(_.toString.contains(">= 0"))),
+      s"cell >= 0 not propagated to partition filters:\n${idxScans.mkString}")
+
+    // and the dedup twin agrees across both paths
+    val incoming = emb.filter($"vec_id" % 2 === 1)
+    val viaJoin = IvfIndex.dedupAgainst(reloaded, incoming, "vec_id", "embedding",
+        threshold = 0.35, nProbe = 4, maxStaticProbeCells = 0)
+      .select("vec_id").as[Long].collect().toSet
+    val viaStatic = IvfIndex.dedupAgainst(reloaded, incoming, "vec_id", "embedding",
+        threshold = 0.35, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(viaJoin == viaStatic)
+  }
+
+  test("mergeMany over split generations probes identically to build over the union") {
+    val a = emb.filter($"vec_id" % 2 === 0)
+    val b = emb.filter($"vec_id" % 2 === 1)
+    val gen1 = IvfIndex.build(a, "vec_id", "embedding", IvfCentroids.centroids)
+    val gen2 = IvfIndex.build(b, "vec_id", "embedding", IvfCentroids.centroids)
+    val merged = IvfIndex.mergeMany(Seq(gen1, gen2), "vec_id")
+    val rebuilt = IvfIndex.build(emb, "vec_id", "embedding", IvfCentroids.centroids)
+    val got = IvfIndex.topKAgainst(merged, queries, "vec_id", "embedding", k = 5, nProbe = 4)
+    val want = IvfIndex.topKAgainst(rebuilt, queries, "vec_id", "embedding", k = 5, nProbe = 4)
+    assert(topkSet(got) == topkSet(want))
+    assert(topkSet(got).nonEmpty)
+    val (mm, mc) = IvfIndex.readMeta(merged)
+    assert(mm.nDocs == emb.count())
+    assert(mc.map(_.toSeq).toSeq == IvfCentroids.centroids)
+    // merge refuses mixed quantizers, like every cross-generation op
+    val alien = IvfIndex.build(b, "vec_id", "embedding",
+      IvfCentroids.centroids.map(_.map(_ * 2.0)))
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.mergeMany(Seq(gen1, alien), "vec_id")
+    }
+    assert(e.getMessage.contains("disagree on the frozen quantizer"))
+    gen1.unpersist(); gen2.unpersist(); merged.unpersist()
+    rebuilt.unpersist(); alien.unpersist()
+  }
+
   test("topKAgainstMany refuses mixed quantizers, typed") {
     val gen1 = IvfIndex.build(emb.filter($"vec_id" % 2 === 0),
       "vec_id", "embedding", IvfCentroids.centroids)
