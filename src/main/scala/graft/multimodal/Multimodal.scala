@@ -139,8 +139,29 @@ object Multimodal {
         width: Int, height: Int,
         mean_r: Double, mean_g: Double, mean_b: Double)
 
-    def stats(bytes: Array[Byte]): Option[Stats] = {
+    /** Pixel count above which [[stats]] refuses to decode. A
+      * decompression bomb is a real 100-TB hazard: a few hundred BYTES
+      * of PNG can declare multi-gigapixel dimensions and OOM the task
+      * inside `ImageIO.read` before any of our code runs. The header
+      * carries the declared size without decoding, so the guard is
+      * free and runs first. 100 MP (≈ 400 MB of int pixels plus the
+      * decoded raster) is the most a 1-2 GB executor task absorbs
+      * safely, and far above real photographic payloads.
+      */
+    val DefaultMaxPixels: Long = 100000000L
+
+    def stats(bytes: Array[Byte]): Option[Stats] = stats(bytes, DefaultMaxPixels)
+
+    /** As [[stats]], with an explicit decode bound. Payloads whose
+      * DECLARED header size exceeds `maxPixels` return None — the same
+      * null-stats convention as undecodable bytes (callers that need to
+      * distinguish can still read [[dimensions]]: header-only, cheap,
+      * unbounded).
+      */
+    def stats(bytes: Array[Byte], maxPixels: Long): Option[Stats] = {
       if (sniffMime(bytes).isEmpty) return None
+      val declared = dimensions(bytes)
+      if (!declared.exists { case (w, h) => w.toLong * h <= maxPixels }) return None
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         if (img == null) None

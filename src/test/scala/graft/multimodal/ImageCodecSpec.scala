@@ -49,6 +49,31 @@ class ImageCodecSpec extends SparkSpec {
     assert(ImageCodec.stats(corrupt).isEmpty)
   }
 
+  test("bounded decode: declared-gigapixel headers are refused before any pixel allocation") {
+    // hand-assembled PNG signature + IHDR declaring 50000x50000 (2.5 GP)
+    // in a few dozen bytes — the decompression-bomb shape. The header
+    // parses (dimensions is header-only and unbounded) but stats must
+    // refuse under the default bound without attempting the decode.
+    val ihdrData = java.nio.ByteBuffer.allocate(13)
+      .putInt(50000).putInt(50000)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    val crc = new java.util.zip.CRC32()
+    crc.update("IHDR".getBytes("US-ASCII")); crc.update(ihdrData)
+    val bomb = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      java.nio.ByteBuffer.allocate(8).putInt(13).put("IHDR".getBytes("US-ASCII")).array() ++
+      ihdrData ++
+      java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()
+    assert(ImageCodec.dimensions(bomb).contains((50000, 50000)))
+    assert(ImageCodec.stats(bomb).isEmpty)
+    // the bound is causal, not a side effect of the truncated body: a
+    // perfectly decodable image above an explicit bound is refused too,
+    // and accepted under the default
+    val small = ImageCodec.solidPng(2, 2, 9, 9, 9)
+    assert(ImageCodec.stats(small, maxPixels = 3L).isEmpty)
+    assert(ImageCodec.stats(small).exists(_.width == 2))
+  }
+
   test("withImageMetadata: real sniff + header dims; non-images keep null dims") {
     val rows = Seq(
       (1L, ImageCodec.solidPng(5, 9, 10, 20, 30)),
