@@ -118,4 +118,46 @@ object Sampling {
       .filter(hashBucket(col(idCol)) < col("__thr"))
       .select(df.columns.map(col): _*)
   }
+
+  /** Deterministic global shuffle for training order: every row gets a
+    * unique 0-based `posCol` position in the total order of
+    * `md5("<seed>:<id>")` (ties impossible in practice, broken by id
+    * regardless — the order is total, the permutation unique). Same
+    * rationale as [[hashSample]]: `rand()`-based shuffles re-draw on
+    * task retry; this is a pure per-row function of (seed, id) —
+    * idempotent under retries, identical across cluster layouts and
+    * engines (any SQL engine replays the permutation with one
+    * `row_number() OVER (ORDER BY md5(...))`).
+    *
+    * Plan shape at 100 TB: ONE range-partition exchange on the shuffle
+    * key (the unavoidable price of a total order) — never a single-task
+    * global window. Positions come from `zipWithIndex`, the one
+    * genuinely per-partition-imperative step in this module (the
+    * sanctioned RDD excursion): it runs the same two-pass any scalable
+    * global rank needs — per-partition counts, then offset + local
+    * sequence — WITHOUT a second exchange, where a window keyed on
+    * `spark_partition_id` would reshuffle the whole corpus again.
+    *
+    * Ids must be non-null and unique; for shard-local order without
+    * any global exchange, use [[Packing]]'s md5-shard layout instead.
+    */
+  def deterministicShuffle(
+      df: DataFrame,
+      idCol: String,
+      seed: Long,
+      posCol: String = "shuffle_pos"): DataFrame = {
+    require(!df.columns.contains(posCol), s"output column collides: $posCol")
+    val sk = Iterator.from(0).map(i => s"__sk$i")
+      .find(c => !df.columns.contains(c)).get
+    val sorted = df
+      .withColumn(sk, md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string"))))
+      .repartitionByRange(col(sk), col(idCol))
+      .sortWithinPartitions(col(sk), col(idCol))
+    val indexed = sorted.rdd.zipWithIndex.map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(indexed,
+        sorted.schema.add(posCol, org.apache.spark.sql.types.LongType, nullable = false))
+      .drop(sk)
+  }
 }

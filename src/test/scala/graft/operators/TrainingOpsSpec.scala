@@ -499,6 +499,34 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashSample(ids, "id", 0.0).isEmpty)
     assert(Sampling.hashSample(ids, "id", 1.0).count() == 20000L)
   }
+
+  test("deterministicShuffle: exact permutation, layout-independent, seed-keyed") {
+    val df = ids
+    val got = Sampling.deterministicShuffle(df, "id", seed = 42L)
+      .as[(Long, Long)].collect().toMap
+    // a permutation: every position 0..n-1 exactly once
+    assert(got.values.toSet == (0L until 20000L).toSet)
+    // equals the driver-side reference order of md5("42:<id>")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(i: Long) = md.digest(s"42:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val want = (0L until 20000L).sortBy(i => (key(i), i)).zipWithIndex
+      .map { case (id, pos) => id -> pos.toLong }.toMap
+    assert(got == want)
+    // partitioning-independent and retry-idempotent by construction
+    val again = Sampling.deterministicShuffle(df.repartition(7), "id", seed = 42L)
+      .as[(Long, Long)].collect().toMap
+    assert(again == got)
+    // a different seed is a different permutation
+    val other = Sampling.deterministicShuffle(df, "id", seed = 43L)
+      .as[(Long, Long)].collect().toMap
+    assert(other != got)
+    // column collision fails typed
+    val e = intercept[IllegalArgumentException] {
+      Sampling.deterministicShuffle(df.withColumn("shuffle_pos", $"id"), "id", 1L)
+    }
+    assert(e.getMessage.contains("collides"))
+  }
 }
 
 class VocabSpec extends SparkSpec {
