@@ -1945,13 +1945,97 @@ object SparkEntry {
              |WHERE (CASE WHEN tot - inter > 0 THEN inter / (tot - inter) ELSE 0 END) >= 0.7
              |ORDER BY id_existing, id_incoming""".stripMargin))
 
+    /** Deterministic training-order shuffle
+      * ([[operators.Sampling.deterministicShuffle]]): a seed-keyed md5
+      * total order with exact 0-based positions — reproducible across
+      * runs, retries, cluster layouts, and engines, which is why one
+      * `row_number() OVER (ORDER BY md5(...))` replays the whole
+      * permutation in DuckDB.
+      */
+    private val q65 = Q(
+      "q65_deterministic_shuffle",
+      (s, dir) => operators.Sampling.deterministicShuffle(
+          t(s, dir, "documents").select($"doc_id"), "doc_id", seed = 42L)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(row_number() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS shuffle_pos
+             |FROM documents ORDER BY doc_id""".stripMargin))
+
+    /** URL canonicalization ([[functions.UrlOps]]): synthetic crawl URLs
+      * derived arithmetically from doc_id (scheme/www/port/tracking-param
+      * /fragment variants all exercised), then host extraction and full
+      * normalization — both replayed bit-for-bit by the oracle's regex +
+      * list pipeline. The URL column itself rides along so the fixture
+      * construction is hash-checked too.
+      */
+    private val q66 = Q(
+      "q66_url_normalize",
+      (s, dir) => {
+        val url = concat(
+          when($"doc_id" % 2 === 0, "HTTPS").otherwise("http"), lit("://"),
+          when($"doc_id" % 3 === 0, "WWW.").otherwise(""),
+          lit("Ex"), ($"doc_id" % 7).cast("string"), lit(".org"),
+          when($"doc_id" % 5 === 0, ":443")
+            .when($"doc_id" % 5 === 1, ":8080").otherwise(""),
+          lit("/p/"), $"doc_id".cast("string"),
+          when($"doc_id" % 4 === 0, "?utm_source=x&b=2&a=1")
+            .when($"doc_id" % 4 === 1, "?b=2&a=1")
+            .when($"doc_id" % 4 === 2, "?utm_campaign=z")
+            .otherwise(""),
+          when($"doc_id" % 6 === 0, "#frag").otherwise(""))
+        t(s, dir, "documents").select($"doc_id", url.as("url"))
+          .select($"doc_id", $"url",
+            graft.functions.UrlOps.host($"url").as("host"),
+            graft.functions.UrlOps.siteHost($"url").as("site_host"),
+            graft.functions.UrlOps.normalize($"url").as("norm_url"),
+            graft.functions.UrlOps.normalizeSite($"url").as("site_url"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+             |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+             |    'Ex' || CAST(doc_id % 7 AS VARCHAR) || '.org' ||
+             |    (CASE WHEN doc_id % 5 = 0 THEN ':443' WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END) ||
+             |    '/p/' || CAST(doc_id AS VARCHAR) ||
+             |    (CASE doc_id % 4 WHEN 0 THEN '?utm_source=x&b=2&a=1' WHEN 1 THEN '?b=2&a=1' WHEN 2 THEN '?utm_campaign=z' ELSE '' END) ||
+             |    (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+             |  FROM documents),
+             |parts AS (
+             |  SELECT doc_id, url,
+             |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+             |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1)) AS hst,
+             |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]*:([0-9]+)', 1) AS prt,
+             |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+             |    list_sort(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+             |      p -> p <> '' AND substr(split_part(p, '=', 1), 1, 4) <> 'utm_'
+             |        AND split_part(p, '=', 1) NOT IN ('gclid', 'fbclid', 'msclkid', 'ref'))) AS kept
+             |  FROM u)
+             |SELECT doc_id, url, hst AS host,
+             |  regexp_replace(hst, '^www\.', '') AS site_host,
+             |  sch || '://' || hst ||
+             |    (CASE WHEN prt <> '' AND NOT (sch = 'http' AND prt = '80')
+             |               AND NOT (sch = 'https' AND prt = '443')
+             |          THEN ':' || prt ELSE '' END) ||
+             |    (CASE WHEN pth = '' THEN '/' ELSE pth END) ||
+             |    (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END) AS norm_url,
+             |  regexp_replace(
+             |    sch || '://' || hst ||
+             |      (CASE WHEN prt <> '' AND NOT (sch = 'http' AND prt = '80')
+             |                 AND NOT (sch = 'https' AND prt = '443')
+             |            THEN ':' || prt ELSE '' END) ||
+             |      (CASE WHEN pth = '' THEN '/' ELSE pth END) ||
+             |      (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END),
+             |    '^([a-z][a-z0-9+.-]*://)www\.', '\1') AS site_url
+             |FROM parts ORDER BY doc_id""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
       q21, q22, q23, q24, q24b, q25, q26, q27, q28, q29, q30,
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
-      q58, q59, q60, q61, q62, q63, q64)
+      q58, q59, q60, q61, q62, q63, q64, q65, q66)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.
