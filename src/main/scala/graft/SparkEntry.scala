@@ -2029,13 +2029,67 @@ object SparkEntry {
              |    '^([a-z][a-z0-9+.-]*://)www\.', '\1') AS site_url
              |FROM parts ORDER BY doc_id""".stripMargin))
 
+    /** SimHash-index probe ([[operators.SimHashIndex]]): build the
+      * Hamming-family index over the even-id half (portable md5 token
+      * hash — q25's replayable recipe), probe with the odd half. The
+      * oracle recomputes fingerprints, the pigeonhole segment buckets
+      * (the UNION ALL below is generated from the SAME Scala bit-range
+      * formula the index uses), the combined-size cap bar, and the
+      * Hamming verify — the probe is exact, so candidates only
+      * constrain which pairs were allowed to be verified.
+      */
+    private val q67Segs: String = (0 until 4).map { i =>
+      val start = 32 * i / 4
+      val width = 32 * (i + 1) / 4 - start
+      s"SELECT doc_id, $i AS seg, ((h >> $start) & ${(1L << width) - 1}) AS val FROM sh"
+    }.mkString("\n  UNION ALL ")
+
+    private val q67 = Q(
+      "q67_simhash_index_probe",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val index = operators.SimHashIndex.build(
+          docs.filter($"doc_id" % 2 === 0), idCol = "doc_id", textCol = "text",
+          segments = 4, hasher = TextDedup.TokenHasher.PortableMd5)
+        val res = operators.SimHashIndex.pairsAgainst(
+          index, docs.filter($"doc_id" % 2 =!= 0),
+          idCol = "doc_id", textCol = "text", maxDistance = 3)
+        index.unpersist()
+        res.pairs.orderBy("id_existing", "id_incoming")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id,
+             |    CASE WHEN text IS NULL OR trim(text) = '' THEN []
+             |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS ts
+             |  FROM documents),
+             |hashed AS (
+             |  SELECT doc_id,
+             |    list_transform(ts, t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS th
+             |  FROM toks),
+             |sh AS (SELECT doc_id, $q25Bits AS h FROM hashed),
+             |segs AS (
+             |  $q67Segs),
+             |ok AS (SELECT seg, val FROM segs GROUP BY seg, val HAVING count(*) <= 2000),
+             |cands AS (
+             |  SELECT DISTINCT a.doc_id AS id_existing, b.doc_id AS id_incoming
+             |  FROM segs a JOIN segs b ON a.seg = b.seg AND a.val = b.val
+             |    AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+             |  JOIN ok ON ok.seg = a.seg AND ok.val = a.val)
+             |SELECT c.id_existing, c.id_incoming,
+             |  CAST(bit_count(xor(x.h, y.h)) AS INT) AS hamming
+             |FROM cands c
+             |JOIN sh x ON x.doc_id = c.id_existing
+             |JOIN sh y ON y.doc_id = c.id_incoming
+             |WHERE bit_count(xor(x.h, y.h)) <= 3
+             |ORDER BY id_existing, id_incoming""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
       q21, q22, q23, q24, q24b, q25, q26, q27, q28, q29, q30,
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
-      q58, q59, q60, q61, q62, q63, q64, q65, q66)
+      q58, q59, q60, q61, q62, q63, q64, q65, q66, q67)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

@@ -657,6 +657,18 @@ object TextDedup {
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Near-equal bit ranges `[32i/k, 32(i+1)/k)` of a 32-bit simhash —
+    * the pigeonhole segment values. Shared by the self-blocked one-shot
+    * and [[SimHashIndex]] so the two candidate generators provably use
+    * one segment layout.
+    */
+  private[operators] def simHashSegments(h: Column, k: Int): Seq[Column] =
+    (0 until k).map { i =>
+      val start = 32 * i / k
+      val width = 32 * (i + 1) / k - start
+      shiftright(h, start).bitwiseAND(lit((1L << width) - 1))
+    }
+
   /** Near-dup pairs by SimHash: block on the high byte-s of the hash
     * (cheap LSH: near hashes share high bits for small distances is NOT
     * guaranteed — so block on provided keys instead) and verify
@@ -716,14 +728,9 @@ object TextDedup {
 
     val withH = df.select(col(idCol), simHash(col(textCol), hasher).as("__h")).persist()
     withH.count()
-    // near-equal bit ranges [32i/k, 32(i+1)/k)
-    val segCols = (0 until k).map { i =>
-      val start = 32 * i / k
-      val width = 32 * (i + 1) / k - start
-      shiftright(col("__h"), start).bitwiseAND(lit((1L << width) - 1))
-    }
     val exploded = withH.select(
-      col(idCol), posexplode(array(segCols: _*)).as(Seq("__seg", "__val")))
+      col(idCol),
+      posexplode(array(simHashSegments(col("__h"), k): _*)).as(Seq("__seg", "__val")))
     val bucketSizes = exploded.groupBy("__seg", "__val").count()
     val small = bucketSizes.filter(col("count") <= maxBucketSize).select("__seg", "__val")
     val pruned = exploded.join(small, Seq("__seg", "__val"))
