@@ -2083,13 +2083,49 @@ object SparkEntry {
              |WHERE bit_count(xor(x.h, y.h)) <= 3
              |ORDER BY id_existing, id_incoming""".stripMargin))
 
+    /** Incremental curation ([[operators.Curation.curateIncremental]]):
+      * two nightly turns over a persisted LSH index — annotate, gate,
+      * intra-batch canonicalize, index probe, decontaminate, sample,
+      * append. Rows-only: the end-to-end SQL replay would restate q57's
+      * full pipeline oracle; correctness is pinned by CurationSpec's
+      * incremental == one-shot grow-as-you-go equivalence instead.
+      */
+    private val q68 = Q(
+      "q68_incremental_curate",
+      (s, dir) => {
+        // bounded slice: two full pipeline turns (CC + LSH + index ops
+        // per turn) on the whole table would dominate the bench at
+        // sf0.1 — the q50 convention for iterative-stage queries
+        val docs = t(s, dir, "documents").filter($"doc_id" < 2000)
+        val bench = docs.filter($"doc_id" % 97 === 0)
+        val params = operators.Curation.CurationParams(
+          minQuality = 0.0, maxRepetition = 1.0, maxContamination = 0.5,
+          lshThreshold = 0.6)
+        // ONE turn: the full stage chain (annotate, gate, intra-batch
+        // canonicalize, index probe, decontaminate, sample, append);
+        // multi-turn sequencing semantics are CurationSpec-pinned
+        val index = operators.LshIndex.build(
+          docs.filter($"doc_id" % 97 =!= 0 && $"doc_id" % 3 === 0),
+          "doc_id", "text", n = 3)
+        val r = operators.Curation.curateIncremental(
+          index, docs.filter($"doc_id" % 97 =!= 0 && $"doc_id" % 3 =!= 0),
+          bench, "doc_id", "text", "lang", params)
+        val out = r.curated.select($"doc_id", $"quality", $"repetition")
+          .localCheckpoint()
+        r.unpersist(); index.unpersist()
+        out.select($"doc_id", round($"quality", 6).as("quality"),
+            round($"repetition", 6).as("repetition"))
+          .orderBy("doc_id")
+      },
+      None)
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
       q21, q22, q23, q24, q24b, q25, q26, q27, q28, q29, q30,
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
-      q58, q59, q60, q61, q62, q63, q64, q65, q66, q67)
+      q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

@@ -131,4 +131,103 @@ object Curation {
       Seq(idCol))
     CurationResult(packed, Seq(exact, canon, sampled, pairs))
   }
+
+  /** One incremental (nightly-crawl) turn of the pipeline: `curated` =
+    * the batch's training contribution (annotated, sampled), `kept` =
+    * the grown index to persist for tomorrow's turn.
+    */
+  final case class IncrementalResult(
+      curated: DataFrame, kept: DataFrame, cached: Seq[DataFrame]) {
+    def unpersist(): Unit = cached.foreach(_.unpersist())
+  }
+
+  /** Incremental curation over a PERSISTED kept-corpus index — stages
+    * 1-6 of [[curate]] for a nightly ingest batch, with the near-dup
+    * stage split in two: canonicalize WITHIN the batch (same election
+    * as the batch pipeline), then gate the canonicals against the kept
+    * corpus via [[LshIndex.dedupAgainst]] — O(incoming) per turn; the
+    * kept corpus is never re-shingled. Packing (stage 7) is
+    * deliberately absent: span packing is an export-time step over the
+    * accumulated corpus, not a per-ingest one.
+    *
+    * Survivor semantics across batches are FIRST-ARRIVED — the only
+    * election possible without revisiting shipped data: a batch doc
+    * near-duplicating any already-kept doc is dropped, whatever its
+    * quality. Within one batch the election is [[CurationParams]]'s
+    * (least-id or keep-best). Pinned by CurationSpec: sequential
+    * incremental turns produce exactly the docs of replaying the same
+    * stages with the one-shot cross-corpus operator over a
+    * grow-as-you-go kept corpus.
+    *
+    * What grows the index: the decontaminated canonical survivors,
+    * BEFORE the training-mix sample. The index is the dedup corpus — a
+    * doc curated but sampled out of today's mix must still suppress
+    * tomorrow's duplicates, or the corpus drifts toward
+    * double-representation. Rebuild the index on the compaction cadence
+    * [[LshIndex.append]] documents.
+    */
+  def curateIncremental(
+      index: DataFrame,
+      incoming: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      params: CurationParams = CurationParams()): IncrementalResult = {
+    import org.apache.spark.storage.StorageLevel
+    val (meta, _) = LshIndex.readMeta(index)
+    require(meta.n == params.shingleN && meta.portableHash == params.portableHash,
+      s"index recipe (n=${meta.n}, portable=${meta.portableHash}) disagrees " +
+        s"with params (n=${params.shingleN}, portable=${params.portableHash}) — " +
+        "intra-batch LSH and the cross-corpus probe must share one shingle space")
+    val id = col(idCol)
+
+    // 1-2: annotate + gate (same kernels, same single scan)
+    val annotated = incoming
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+      .withColumn("repetition", TextAnalysis.repetitionScore(col(textCol), 3))
+      .filter(col("quality") >= params.minQuality &&
+        col("repetition") <= params.maxRepetition)
+      .transform { d =>
+        if (params.useHeuristicGate)
+          d.filter(CorpusFilters.heuristicSignals(col(textCol))("_12") === 1)
+        else d
+      }
+
+    // 3-4a within the batch: exact dedup + near-dup canonicalize
+    val exact = Dedup.exactByColumns(annotated, Seq(textCol), idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = TextDedup.minHashLshPairs(
+      exact, idCol, textCol, n = params.shingleN,
+      threshold = params.lshThreshold, portableHash = params.portableHash,
+      minDocFreq = params.minDocFreq)
+    val clustered =
+      if (params.keepBestQuality)
+        ConnectedComponents.canonicalizeBy(exact, pairs, idCol, "quality")
+      else ConnectedComponents.canonicalize(exact, pairs, idCol)
+    val canon = clustered
+      .filter(col("is_canonical") === 1)
+      .drop("cluster_id", "cluster_size", "is_canonical")
+
+    // 4b: cross-corpus gate — only the batch pays shingling CPU
+    val novel = LshIndex.dedupAgainst(index, canon, idCol, textCol,
+        threshold = params.lshThreshold)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // 5: decontaminate against the benchmark corpus
+    val contam = Contamination.ngramContamination(
+      novel, bench, idCol, textCol, params.contaminationN)
+    val clean = novel
+      .join(contam.filter(col("contamination") <= params.maxContamination)
+        .select(id), Seq(idCol), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // grow the kept corpus with today's curated docs (pre-sample)
+    val grown = LshIndex.append(index, clean, idCol, textCol)
+
+    // 6: deterministic training mix — today's contribution
+    val sampled = Sampling.stratifiedSample(
+      clean, idCol, langCol, params.sampleRates, params.defaultSampleRate)
+    IncrementalResult(sampled, grown, Seq(exact, novel, clean, pairs, grown))
+  }
 }

@@ -714,6 +714,67 @@ class CurationSpec extends SparkSpec {
     rb.unpersist()
     assert(a == b && a.nonEmpty)
   }
+
+  test("curateIncremental over batches == one-shot grow-as-you-go stage replay") {
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    val kept0 = docs.filter($"doc_id" % 97 =!= 0 && $"doc_id" % 3 === 0)
+    def batch(m: Long) = docs.filter($"doc_id" % 97 =!= 0 && $"doc_id" % 3 === m)
+    val params = CurationParams(minQuality = 0.0, maxRepetition = 1.0,
+      maxContamination = 0.5, lshThreshold = 0.6,
+      sampleRates = Map("en" -> 0.5), defaultSampleRate = 0.7)
+
+    // index-backed incremental path: two nightly turns
+    var index = LshIndex.build(kept0, "doc_id", "text", n = 3)
+    val curatedInc = scala.collection.mutable.Set[Long]()
+    for (m <- Seq(1L, 2L)) {
+      val r = Curation.curateIncremental(
+        index, batch(m), bench, "doc_id", "text", "lang", params)
+      curatedInc ++= r.curated.select("doc_id").as[Long].collect()
+      val next = r.kept.localCheckpoint()
+      r.unpersist()
+      index = next
+    }
+
+    // reference: the same stages with the one-shot cross-corpus operator
+    // over a corpus grown batch by batch
+    var keptRef = kept0.select($"doc_id", $"text")
+    val curatedRef = scala.collection.mutable.Set[Long]()
+    for (m <- Seq(1L, 2L)) {
+      val annotated = batch(m)
+        .withColumn("quality", TextAnalysis.qualityScore($"text"))
+        .withColumn("repetition", TextAnalysis.repetitionScore($"text", 3))
+        .filter($"quality" >= 0.0 && $"repetition" <= 1.0)
+      val exact = Dedup.exactByColumns(annotated, Seq("text"), "doc_id")
+      val pairs = TextDedup.minHashLshPairs(
+        exact, "doc_id", "text", n = 3, threshold = 0.6)
+      val canon = ConnectedComponents.canonicalize(exact, pairs, "doc_id")
+        .filter($"is_canonical" === 1)
+        .drop("cluster_id", "cluster_size", "is_canonical")
+      val novel = TextDedup.dedupAgainst(keptRef, canon, "doc_id", "text",
+        threshold = 0.6)
+      val contam = Contamination.ngramContamination(
+        novel, bench, "doc_id", "text", 13)
+      val clean = novel.join(
+          contam.filter($"contamination" <= 0.5).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      keptRef = keptRef.unionAll(clean.select($"doc_id", $"text")).localCheckpoint()
+      curatedRef ++= Sampling
+        .stratifiedSample(clean, "doc_id", "lang", Map("en" -> 0.5), 0.7)
+        .select("doc_id").as[Long].collect()
+      pairs.unpersist()
+    }
+    assert(curatedInc.toSet == curatedRef.toSet)
+    assert(curatedInc.nonEmpty)
+    // the grown index tracks the kept corpus doc-for-doc
+    assert(LshIndex.readMeta(index)._1.nDocs == keptRef.count())
+    // recipe mismatch fails typed before any work
+    val e = intercept[IllegalArgumentException] {
+      Curation.curateIncremental(index, batch(1L), bench,
+        "doc_id", "text", "lang", params.copy(shingleN = 5))
+    }
+    assert(e.getMessage.contains("shingle space"))
+  }
 }
 
 class CrossCorpusDedupSpec extends SparkSpec {
