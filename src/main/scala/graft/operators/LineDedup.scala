@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-frequency line deduplication — the CCNet/RefinedWeb-style
+  * boilerplate pass: segment every document, count how many DISTINCT
+  * documents each segment occurs in corpus-wide, drop segments above a
+  * document-frequency bar, and rebuild each document from its surviving
+  * segments in original order. This removes cookie banners, nav menus,
+  * share buttons and licence footers that exact/near-dup DOCUMENT dedup
+  * cannot touch (the documents differ; their lines don't).
+  *
+  * Scale design (100 TB lens): cost is O(corpus segments), never
+  * all-pairs. Three shuffles — (1) doc-frequency `groupBy(segment)`
+  * with partial distinct aggregation, (2) the segments ⋈ frequency
+  * join (one row per distinct segment on the frequency side; mega-hot
+  * boilerplate keys are uneven-partition skew, which AQE's skew-join
+  * split handles, not a row-explosion), (3) the per-document rebuild
+  * `groupBy(id)` whose `collect_list` is bounded by single-document
+  * length. The input is scanned twice (segments + per-doc totals), both
+  * times pruned to (id, text). All segmentation is `functions._`
+  * expressions — codegen'd, no UDF.
+  */
+object LineDedup {
+
+  /** How to cut a document into dedup units. */
+  sealed trait Segmenter
+
+  /** Split on a regex delimiter — the production mode (`"\n"` for web
+    * text). Segments are trimmed and empty segments are dropped, so
+    * blank lines neither count nor survive.
+    */
+  final case class DelimSegments(regex: String = "\n") extends Segmenter
+
+  /** Fixed non-overlapping k-word chunks (split on a single space) —
+    * the span-level mode for corpora without line structure. Chunks
+    * keep raw split semantics (no trimming) so the unit is exactly
+    * reconstructable with a `" "` joiner.
+    */
+  final case class WordChunkSegments(k: Int) extends Segmenter {
+    require(k > 0, s"chunk size must be positive, got $k")
+  }
+
+  private def joinerFor(seg: Segmenter): String = seg match {
+    case DelimSegments(_)     => "\n"
+    case WordChunkSegments(_) => " "
+  }
+
+  /** Ordered segment array for one text value; null/empty text yields
+    * an empty array in both modes. The `when` guard on the word-chunk
+    * sequence matters: `sequence(0, -1)` evaluates DESCENDING in Spark
+    * (`[0, -1]`), so the unguarded form would fabricate segments for
+    * empty docs (same trap as [[TextDedup.shingles]]).
+    */
+  private def segmentsCol(text: Column, seg: Segmenter): Column = seg match {
+    case DelimSegments(re) =>
+      filter(
+        transform(split(coalesce(text, lit("")), re), s => trim(s)),
+        s => s =!= "")
+    case WordChunkSegments(k) =>
+      val words = split(text, " ")
+      val nseg = ceil(size(words).cast("double") / k).cast("long")
+      when(text.isNotNull && length(text) > 0,
+        transform(
+          sequence(lit(0L), nseg - 1),
+          i => array_join(slice(words, (i * k + 1).cast("int"), lit(k)), " ")))
+        .otherwise(array().cast("array<string>"))
+  }
+
+  /** Rebuild every document from the segments whose corpus document
+    * frequency is ≤ `maxDocFreq`. Returns one row per input document:
+    * `(idCol, text_kept, n_total, n_kept)` — a document whose segments
+    * are all boilerplate survives with `text_kept = ""` so the caller
+    * decides the drop policy (CCNet drops; a provenance pipeline may
+    * keep the tombstone). Join back on `idCol` for the remaining
+    * columns.
+    *
+    * `joiner` defaults per mode (`"\n"` / `" "`), so
+    * `maxDocFreq = ∞` reproduces the input text byte-for-byte for
+    * clean inputs — pinned by spec as the reconstruction-order
+    * invariant.
+    */
+  def dedupLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      segmenter: Segmenter,
+      maxDocFreq: Long,
+      joiner: Option[String] = None): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val id = col(idCol)
+    val join = joiner.getOrElse(joinerFor(segmenter))
+
+    val segs = df.select(
+      id, posexplode(segmentsCol(col(textCol), segmenter)).as(Seq("pos", "seg")))
+    val dfreq = segs.groupBy("seg")
+      .agg(countDistinct(id).as("__df"))
+    val kept = segs.join(dfreq, Seq("seg"))
+      .filter(col("__df") <= maxDocFreq)
+    val rebuilt = kept.groupBy(idCol).agg(
+      array_join(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("seg")))),
+          x => x.getField("seg")),
+        join).as("text_kept"),
+      count(lit(1)).as("n_kept"))
+
+    val totals = df.select(
+      id, size(segmentsCol(col(textCol), segmenter)).cast("long").as("n_total"))
+    totals.join(rebuilt, Seq(idCol), "left")
+      .select(
+        id,
+        coalesce(col("text_kept"), lit("")).as("text_kept"),
+        col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+}

@@ -834,3 +834,66 @@ class CrossCorpusDedupSpec extends SparkSpec {
     assert(kept.columns.toSeq == Seq("doc_id", "text")) // schema order preserved
   }
 }
+
+class LineDedupSpec extends SparkSpec {
+  import spark.implicits._
+  import LineDedup._
+
+  test("delim mode drops corpus-frequent lines, keeps order, handles degenerate docs") {
+    val d = Seq(
+      (0L, "keep me\n SUBSCRIBE NOW \nunique zero"),
+      (1L, "SUBSCRIBE NOW\nonly one"),
+      (2L, "  SUBSCRIBE NOW\nanother two\n\n"),
+      (3L, "SUBSCRIBE NOW"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "")).toDF("doc_id", "text")
+    val got = dedupLines(d, "doc_id", "text", DelimSegments("\n"), maxDocFreq = 3)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // "SUBSCRIBE NOW" (trimmed) is in 4 docs > bar 3 -> dropped everywhere
+    assert(got(0L) == ((0L, "keep me\nunique zero", 3L, 2L)))
+    assert(got(1L) == ((1L, "only one", 2L, 1L)))
+    assert(got(2L) == ((2L, "another two", 2L, 1L))) // blank line neither counts nor survives
+    assert(got(3L) == ((3L, "", 1L, 0L)))            // all-boilerplate doc -> tombstone
+    assert(got(4L) == ((4L, "", 0L, 0L)))
+    assert(got(5L) == ((5L, "", 0L, 0L)))
+  }
+
+  test("maxDocFreq = infinity reconstructs clean input byte-for-byte (order pin)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val r = dedupLines(docs, "doc_id", "text", WordChunkSegments(3), maxDocFreq = Long.MaxValue)
+      .join(docs, Seq("doc_id"))
+    assert(r.filter($"text_kept" =!= $"text" || $"n_kept" =!= $"n_total").isEmpty)
+    assert(r.count() == docs.count())
+  }
+
+  test("word-chunk mode matches an independent driver-side reference") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter($"doc_id" < 200).select($"doc_id", $"text")
+    val k = 3; val bar = 4L
+    // independent reference: plain Scala over the collected corpus
+    val raw = docs.as[(Long, String)].collect().toSeq
+    def chunks(t: String): Seq[String] =
+      t.split(" ", -1).grouped(k).map(_.mkString(" ")).toSeq
+    val dfreq = raw.flatMap { case (id, t) => chunks(t).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).distinct.size }
+    val expect = raw.map { case (id, t) =>
+      val kept = chunks(t).filter(s => dfreq(s) <= bar)
+      id -> ((id, kept.mkString(" "), chunks(t).size.toLong, kept.size.toLong))
+    }.toMap
+    val got = dedupLines(docs, "doc_id", "text", WordChunkSegments(k), maxDocFreq = bar)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> (r._1, r._2, r._3, r._4)).toMap
+    assert(got == expect)
+    // the bar actually bites on this corpus, or the test proves nothing
+    assert(expect.values.exists(v => v._4 < v._3))
+  }
+
+  test("output is layout-independent: repartition does not change results") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter($"doc_id" < 300).select($"doc_id", $"text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      dedupLines(df, "doc_id", "text", WordChunkSegments(2), maxDocFreq = 6)
+        .as[(Long, String, Long, Long)].collect().toSet
+    assert(run(d) == run(d.repartition(7)))
+  }
+}
