@@ -2154,13 +2154,45 @@ object SparkEntry {
              |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
              |ORDER BY doc_id""".stripMargin))
 
+    /** Repeated-span duplication stats
+      * ([[operators.LineDedup.duplicatedSpanStats]]): sliding 5-word
+      * windows, corpus-wide occurrence counts, per-doc duplicated-window
+      * ratio — the exact-substring-dedup signal measured, with removal
+      * left to policy.
+      */
+    private val q70 = Q(
+      "q70_repeated_spans",
+      (s, dir) => operators.LineDedup.duplicatedSpanStats(
+          t(s, dir, "documents"), "doc_id", "text", n = 5, minDup = 2)
+        .orderBy("doc_id"),
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+             |), s AS (
+             |  SELECT doc_id, unnest(range(CAST(greatest(len(words) - 4, 0) AS BIGINT))) AS pos, words FROM w
+             |), win AS (
+             |  SELECT doc_id, array_to_string(words[CAST(pos+1 AS BIGINT):CAST(pos+5 AS BIGINT)], ' ') AS win FROM s
+             |), cnt AS (
+             |  SELECT win, count(*) AS c FROM win GROUP BY win
+             |), per AS (
+             |  SELECT w2.doc_id, count(*) AS nw,
+             |         sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS nd
+             |  FROM win w2 JOIN cnt USING (win) GROUP BY w2.doc_id
+             |)
+             |SELECT d.doc_id,
+             |       CAST(coalesce(p.nw, 0) AS BIGINT) AS n_windows,
+             |       CAST(coalesce(p.nd, 0) AS BIGINT) AS n_dup,
+             |       round(CASE WHEN coalesce(p.nw, 0) > 0
+             |                  THEN CAST(p.nd AS DOUBLE) / p.nw ELSE 0.0 END, 6) AS dup_ratio
+             |FROM documents d LEFT JOIN per p USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
       q21, q22, q23, q24, q24b, q25, q26, q27, q28, q29, q30,
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
-      q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
+      q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

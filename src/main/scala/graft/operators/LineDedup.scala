@@ -115,4 +115,71 @@ object LineDedup {
         col("n_total"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
+
+  /** Exact repeated-span diagnostics (the substring-dedup signal of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): slide an n-word window over every document, count each
+    * window's TOTAL corpus-wide occurrences (within-doc repeats count —
+    * boilerplate repeats inside one doc are the same memorization
+    * hazard), and report per document how many of its windows recur
+    * ≥ `minDup` times. Returns `(idCol, n_windows, n_dup, dup_ratio)`;
+    * documents shorter than `n` words keep a zero row. The removal
+    * policy stays with the caller — this is the measurement half.
+    *
+    * Scale: the window explode is one row per token position (each
+    * carrying an n-word string — bandwidth n× the corpus, the price of
+    * EXACT counting; callers at extreme scale can pre-hash to
+    * `md5(win)` on both sides of the count if 2^-64 collision odds are
+    * acceptable). Shuffles: occurrence `groupBy(win)` with partial
+    * aggregation, the windows ⋈ counts join (hot boilerplate windows =
+    * AQE skew-split territory, one count row per distinct window), and
+    * the per-doc rebuild `groupBy(id)`. Nothing quadratic, nothing
+    * driver-side.
+    */
+  def duplicatedSpanStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minDup: Long): DataFrame = {
+    require(n >= 1, s"window width must be >= 1, got $n")
+    require(minDup >= 1, s"minDup must be >= 1, got $minDup")
+    val id = col(idCol)
+    val text = col(textCol)
+
+    def nWindows: Column = {
+      val words = split(text, " ")
+      when(text.isNotNull && length(text) > 0,
+        greatest(size(words) - (n - 1), lit(0)).cast("long"))
+        .otherwise(lit(0L))
+    }
+    // same sequence(0, -1)-descends guard as segmentsCol
+    def windowsCol: Column = {
+      val words = split(text, " ")
+      when(nWindows > 0,
+        transform(
+          sequence(lit(0L), nWindows - 1),
+          i => array_join(slice(words, (i + 1).cast("int"), lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    }
+
+    val wins = df.select(id, explode(windowsCol).as("win"))
+    val cnt = wins.groupBy("win").agg(count(lit(1)).as("__c"))
+    val per = wins.join(cnt, Seq("win"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("__nw"),
+        sum(when(col("__c") >= minDup, 1L).otherwise(0L)).as("__nd"))
+    df.select(id, nWindows.as("n_windows"))
+      .join(per, Seq(idCol), "left")
+      .select(
+        id,
+        col("n_windows"),
+        coalesce(col("__nd"), lit(0L)).as("n_dup"),
+        round(
+          when(col("n_windows") > 0,
+            coalesce(col("__nd"), lit(0L)).cast("double") / col("n_windows"))
+            .otherwise(lit(0.0)),
+          6).as("dup_ratio"))
+  }
 }

@@ -172,6 +172,44 @@ object ProfileScale {
         }
         println(f"PROFILE index_oneshot factor=$f pairs=$nOne cold=$oneCold%.1f warm=$oneWarm%.1f")
       }
+      if (only.forall(_ == "incremental")) {
+        // The T40 claim: a full nightly curateIncremental TURN (annotate,
+        // gate, intra-batch LSH+CC, index probe, decontaminate, sample)
+        // stays ~flat as the KEPT corpus scales with f, because every
+        // stage is batch-sized except the probe — and the probe reads
+        // stored bucket entries instead of re-shingling the corpus
+        // (the index/index_oneshot rows above isolate that contrast).
+        // Index built at maxDocFreqRatio=1.0: the frozen stop set is
+        // empty at every f, keeping the pruning policy constant (same
+        // rationale as q56). Batch and bench sides are FIXED f=1 slices.
+        val s = root.newSession()
+        def kept(sx: SparkSession) = scaled(sx, sfDir, f).filter(col("doc_id") % 2 === 0)
+        def incoming(sx: SparkSession) = scaled(sx, sfDir, 1).filter(col("doc_id") % 2 =!= 0)
+        def benchDocs(sx: SparkSession) = scaled(sx, sfDir, 1).filter(col("doc_id") % 97 === 0)
+        val dir = java.nio.file.Files.createTempDirectory("curate_profile").toString
+        val built = graft.operators.LshIndex.build(kept(s), "doc_id", "text",
+          maxDocFreqRatio = 1.0)
+        built.write.mode("overwrite").parquet(s"$dir/index")
+        val keptN = graft.operators.LshIndex.readMeta(built)._1.nDocs
+        built.unpersist()
+        val index = s.read.parquet(s"$dir/index")
+        val params = graft.operators.Curation.CurationParams(
+          minQuality = 0.0, maxRepetition = 1.0, maxContamination = 0.5,
+          lshThreshold = 0.7)
+        def turnOnce(): (Long, Double) = {
+          val t = System.nanoTime()
+          val r = graft.operators.Curation.curateIncremental(
+            index, incoming(s), benchDocs(s), "doc_id", "text", "lang", params)
+          val n = r.curated.count()
+          val secs = (System.nanoTime() - t) / 1e9
+          r.unpersist(); s.catalog.clearCache(); System.gc()
+          (n, secs)
+        }
+        val (nCur, turnCold) = turnOnce()
+        val (_, turnWarm) = turnOnce()
+        println(f"PROFILE incremental_turn factor=$f kept=$keptN curated=$nCur " +
+          f"turn_cold=$turnCold%.1f turn_warm=$turnWarm%.1f")
+      }
       if (only.forall(_ == "ivf")) {
         // The IvfIndex claim (T35): indexed corpus scales with f, query
         // batch FIXED. The one-shot operator re-runs cell assignment (a

@@ -897,3 +897,59 @@ class LineDedupSpec extends SparkSpec {
     assert(run(d) == run(d.repartition(7)))
   }
 }
+
+class SpanDupSpec extends SparkSpec {
+  import spark.implicits._
+  import LineDedup._
+
+  test("duplicatedSpanStats counts within-doc and cross-doc window repeats") {
+    val d = Seq(
+      (0L, "a b c d e f"),      // windows: "a b c", "b c d", "c d e", "d e f"
+      (1L, "x b c d y"),        // shares "b c d" with doc 0
+      (2L, "p p p p"),          // "p p p" twice WITHIN one doc
+      (3L, "q r"),              // shorter than n -> zero row
+      (4L, null.asInstanceOf[String]),
+      (5L, "")).toDF("doc_id", "text")
+    val got = duplicatedSpanStats(d, "doc_id", "text", n = 3, minDup = 2)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 4L, 1L, 0.25)))   // only "b c d" recurs
+    assert(got(1L) == ((1L, 3L, 1L, round6(1.0 / 3))))
+    assert(got(2L) == ((2L, 2L, 2L, 1.0)))    // intra-doc repeat counts
+    assert(got(3L) == ((3L, 0L, 0L, 0.0)))
+    assert(got(4L) == ((4L, 0L, 0L, 0.0)))
+    assert(got(5L) == ((5L, 0L, 0L, 0.0)))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("minDup above global max marks nothing; minDup=1 marks everything") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter($"doc_id" < 100).select($"doc_id", $"text")
+    val none = duplicatedSpanStats(docs, "doc_id", "text", n = 5, minDup = 1000000L)
+    assert(none.filter($"n_dup" =!= 0L).isEmpty)
+    val all = duplicatedSpanStats(docs, "doc_id", "text", n = 5, minDup = 1L)
+    assert(all.filter($"n_windows" > 0 && $"n_dup" =!= $"n_windows").isEmpty)
+  }
+
+  test("stats match an independent driver-side reference") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter($"doc_id" < 200).select($"doc_id", $"text")
+    val n = 4; val minDup = 2L
+    val raw = docs.as[(Long, String)].collect().toSeq
+    def wins(t: String): Seq[String] =
+      t.split(" ", -1).sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+    val cnt = raw.flatMap { case (_, t) => wins(t) }
+      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val expect = raw.map { case (id, t) =>
+      val ws = wins(t)
+      val nd = ws.count(w => cnt(w) >= minDup).toLong
+      id -> ((id, ws.size.toLong, nd,
+        if (ws.nonEmpty) round6(nd.toDouble / ws.size) else 0.0))
+    }.toMap
+    val got = duplicatedSpanStats(docs, "doc_id", "text", n, minDup)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got == expect)
+    assert(expect.values.exists(v => v._3 > 0 && v._3 < v._2)) // signal is non-trivial
+  }
+}
