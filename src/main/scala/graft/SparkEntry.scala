@@ -2186,13 +2186,57 @@ object SparkEntry {
              |FROM documents d LEFT JOIN per p USING (doc_id)
              |ORDER BY doc_id""".stripMargin))
 
+    /** Segment-frequency index lifecycle ([[operators.LineFreqIndex]]):
+      * the kept (doc_id %3 == 0) corpus is built as TWO generation
+      * artifacts, consolidated with `mergeMany` (exact count-sum, no
+      * text access), and the batch filtered against the merged index.
+      * Because disjoint-doc distinct counts ADD, `stored df + batch df`
+      * IS the corpus-wide frequency — so the oracle is simply the
+      * one-shot q69 replay over ALL documents restricted to batch docs.
+      */
+    private val q71 = Q(
+      "q71_linefreq_index_filter",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val seg = operators.LineDedup.WordChunkSegments(3)
+        def gen(m: Int) = operators.LineFreqIndex.build(
+          docs.filter($"doc_id" % 6 === m), "doc_id", "text", seg)
+        val merged = operators.LineFreqIndex.mergeMany(Seq(gen(0), gen(3)))
+        operators.LineFreqIndex.filterAgainst(
+            merged, docs.filter($"doc_id" % 3 =!= 0), "doc_id", "text",
+            maxDocFreq = 4)
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+             |), s AS (
+             |  SELECT doc_id, unnest(range(CAST(ceil(len(words) / 3.0) AS BIGINT))) AS pos, words FROM w
+             |), seg AS (
+             |  SELECT doc_id, pos,
+             |         array_to_string(words[CAST(pos*3+1 AS BIGINT):CAST(pos*3+3 AS BIGINT)], ' ') AS seg
+             |  FROM s
+             |), df AS (
+             |  SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY seg
+             |), kept AS (
+             |  SELECT s2.doc_id, s2.pos, s2.seg FROM seg s2 JOIN df USING (seg) WHERE df.df <= 4
+             |), rebuilt AS (
+             |  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_kept, count(*) AS n_kept
+             |  FROM kept GROUP BY doc_id
+             |)
+             |SELECT d.doc_id, coalesce(r.text_kept, '') AS text_kept,
+             |       CAST(ceil(len(string_split(d.text, ' ')) / 3.0) AS BIGINT) AS n_total,
+             |       coalesce(r.n_kept, 0) AS n_kept
+             |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+             |WHERE d.doc_id % 3 <> 0
+             |ORDER BY d.doc_id""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
       q21, q22, q23, q24, q24b, q25, q26, q27, q28, q29, q30,
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
-      q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70)
+      q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

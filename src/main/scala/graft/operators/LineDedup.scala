@@ -42,7 +42,7 @@ object LineDedup {
     require(k > 0, s"chunk size must be positive, got $k")
   }
 
-  private def joinerFor(seg: Segmenter): String = seg match {
+  private[operators] def joinerFor(seg: Segmenter): String = seg match {
     case DelimSegments(_)     => "\n"
     case WordChunkSegments(_) => " "
   }
@@ -53,7 +53,7 @@ object LineDedup {
     * (`[0, -1]`), so the unguarded form would fabricate segments for
     * empty docs (same trap as [[TextDedup.shingles]]).
     */
-  private def segmentsCol(text: Column, seg: Segmenter): Column = seg match {
+  private[operators] def segmentsCol(text: Column, seg: Segmenter): Column = seg match {
     case DelimSegments(re) =>
       filter(
         transform(split(coalesce(text, lit("")), re), s => trim(s)),
