@@ -41,6 +41,20 @@ class PlanSpec extends SparkSpec {
       s"sampling must not read the text column, got $cols")
   }
 
+  test("line-dedup family scans prune to (doc_id, text) only") {
+    for (q <- Seq("q69_line_dedup", "q70_repeated_spans", "q71_linefreq_index_filter")) {
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      val schemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(schemas.nonEmpty, s"$q: no scan in plan")
+      schemas.foreach { s =>
+        val cols = s.split(",").map(_.split(":")(0).trim).toSet
+        assert(cols.subsetOf(Set("doc_id", "text")),
+          s"$q: scan wider than (doc_id, text): $cols")
+      }
+    }
+  }
+
   test("contamination reads the training side exactly once") {
     val q = SparkEntry.queries("q51_contamination")(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString
