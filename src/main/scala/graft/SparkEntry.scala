@@ -2230,13 +2230,48 @@ object SparkEntry {
              |WHERE d.doc_id % 3 <> 0
              |ORDER BY d.doc_id""".stripMargin))
 
+    /** Reference-corpus LM scoring ([[operators.TextAnalysis.trainLm]] /
+      * `lmScore`): add-one-smoothed char-trigram model trained on the
+      * bench slice, mean negative log-likelihood per doc — the CCNet
+      * model-based quality signal with the model recomputed
+      * relationally by the oracle.
+      */
+    private val q72 = Q(
+      "q72_lm_score",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val model = operators.TextAnalysis.trainLm(
+          docs.filter($"doc_id" % 97 === 0), "text", n = 3)
+        docs.select($"doc_id",
+            round(operators.TextAnalysis.lmScore(model, $"text"), 6).as("lm_nats"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH refg AS (
+             |  SELECT unnest([substr(lower(text), i, 3) FOR i IN range(1, greatest(length(text) - 2, 0) + 1)]) AS g
+             |  FROM documents WHERE doc_id % 97 = 0 AND text IS NOT NULL
+             |), model AS (
+             |  SELECT g, count(*) AS c FROM refg GROUP BY g
+             |), stats AS (
+             |  SELECT CAST(sum(c) AS DOUBLE) + count(*) + 1 AS denom FROM model
+             |), docg AS (
+             |  SELECT doc_id, unnest([substr(lower(text), i, 3) FOR i IN range(1, greatest(length(text) - 2, 0) + 1)]) AS g
+             |  FROM documents WHERE text IS NOT NULL
+             |), scored AS (
+             |  SELECT dg.doc_id, avg(-ln((coalesce(m.c, 0) + 1.0) / s.denom)) AS nats
+             |  FROM docg dg LEFT JOIN model m USING (g) CROSS JOIN stats s
+             |  GROUP BY dg.doc_id
+             |)
+             |SELECT d.doc_id, round(coalesce(sc.nats, 0.0), 6) AS lm_nats
+             |FROM documents d LEFT JOIN scored sc USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
       q21, q22, q23, q24, q24b, q25, q26, q27, q28, q29, q30,
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
-      q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71)
+      q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

@@ -225,4 +225,71 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("token"))
       .limit(k)
   }
+
+  /** Character n-gram language model trained on a reference corpus —
+    * the CCNet-style model-based quality signal (there KenLM
+    * perplexity; here an add-one-smoothed char-gram LM with zero
+    * dependencies). `counts` maps each gram of `lower(ref text)` to its
+    * OCCURRENCE count (not doc frequency — this is a language model).
+    *
+    * The model is driver-resident by design: scoring a 100-TB corpus
+    * against a FIXED small reference model is the whole point, and the
+    * gram table is bounded by alphabet^n distinct grams (~50k for char
+    * trigrams over real text), broadcast-sized the way the
+    * contamination gram set is. Training cost is one explode +
+    * group-count over the (small) reference.
+    */
+  final case class LmModel(counts: Map[String, Long], total: Long, vocab: Long, n: Int)
+
+  def trainLm(
+      ref: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      n: Int): LmModel = {
+    val lc = lower(col(textCol))
+    val grams = ref.select(
+      explode(
+        when(length(lc) >= n,
+          transform(sequence(lit(1), length(lc) - (n - 1)), i => lc.substr(i, lit(n))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+    val counts = grams.groupBy("g").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    LmModel(counts, counts.values.sum, counts.size.toLong, n)
+  }
+
+  /** Mean negative log-likelihood (nats per gram) of the text under
+    * `model`, add-one smoothed with one shared unseen bucket:
+    * `P(g) = (count(g) + 1) / (total + vocab + 1)`. Lower = more like
+    * the reference corpus; docs shorter than n grams score 0.
+    *
+    * JVM kernel, one compiled pass per row with the model map closed
+    * over (broadcast to executors with the task closure) — the
+    * corpus-side cost is O(doc length), no explode, no shuffle, no
+    * join. The SQL replay (q72) recomputes the same model and average
+    * relationally; round to 6 decimals on both sides (summation-order
+    * float noise is ~1e-13).
+    */
+  def lmScore(model: LmModel, c: Column): Column = {
+    val counts = model.counts
+    val denom = (model.total + model.vocab + 1).toDouble
+    val n = model.n
+    val f = (text: String) => {
+      if (text == null) 0.0
+      else {
+        val lc = text.toLowerCase(java.util.Locale.ROOT)
+        val total = lc.length - n + 1
+        if (total <= 0) 0.0
+        else {
+          var sum = 0.0
+          var i = 0
+          while (i < total) {
+            val g = lc.substring(i, i + n)
+            sum -= math.log((counts.getOrElse(g, 0L) + 1).toDouble / denom)
+            i += 1
+          }
+          sum / total
+        }
+      }
+    }
+    udf(f).apply(c)
+  }
 }

@@ -953,3 +953,34 @@ class SpanDupSpec extends SparkSpec {
     assert(expect.values.exists(v => v._3 > 0 && v._3 < v._2)) // signal is non-trivial
   }
 }
+
+class LmScoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lmScore ranks reference-like text under off-distribution text") {
+    val ref = Seq("the quick brown fox jumps over the lazy dog",
+      "the quick brown cat naps near the warm dog").toDF("text")
+    val model = TextAnalysis.trainLm(ref, "text", 3)
+    assert(model.total > 0 && model.vocab > 0 && model.counts.nonEmpty)
+    val d = Seq(
+      (0L, "the quick brown fox"),    // in-distribution
+      (1L, "zzzz qqqq xxxx vvvv"),    // alien grams -> unseen bucket
+      (2L, "ab"),                     // shorter than n
+      (3L, null.asInstanceOf[String]),
+      (4L, "")).toDF("doc_id", "text")
+    val got = d.select($"doc_id", TextAnalysis.lmScore(model, $"text").as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(0L) < got(1L))
+    assert(got(2L) == 0.0 && got(3L) == 0.0 && got(4L) == 0.0)
+    // alien text: every gram unseen -> exactly -ln(1/denom)
+    val denom = (model.total + model.vocab + 1).toDouble
+    assert(math.abs(got(1L) - math.log(denom)) < 1e-12)
+  }
+
+  test("trainLm counts gram OCCURRENCES, lowercased, with the short-text guard") {
+    val m = TextAnalysis.trainLm(Seq("AAAA", "ab", "").toDF("text"), "text", 3)
+    // "aaaa" -> "aaa" twice; "ab"/"" -> nothing
+    assert(m.counts == Map("aaa" -> 2L))
+    assert(m.total == 2L && m.vocab == 1L && m.n == 3)
+  }
+}
