@@ -172,6 +172,46 @@ object ProfileScale {
         }
         println(f"PROFILE index_oneshot factor=$f pairs=$nOne cold=$oneCold%.1f warm=$oneWarm%.1f")
       }
+      if (only.forall(_ == "linefreq")) {
+        // The T43 claim: the segment-frequency probe pays batch text CPU
+        // plus a columnar (seg, df) entry scan — it should grow far
+        // slower than the one-shot dedupLines, which re-segments and
+        // re-counts the WHOLE union every run. Kept corpus scales with
+        // f, batch fixed at the f=1 odd docs; word-chunk(3) segments,
+        // bar high enough that output row counts stay batch-sized.
+        val s = root.newSession()
+        def kept(sx: SparkSession) = scaled(sx, sfDir, f).filter(col("doc_id") % 2 === 0)
+        def incoming(sx: SparkSession) = scaled(sx, sfDir, 1).filter(col("doc_id") % 2 =!= 0)
+        val seg = graft.operators.LineDedup.WordChunkSegments(3)
+        val dir = java.nio.file.Files.createTempDirectory("linefreq_profile").toString
+        val tb0 = System.nanoTime()
+        val built = graft.operators.LineFreqIndex.build(kept(s), "doc_id", "text", seg)
+        built.write.mode("overwrite").parquet(s"$dir/index")
+        val buildSecs = (System.nanoTime() - tb0) / 1e9
+        val keptN = graft.operators.LineFreqIndex.readMeta(built).nDocs
+        val index = s.read.parquet(s"$dir/index")
+        def probeOnce(): (Long, Double) = {
+          val t = System.nanoTime()
+          val n = graft.operators.LineFreqIndex.filterAgainst(
+            index, incoming(s), "doc_id", "text", maxDocFreq = 8).count()
+          val secs = (System.nanoTime() - t) / 1e9
+          s.catalog.clearCache(); System.gc()
+          (n, secs)
+        }
+        val (nOut, probeCold) = probeOnce()
+        val (_, probeWarm) = probeOnce()
+        println(f"PROFILE linefreq_probe factor=$f kept=$keptN rows=$nOut " +
+          f"build=$buildSecs%.1f probe_cold=$probeCold%.1f probe_warm=$probeWarm%.1f")
+        val (nOne, oneCold, oneWarm) = timed { sx =>
+          // what a user runs WITHOUT the index: one-shot over the union,
+          // restricted to the batch — same output as the probe
+          graft.operators.LineDedup.dedupLines(
+              kept(sx).unionAll(incoming(sx)),
+              "doc_id", "text", seg, maxDocFreq = 8)
+            .join(incoming(sx).select(col("doc_id")), Seq("doc_id"), "left_semi")
+        }
+        println(f"PROFILE linefreq_oneshot factor=$f rows=$nOne cold=$oneCold%.1f warm=$oneWarm%.1f")
+      }
       if (only.forall(_ == "incremental")) {
         // The T40 claim: a full nightly curateIncremental TURN (annotate,
         // gate, intra-batch LSH+CC, index probe, decontaminate, sample)
