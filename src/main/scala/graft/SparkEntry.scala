@@ -28,19 +28,27 @@ import graft.operators.{ConnectedComponents, Contamination, CorpusFilters, Dedup
   */
 object SparkEntry {
 
-  /** Testdata loader. `events.ts` is parquet TIMESTAMP(NANOS) which Spark
-    * refuses by default: read it as long (legacy conf) and integer-divide
-    * to micros — `div`, not `/`, because epoch-nanos exceed 2^53 and a
-    * double roundtrip would lose precision. DuckDB truncates ns->us the
-    * same way.
+  /** Testdata loader. `events.ts` has shifted physical type across
+    * generations: TIMESTAMP(NANOS) (Spark refuses by default — read as
+    * long via the legacy conf and integer-divide to micros; `div`, not
+    * `/`, because epoch-nanos exceed 2^53 and a double roundtrip would
+    * lose precision — DuckDB truncates ns->us the same way), then plain
+    * timestamp[us] WITHOUT isAdjustedToUTC, which Spark reads as
+    * TIMESTAMP_NTZ — watermarks and most time functions want LTZ, and
+    * with the session pinned to UTC the cast is a pure reinterpretation
+    * (identical micros, identical oracle values).
     */
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = s.read.parquet(s"$dir/$name.parquet")
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else s.read.parquet(s"$dir/$name.parquet")
   }
 
@@ -2265,13 +2273,113 @@ object SparkEntry {
              |FROM documents d LEFT JOIN scored sc USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin))
 
+    /** Repeated-span removal ([[operators.LineDedup
+      * .removeDuplicatedSpans]]): the policy half of q70 — every word
+      * position inside a corpus-duplicated 5-word window is removed and
+      * documents rebuilt from the survivors in order (Lee et al.'s
+      * ExactSubstr dedup, word-level). The oracle replays windows,
+      * counts, coverage and rebuild relationally.
+      */
+    private val q73 = Q(
+      "q73_remove_spans",
+      (s, dir) => operators.LineDedup.removeDuplicatedSpans(
+          t(s, dir, "documents"), "doc_id", "text", n = 5, minDup = 2)
+        .orderBy("doc_id"),
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    CASE WHEN text IS NULL OR length(text) = 0 THEN []
+             |         ELSE string_split(text, ' ') END AS words
+             |  FROM documents
+             |), s AS (
+             |  SELECT doc_id, unnest(range(CAST(greatest(len(words) - 4, 0) AS BIGINT))) AS pos, words FROM w
+             |), win AS (
+             |  SELECT doc_id, pos, array_to_string(words[CAST(pos+1 AS BIGINT):CAST(pos+5 AS BIGINT)], ' ') AS win FROM s
+             |), dup AS (
+             |  SELECT win FROM win GROUP BY win HAVING count(*) >= 2
+             |), cov AS (
+             |  SELECT w2.doc_id, unnest([w2.pos + i FOR i IN range(5)]) AS wpos
+             |  FROM win w2 JOIN dup USING (win)
+             |), wd AS (
+             |  SELECT doc_id, unnest(range(len(words))) AS wpos, words FROM w
+             |), word AS (
+             |  SELECT doc_id, wpos, words[CAST(wpos+1 AS BIGINT)] AS word FROM wd
+             |), kept AS (
+             |  SELECT word.doc_id, word.wpos, word.word
+             |  FROM word ANTI JOIN cov USING (doc_id, wpos)
+             |), rebuilt AS (
+             |  SELECT doc_id, string_agg(word, ' ' ORDER BY wpos) AS text_kept, count(*) AS nk
+             |  FROM kept GROUP BY doc_id
+             |), tot AS (
+             |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words FROM w
+             |)
+             |SELECT t.doc_id, coalesce(r.text_kept, '') AS text_kept,
+             |       t.n_words,
+             |       t.n_words - coalesce(r.nk, 0) AS n_removed
+             |FROM tot t LEFT JOIN rebuilt r USING (doc_id)
+             |ORDER BY t.doc_id""".stripMargin))
+
+    /** Window-frequency index lifecycle ([[operators.SpanFreqIndex]]):
+      * the kept (doc_id % 3 == 0) corpus is built as TWO generation
+      * artifacts, consolidated with `mergeMany` (exact count-sum, no
+      * text access), and the batch span-filtered against the merged
+      * index. Because total occurrence counts over disjoint doc sets
+      * ADD, `stored cnt + batch cnt` IS the corpus-wide count — so the
+      * oracle is simply the one-shot q73 replay over ALL documents
+      * restricted to batch docs.
+      */
+    private val q74 = Q(
+      "q74_spanfreq_index_remove",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        def gen(m: Int) = operators.SpanFreqIndex.build(
+          docs.filter($"doc_id" % 6 === m), "doc_id", "text", n = 5)
+        val merged = operators.SpanFreqIndex.mergeMany(Seq(gen(0), gen(3)))
+        operators.SpanFreqIndex.removeAgainst(
+            merged, docs.filter($"doc_id" % 3 =!= 0), "doc_id", "text",
+            minDup = 2)
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    CASE WHEN text IS NULL OR length(text) = 0 THEN []
+             |         ELSE string_split(text, ' ') END AS words
+             |  FROM documents
+             |), s AS (
+             |  SELECT doc_id, unnest(range(CAST(greatest(len(words) - 4, 0) AS BIGINT))) AS pos, words FROM w
+             |), win AS (
+             |  SELECT doc_id, pos, array_to_string(words[CAST(pos+1 AS BIGINT):CAST(pos+5 AS BIGINT)], ' ') AS win FROM s
+             |), dup AS (
+             |  SELECT win FROM win GROUP BY win HAVING count(*) >= 2
+             |), cov AS (
+             |  SELECT w2.doc_id, unnest([w2.pos + i FOR i IN range(5)]) AS wpos
+             |  FROM win w2 JOIN dup USING (win)
+             |), wd AS (
+             |  SELECT doc_id, unnest(range(len(words))) AS wpos, words FROM w
+             |), word AS (
+             |  SELECT doc_id, wpos, words[CAST(wpos+1 AS BIGINT)] AS word FROM wd
+             |), kept AS (
+             |  SELECT word.doc_id, word.wpos, word.word
+             |  FROM word ANTI JOIN cov USING (doc_id, wpos)
+             |), rebuilt AS (
+             |  SELECT doc_id, string_agg(word, ' ' ORDER BY wpos) AS text_kept, count(*) AS nk
+             |  FROM kept GROUP BY doc_id
+             |), tot AS (
+             |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words FROM w
+             |)
+             |SELECT t.doc_id, coalesce(r.text_kept, '') AS text_kept,
+             |       t.n_words,
+             |       t.n_words - coalesce(r.nk, 0) AS n_removed
+             |FROM tot t LEFT JOIN rebuilt r USING (doc_id)
+             |WHERE t.doc_id % 3 <> 0
+             |ORDER BY t.doc_id""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
       q21, q22, q23, q24, q24b, q25, q26, q27, q28, q29, q30,
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
-      q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
+      q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

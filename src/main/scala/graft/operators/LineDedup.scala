@@ -146,22 +146,8 @@ object LineDedup {
     require(minDup >= 1, s"minDup must be >= 1, got $minDup")
     val id = col(idCol)
     val text = col(textCol)
-
-    def nWindows: Column = {
-      val words = split(text, " ")
-      when(text.isNotNull && length(text) > 0,
-        greatest(size(words) - (n - 1), lit(0)).cast("long"))
-        .otherwise(lit(0L))
-    }
-    // same sequence(0, -1)-descends guard as segmentsCol
-    def windowsCol: Column = {
-      val words = split(text, " ")
-      when(nWindows > 0,
-        transform(
-          sequence(lit(0L), nWindows - 1),
-          i => array_join(slice(words, (i + 1).cast("int"), lit(n)), " ")))
-        .otherwise(array().cast("array<string>"))
-    }
+    def nWindows: Column = nWindowsCol(text, n)
+    def windowsCol: Column = slidingWindowsCol(text, n)
 
     val wins = df.select(id, explode(windowsCol).as("win"))
     val cnt = wins.groupBy("win").agg(count(lit(1)).as("__c"))
@@ -181,5 +167,119 @@ object LineDedup {
             coalesce(col("__nd"), lit(0L)).cast("double") / col("n_windows"))
             .otherwise(lit(0.0)),
           6).as("dup_ratio"))
+  }
+
+  /** Sliding n-word window count for one text value (0 for null/empty). */
+  private[operators] def nWindowsCol(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    when(text.isNotNull && length(text) > 0,
+      greatest(size(words) - (n - 1), lit(0)).cast("long"))
+      .otherwise(lit(0L))
+  }
+
+  /** Ordered sliding n-word windows (space-joined). Same
+    * sequence(0, -1)-descends guard as [[segmentsCol]].
+    */
+  private[operators] def slidingWindowsCol(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    when(nWindowsCol(text, n) > 0,
+      transform(
+        sequence(lit(0L), nWindowsCol(text, n) - 1),
+        i => array_join(slice(words, (i + 1).cast("int"), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact repeated-span REMOVAL — the policy half of
+    * [[duplicatedSpanStats]] (Lee et al.'s ExactSubstr dedup, the
+    * word-level Spark-first form): a word position is DUPLICATED when it
+    * lies inside any sliding n-word window whose corpus-wide occurrence
+    * count (within-doc repeats included, same counting rule as the
+    * stats) reaches `minDup`; every duplicated position is removed and
+    * each document is rebuilt from its surviving words in original
+    * order. Unlike a suffix-array formulation this needs no global
+    * order — the window counts ARE the duplicate oracle, n is the
+    * minimal span length worth removing (Lee et al. use 50 BPE tokens;
+    * words here), and any repeat of length >= n is covered because all
+    * its length-n sub-windows are themselves repeats.
+    *
+    * Returns one row per input document: `(idCol, text_kept, n_words,
+    * n_removed)`. A fully-duplicated document survives as
+    * `text_kept = ""` (caller owns the drop policy, as in
+    * [[dedupLines]]); with no window reaching `minDup` the rebuild is
+    * byte-identical to the input for space-joined text — the
+    * reconstruction invariant, spec-pinned.
+    *
+    * Scale (100 TB lens): three shuffles — the window-occurrence
+    * `groupBy(win)` (partial agg; hot boilerplate windows are AQE
+    * skew-join territory on the count join), the anti-join of word
+    * positions against covered positions on `(id, wpos)`, and the
+    * per-doc rebuild `groupBy(id)` (collect_list bounded by document
+    * length). The n-x row fan-out (start -> covered positions) happens
+    * ONLY on duplicated window starts, so clean corpora pay ~nothing
+    * for it; nothing is quadratic, nothing driver-side.
+    */
+  def removeDuplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minDup: Long): DataFrame = {
+    require(n >= 1, s"window width must be >= 1, got $n")
+    require(minDup >= 2, s"minDup must be >= 2 (1 would remove every word), got $minDup")
+    val wins = df.select(
+      col(idCol), posexplode(slidingWindowsCol(col(textCol), n)).as(Seq("pos", "win")))
+    val dupWins = wins.groupBy("win").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minDup).select("win")
+    rebuildWithoutCoveredSpans(df, idCol, textCol, n, wins, dupWins)
+  }
+
+  /** Shared removal core for [[removeDuplicatedSpans]] and
+    * [[SpanFreqIndex.removeAgainst]]: given each document's positioned
+    * windows and the set of duplicated window VALUES, drop every word
+    * position covered by a duplicated window and rebuild. `wins` must be
+    * `(idCol, pos, win)` for exactly `df`'s rows; `dupWins` one `win`
+    * column (values may repeat — the join fans out per occurrence and
+    * the anti side tolerates duplicates).
+    */
+  private[operators] def rebuildWithoutCoveredSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      wins: DataFrame,
+      dupWins: DataFrame): DataFrame = {
+    val id = col(idCol)
+    val text = col(textCol)
+    val words = split(text, " ")
+    // duplicated starts fan out to their n covered positions; duplicate
+    // (id, wpos) rows from overlapping windows are harmless on the anti
+    // side, so no distinct — one shuffle saved
+    val covered = wins.join(dupWins.select(col("win")), "win")
+      .select(id, explode(sequence(col("pos"), col("pos") + (n - 1))).as("wpos"))
+
+    val wordRows = df.select(
+      id,
+      posexplode(
+        when(text.isNotNull && length(text) > 0, words)
+          .otherwise(array().cast("array<string>"))).as(Seq("wpos", "word")))
+    val kept = wordRows.join(covered, Seq(idCol, "wpos"), "left_anti")
+    val rebuilt = kept.groupBy(idCol).agg(
+      array_join(
+        transform(
+          array_sort(collect_list(struct(col("wpos"), col("word")))),
+          x => x.getField("word")),
+        " ").as("text_kept"),
+      count(lit(1)).as("__nk"))
+
+    val totals = df.select(
+      id,
+      when(text.isNotNull && length(text) > 0, size(words).cast("long"))
+        .otherwise(lit(0L)).as("n_words"))
+    totals.join(rebuilt, Seq(idCol), "left")
+      .select(
+        id,
+        coalesce(col("text_kept"), lit("")).as("text_kept"),
+        col("n_words"),
+        (col("n_words") - coalesce(col("__nk"), lit(0L))).as("n_removed"))
   }
 }

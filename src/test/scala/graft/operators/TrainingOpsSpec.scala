@@ -952,6 +952,67 @@ class SpanDupSpec extends SparkSpec {
     assert(got == expect)
     assert(expect.values.exists(v => v._3 > 0 && v._3 < v._2)) // signal is non-trivial
   }
+
+  test("removeDuplicatedSpans removes exactly the covered word positions") {
+    val d = Seq(
+      (0L, "a b c d e f"),      // "b c d" (pos 1) duplicated with doc 1
+      (1L, "x b c d y"),
+      (2L, "p p p p"),          // intra-doc repeat covers every position
+      (3L, "q r"),              // shorter than n -> untouched
+      (4L, null.asInstanceOf[String]),
+      (5L, "")).toDF("doc_id", "text")
+    val got = removeDuplicatedSpans(d, "doc_id", "text", n = 3, minDup = 2)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, "a e f", 6L, 3L))) // covered 1..3, survivors in order
+    assert(got(1L) == ((1L, "x y", 5L, 3L)))
+    assert(got(2L) == ((2L, "", 4L, 4L)))      // fully duplicated -> tombstone
+    assert(got(3L) == ((3L, "q r", 2L, 0L)))
+    assert(got(4L) == ((4L, "", 0L, 0L)))
+    assert(got(5L) == ((5L, "", 0L, 0L)))
+  }
+
+  test("removeDuplicatedSpans with no duplicated window reconstructs input byte-for-byte") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val r = removeDuplicatedSpans(docs, "doc_id", "text", n = 5, minDup = 1000000L)
+      .join(docs, Seq("doc_id"))
+      .filter($"text".isNotNull && length($"text") > 0)
+    assert(r.filter($"text_kept" =!= $"text" || $"n_removed" =!= 0L).isEmpty)
+  }
+
+  test("removeDuplicatedSpans matches an independent driver-side reference") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter($"doc_id" < 200).select($"doc_id", $"text")
+    val n = 4; val minDup = 2L
+    val raw = docs.as[(Long, String)].collect().toSeq
+    def words(t: String): Array[String] =
+      if (t == null || t.isEmpty) Array.empty else t.split(" ", -1)
+    val cnt = raw.flatMap { case (_, t) =>
+      words(t).sliding(n).filter(_.length == n).map(_.mkString(" ")) }
+      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val expect = raw.map { case (id, t) =>
+      val ws = words(t)
+      val covered = ws.sliding(n).zipWithIndex
+        .filter { case (w, _) => w.length == n && cnt(w.mkString(" ")) >= minDup }
+        .flatMap { case (_, i) => i until i + n }.toSet
+      val kept = ws.zipWithIndex.collect { case (w, i) if !covered(i) => w }
+      id -> ((id, kept.mkString(" "), ws.length.toLong, (ws.length - kept.length).toLong))
+    }.toMap
+    val got = removeDuplicatedSpans(docs, "doc_id", "text", n, minDup)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> (r._1, r._2, r._3, r._4)).toMap
+    assert(got == expect)
+    assert(expect.values.exists(v => v._4 > 0 && v._4 < v._3)) // partial removal happens
+  }
+
+  test("removal and stats agree on which docs carry duplicated spans") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter($"doc_id" < 300).select($"doc_id", $"text")
+    val stats = duplicatedSpanStats(docs, "doc_id", "text", n = 5, minDup = 2)
+      .select($"doc_id", ($"n_dup" > 0).as("has_dup"))
+    val removed = removeDuplicatedSpans(docs, "doc_id", "text", n = 5, minDup = 2)
+      .select($"doc_id", ($"n_removed" > 0).as("was_cut"))
+    assert(stats.join(removed, "doc_id").filter($"has_dup" =!= $"was_cut").isEmpty)
+  }
 }
 
 class LmScoreSpec extends SparkSpec {

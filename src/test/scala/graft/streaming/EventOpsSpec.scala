@@ -11,10 +11,23 @@ import graft.SparkSpec
 class EventOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  // Same multi-generation schema guard as SparkEntry.t: events.ts has
+  // been TIMESTAMP(NANOS) (readable only as long via the legacy conf)
+  // and plain timestamp[us] without isAdjustedToUTC (read as
+  // TIMESTAMP_NTZ, which watermarks reject). Session tz is UTC, so the
+  // NTZ->LTZ cast reinterprets identical micros.
+  private def tsFix(df: org.apache.spark.sql.DataFrame) =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   private def eventsBatch = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    tsFix(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
   }
 
   test("hourlyAgg streaming == batch on the same files") {
@@ -24,9 +37,8 @@ class EventOpsSpec extends SparkSpec {
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet("/root/testdata/sf0.001/")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = tsFix(spark.readStream.schema(schema)
+      .parquet("/root/testdata/sf0.001/"))
     // complete mode: aggregation over a bounded file stream
     val q = EventOps.hourlyAgg(stream).writeStream
       .outputMode("complete").format("memory").queryName("hourly_out")
