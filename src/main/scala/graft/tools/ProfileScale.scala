@@ -212,6 +212,45 @@ object ProfileScale {
         }
         println(f"PROFILE linefreq_oneshot factor=$f rows=$nOne cold=$oneCold%.1f warm=$oneWarm%.1f")
       }
+      if (only.forall(_ == "spanfreq")) {
+        // The T46 claim, same shape as linefreq: the window-frequency
+        // probe pays batch text CPU (sliding 5-word windows over the
+        // batch only) plus a columnar (win, cnt) entry scan — the
+        // one-shot removeDuplicatedSpans re-windows the WHOLE union
+        // every run. Kept corpus scales with f, batch fixed at the f=1
+        // odd docs.
+        val s = root.newSession()
+        def kept(sx: SparkSession) = scaled(sx, sfDir, f).filter(col("doc_id") % 2 === 0)
+        def incoming(sx: SparkSession) = scaled(sx, sfDir, 1).filter(col("doc_id") % 2 =!= 0)
+        val dir = java.nio.file.Files.createTempDirectory("spanfreq_profile").toString
+        val tb0 = System.nanoTime()
+        val built = graft.operators.SpanFreqIndex.build(kept(s), "doc_id", "text", n = 5)
+        built.write.mode("overwrite").parquet(s"$dir/index")
+        val buildSecs = (System.nanoTime() - tb0) / 1e9
+        val keptN = graft.operators.SpanFreqIndex.readMeta(built).nDocs
+        val index = s.read.parquet(s"$dir/index")
+        def probeOnce(): (Long, Double) = {
+          val t = System.nanoTime()
+          val n = graft.operators.SpanFreqIndex.removeAgainst(
+            index, incoming(s), "doc_id", "text", minDup = 2).count()
+          val secs = (System.nanoTime() - t) / 1e9
+          s.catalog.clearCache(); System.gc()
+          (n, secs)
+        }
+        val (nOut, probeCold) = probeOnce()
+        val (_, probeWarm) = probeOnce()
+        println(f"PROFILE spanfreq_probe factor=$f kept=$keptN rows=$nOut " +
+          f"build=$buildSecs%.1f probe_cold=$probeCold%.1f probe_warm=$probeWarm%.1f")
+        val (nOne, oneCold, oneWarm) = timed { sx =>
+          // what a user runs WITHOUT the index: one-shot over the union,
+          // restricted to the batch — same output as the probe
+          graft.operators.LineDedup.removeDuplicatedSpans(
+              kept(sx).unionAll(incoming(sx)),
+              "doc_id", "text", n = 5, minDup = 2)
+            .join(incoming(sx).select(col("doc_id")), Seq("doc_id"), "left_semi")
+        }
+        println(f"PROFILE spanfreq_oneshot factor=$f rows=$nOne cold=$oneCold%.1f warm=$oneWarm%.1f")
+      }
       if (only.forall(_ == "incremental")) {
         // The T40 claim: a full nightly curateIncremental TURN (annotate,
         // gate, intra-batch LSH+CC, index probe, decontaminate, sample)
