@@ -2373,13 +2373,33 @@ object SparkEntry {
              |WHERE t.doc_id % 3 <> 0
              |ORDER BY t.doc_id""".stripMargin))
 
+    /** Per-key document cap ([[operators.Sampling.capPerKey]]): at most
+      * 10 docs per source, selected by the smallest (md5("|id"), id)
+      * rank — the Common Crawl per-site cap. The salted two-phase
+      * window is exact, so the oracle is the single global
+      * row_number-per-key form.
+      */
+    private val q75 = Q(
+      "q75_cap_per_source",
+      (s, dir) => operators.Sampling.capPerKey(
+          t(s, dir, "documents"), "source", "doc_id", maxPerKey = 10)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, text, lang, source, n_chars FROM (
+             |  SELECT d.*, row_number() OVER (
+             |    PARTITION BY source
+             |    ORDER BY md5('|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents d)
+             |WHERE rn <= 10
+             |ORDER BY doc_id""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
       q21, q22, q23, q24, q24b, q25, q26, q27, q28, q29, q30,
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
-      q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74)
+      q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
+      q75)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

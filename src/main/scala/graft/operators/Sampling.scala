@@ -119,6 +119,58 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Deterministic per-key cap — the Common Crawl-style "at most
+    * `maxPerKey` documents per site" pass that a proportion knob like
+    * [[mixToWeights]] cannot express (a mega-domain should contribute a
+    * bounded COUNT, not a bounded share). Within each key, the
+    * `maxPerKey` rows with the smallest `(md5("<seed>|<id>"), id)` rank
+    * survive — a pure per-row function of (seed, id), so the selection
+    * is idempotent under task retry, identical across cluster layouts,
+    * and replayable by any SQL engine as one
+    * `row_number() OVER (PARTITION BY key ORDER BY md5(...), id) <= k`.
+    *
+    * Null handling follows the family contract: a NULL key is its own
+    * group (capped like any other value); NULL-id rows are dropped —
+    * they have no deterministic rank and the survivor semi-join cannot
+    * match them ([[hashSample]] / [[mixToWeights]] drop them the same
+    * way). Ids must be unique.
+    *
+    * Plan shape at 100 TB: the global form of this query is a window
+    * over `partitionBy(key)` — and a hot domain with 10^8 pages is then
+    * ONE sort partition. Instead: (1) project down to `(key, rank, id)`
+    * so the heavy columns never shuffle, (2) per-(key, salt) top-k over
+    * `salts` deterministic sub-groups — every element of the global
+    * top-k is in its salt's top-k, so phase 1 only discards rows that
+    * cannot win — then (3) exact top-k over the ≤ `salts * maxPerKey`
+    * phase-1 survivors per key, and (4) a semi-join brings back the
+    * full rows (AQE broadcasts the id list when it is small). The
+    * result is independent of `salts` (spec-pinned); the knob only
+    * bounds the biggest sort partition.
+    */
+  def capPerKey(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      maxPerKey: Int,
+      seed: String = "",
+      salts: Int = 64): DataFrame = {
+    require(maxPerKey >= 1, s"maxPerKey must be >= 1, got $maxPerKey")
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    import org.apache.spark.sql.expressions.Window
+    val slim = df.select(col(keyCol).as("__k"), col(idCol).as("__id"))
+      .withColumn("__r", md5(concat_ws("|", lit(seed), col("__id").cast("string"))))
+      .withColumn("__s", pmod(xxhash64(col("__id")), lit(salts.toLong)))
+    val w1 = Window.partitionBy(col("__k"), col("__s"))
+      .orderBy(col("__r"), col("__id"))
+    val local = slim.withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= maxPerKey)
+    val w2 = Window.partitionBy(col("__k")).orderBy(col("__r"), col("__id"))
+    val winners = local.withColumn("__rn2", row_number().over(w2))
+      .filter(col("__rn2") <= maxPerKey)
+      .select(col("__id").as(idCol))
+    df.join(winners, Seq(idCol), "left_semi")
+  }
+
   /** Deterministic global shuffle for training order: every row gets a
     * unique 0-based `posCol` position in the total order of
     * `md5("<seed>:<id>")` (ties impossible in practice, broken by id

@@ -527,6 +527,53 @@ class SamplingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("collides"))
   }
+
+  test("capPerKey == driver-side reference; exactly min(n, k) per key") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val k = 10
+    val got = Sampling.capPerKey(docs, "source", "doc_id", k)
+    // independent reference: smallest (md5("|<id>"), id) per source
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def rank(i: Long) = md.digest(s"|$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val raw = docs.select("source", "doc_id").as[(String, Long)].collect()
+    val want = raw.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+      rows.map(_._2).sortBy(i => (rank(i), i)).take(k)
+    }.toSet
+    assert(got.select("doc_id").as[Long].collect().toSet == want)
+    // full rows survive untouched
+    assert(got.columns.toSeq == docs.columns.toSeq)
+    val perKey = got.groupBy("source").count().as[(String, Long)].collect()
+    assert(perKey.nonEmpty && perKey.forall(_._2 == k)) // every source has >= k docs here
+  }
+
+  test("capPerKey is salt- and layout-invariant; seed changes the pick, not the count") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "source")
+    def idsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+    val base = idsOf(Sampling.capPerKey(docs, "source", "doc_id", 7))
+    assert(idsOf(Sampling.capPerKey(docs, "source", "doc_id", 7, salts = 1)) == base)
+    assert(idsOf(Sampling.capPerKey(docs, "source", "doc_id", 7, salts = 3)) == base)
+    assert(idsOf(Sampling.capPerKey(docs.repartition(13), "source", "doc_id", 7)) == base)
+    val seeded = idsOf(Sampling.capPerKey(docs, "source", "doc_id", 7, seed = "x"))
+    assert(seeded != base)
+    assert(seeded.size == base.size)
+  }
+
+  test("capPerKey: null key is its own group, null ids drop, k >= n keeps all") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), Some("a")), (Some(3L), Some("a")),
+      (Some(4L), None), (Some(5L), None), (Some(6L), None),
+      (None, Some("a"))).toDF("id", "key")
+    val got = Sampling.capPerKey(df, "key", "id", 2)
+      .as[(Option[Long], Option[String])].collect().toSet
+    assert(got.size == 4) // 2 from "a", 2 from the null-key group, null id gone
+    assert(got.count(_._2.isEmpty) == 2)
+    assert(!got.exists(_._1.isEmpty))
+    val all = Sampling.capPerKey(df.filter($"id".isNotNull), "key", "id", 99)
+    assert(all.count() == 6)
+  }
 }
 
 class VocabSpec extends SparkSpec {
