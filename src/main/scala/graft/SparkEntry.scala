@@ -2392,6 +2392,79 @@ object SparkEntry {
              |WHERE rn <= 10
              |ORDER BY doc_id""".stripMargin))
 
+    // PQ replay pieces: the frozen codebook tensor (PqCodebooks, fitted
+    // once per subspace by FitPq) inlined as a 128-row VALUES relation
+    // (j, c, ctr). Subspace L2 and inner products left-fold in index
+    // order like the kernels; per-pair ADC sums its 8 subspace partials
+    // in j order via an ordered list fold, matching the kernel's
+    // table-lookup loop.
+    private def sqlPqCb: String =
+      operators.PqCodebooks.codebooks.zipWithIndex.flatMap { case (ctrs, j) =>
+        ctrs.zipWithIndex.map { case (ctr, c) =>
+          s"($j, $c, [${ctr.mkString(", ")}])"
+        }
+      }.mkString("(VALUES ", ",\n    ", ") cb(j, c, ctr)")
+
+    /** Product quantization + ADC top-k ([[operators.Similarity
+      * .pqEncode]]/`pqTopKAgainst`): the corpus becomes one packed int
+      * per vector (32x compression) and queries rank candidates by
+      * table-lookup cosine against the reconstruction. The oracle
+      * replays per-subspace assignment (argmin L2, ties to the lower
+      * code), the ADC inner-product and norm tables, the ordered
+      * subspace sums and the final cosine division from the same
+      * codebook literals.
+      */
+    private val q76 = Q(
+      "q76_pq_adc_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val codes = operators.Similarity.pqEncode(e, "vec_id", "embedding")
+        operators.Similarity.pqTopKAgainst(
+            codes, e.filter($"vec_id" < 5), "vec_id", "embedding", k = 5)
+          .select($"query_id", $"rank", $"neighbor_id",
+            round($"adc_cos", 6).as("adc_cos"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+             |           FROM embeddings),
+             |cb AS (SELECT * FROM $sqlPqCb),
+             |dists AS (
+             |  SELECT v.vec_id, cb.j, cb.c,
+             |    list_reduce(list_prepend(0.0, list_transform(
+             |      list_zip(v.vec[cb.j*8+1 : cb.j*8+8], cb.ctr),
+             |      x -> (x[1] - x[2]) * (x[1] - x[2]))), (a, b) -> a + b) AS d
+             |  FROM v CROSS JOIN cb),
+             |codes AS (
+             |  SELECT vec_id, j, c FROM (
+             |    SELECT vec_id, j, c,
+             |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+             |    FROM dists) WHERE rn = 1),
+             |q AS (SELECT vec_id AS query_id, vec AS qv,
+             |        sqrt(list_reduce(list_prepend(0.0, list_transform(vec, x -> x * x)),
+             |             (a, b) -> a + b)) AS qn
+             |      FROM v WHERE vec_id < 5),
+             |parts AS (
+             |  SELECT q.query_id, co.vec_id AS neighbor_id, co.j,
+             |    list_reduce(list_prepend(0.0, list_transform(
+             |      list_zip(q.qv[co.j*8+1 : co.j*8+8], cb.ctr),
+             |      x -> x[1] * x[2])), (a, b) -> a + b) AS p,
+             |    list_reduce(list_prepend(0.0, list_transform(cb.ctr, x -> x * x)),
+             |      (a, b) -> a + b) AS n2p
+             |  FROM q CROSS JOIN codes co JOIN cb ON cb.j = co.j AND cb.c = co.c
+             |  WHERE co.vec_id != q.query_id),
+             |scored AS (
+             |  SELECT query_id, neighbor_id,
+             |    list_reduce(list_prepend(0.0, list(p ORDER BY j)), (a, b) -> a + b)
+             |      / (sqrt(list_reduce(list_prepend(0.0, list(n2p ORDER BY j)), (a, b) -> a + b))
+             |         * any_value(qn)) AS adc_cos
+             |  FROM parts JOIN q USING (query_id) GROUP BY query_id, neighbor_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, adc_cos,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY adc_cos DESC, neighbor_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(adc_cos, 6) AS adc_cos
+             |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -2399,7 +2472,7 @@ object SparkEntry {
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
-      q75)
+      q75, q76)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

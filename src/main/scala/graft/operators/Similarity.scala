@@ -276,6 +276,186 @@ object Similarity {
     scoreProbedCells(assigned, q, k)
   }
 
+  /** Product-quantization encode kernel: per subspace, the index of the
+    * nearest codebook centroid (L2², strict `<` so ties keep the LOWER
+    * index — matching the oracle's `ORDER BY d, c` replay), packed
+    * little-endian as 4-bit nibbles into one Int. Distances accumulate
+    * in strict index order (the [[nearestCells]] contract), so the SQL
+    * oracle's left-fold over the same literals is bit-identical.
+    */
+  private[operators] def pqEncodeKernel(
+      cbs: Array[Array[Array[Double]]], v: Array[Double]): Int = {
+    val dsub = cbs(0)(0).length
+    var code = 0
+    var j = 0
+    while (j < cbs.length) {
+      val off = j * dsub
+      val ctrs = cbs(j)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ctrs.length) {
+        val ctr = ctrs(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) { val t = v(off + i) - ctr(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      code |= best << (4 * j)
+      j += 1
+    }
+    code
+  }
+
+  /** Product-quantization encoding: each vector becomes one Int of
+    * packed 4-bit subspace codes (`pq_code`) — 32x smaller than the
+    * float32 vector it replaces. THIS is the persistable artifact of
+    * the PQ family: write `(id, pq_code)` to Parquet once, and every
+    * later [[pqTopKAgainst]] probe scans 8 bytes a row instead of 256
+    * (at 100 TB of embeddings, the difference between re-reading the
+    * corpus and re-reading 3 TB). Codebooks are frozen literals
+    * ([[PqCodebooks]], fitted once by [[graft.tools.FitPq]]); encoding
+    * is a per-row kernel in the scan — no fit job, no shuffle, no
+    * state. Null vectors encode as NULL — the packed nibbles cover the
+    * ENTIRE Int range (a subspace-7 code >= 8 sets the sign bit, and
+    * -1 is the legitimate all-codes-15 vector), so no in-band sentinel
+    * exists; NULL is the only out-of-band value.
+    */
+  def pqEncode(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]] = PqCodebooks.codebooks): DataFrame = {
+    val cbs = codebooks.map(_.map(_.toArray).toArray).toArray
+    val enc = udf((v: Array[Double]) =>
+      if (v == null) null
+      else java.lang.Integer.valueOf(pqEncodeKernel(cbs, v)))
+    df.select(col(idCol), enc(asDouble(col(vecCol))).as("pq_code"))
+  }
+
+  /** ADC lookup table for one query: entry `j*16 + c` is the inner
+    * product of the query's j-th subvector with codebook centroid
+    * `(j, c)`, accumulated in index order.
+    */
+  private[operators] def pqAdcTable(
+      cbs: Array[Array[Array[Double]]], q: Array[Double]): Array[Double] = {
+    val dsub = cbs(0)(0).length
+    val k = cbs(0).length
+    val tab = new Array[Double](cbs.length * k)
+    var j = 0
+    while (j < cbs.length) {
+      val off = j * dsub
+      var c = 0
+      while (c < k) {
+        val ctr = cbs(j)(c)
+        var t = 0.0
+        var i = 0
+        while (i < dsub) { t += q(off + i) * ctr(i); i += 1 }
+        tab(j * k + c) = t
+        c += 1
+      }
+      j += 1
+    }
+    tab
+  }
+
+  /** Squared norms of every codebook centroid, laid out like the ADC
+    * table (`j*16 + c`), each accumulated in index order. Because a PQ
+    * reconstruction is the CONCATENATION of one centroid per subspace,
+    * `||decode(code)||² = Σ_j n2[j][code_j]` exactly — the corpus-side
+    * norm is a table lookup, no vector needed.
+    */
+  private[operators] def pqNormTable(cbs: Array[Array[Array[Double]]]): Array[Double] = {
+    val k = cbs(0).length
+    val n2 = new Array[Double](cbs.length * k)
+    var j = 0
+    while (j < cbs.length) {
+      var c = 0
+      while (c < k) {
+        val ctr = cbs(j)(c)
+        var t = 0.0
+        var i = 0
+        while (i < ctr.length) { t += ctr(i) * ctr(i); i += 1 }
+        n2(j * k + c) = t
+        c += 1
+      }
+      j += 1
+    }
+    n2
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: queries stay
+    * full-precision, the corpus is its packed `pq_code` Ints (from
+    * [[pqEncode]] — typically read back from the persisted code
+    * artifact). Per query one 8x16 table of subspace inner products is
+    * computed ONCE ([[pqAdcTable]]); each candidate then costs 16 table
+    * lookups + adds instead of 64 multiplies — and, the real point, the
+    * corpus side scans 32x fewer bytes. Score `adc_cos` is the COSINE
+    * of the query with the RECONSTRUCTED (decoded) corpus vector — the
+    * reconstruction norm is itself a table lookup ([[pqNormTable]]), so
+    * no corpus vector is ever touched; 0 where either norm is 0 (the
+    * [[cosine]] convention). Rank quality vs exact cosine is pinned by
+    * spec. Ties break on the lower neighbor id; self-matches excluded
+    * when ids collide.
+    *
+    * Scale shape: same as [[bruteForceTopK]] — queries broadcast with
+    * their tables, the code scan never shuffles, one per-query window
+    * top-k. For cell-pruned scans compose with [[IvfCentroids]]: store
+    * `(cell, id, pq_code)` partitioned by cell and filter to probed
+    * cells before scoring (the IVF-PQ layout).
+    */
+  def pqTopKAgainst(
+      codes: DataFrame,    // (idCol, pq_code)
+      queries: DataFrame,  // (idCol, vecCol)
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      codebooks: Seq[Seq[Seq[Double]]] = PqCodebooks.codebooks): DataFrame = {
+    val cbs = codebooks.map(_.map(_.toArray).toArray).toArray
+    val nSub = cbs.length
+    val kCb = cbs(0).length
+    val n2 = pqNormTable(cbs)
+    val tableUdf = udf((q: Array[Double]) =>
+      if (q == null) null else pqAdcTable(cbs, q))
+    val qnUdf = udf((q: Array[Double]) =>
+      if (q == null) 0.0
+      else {
+        var t = 0.0
+        var i = 0
+        while (i < q.length) { t += q(i) * q(i); i += 1 }
+        math.sqrt(t)
+      })
+    val adcUdf = udf((tab: Array[Double], qn: Double, code: Int) => {
+      var ip = 0.0
+      var rn2 = 0.0
+      var j = 0
+      while (j < nSub) {
+        val c = (code >> (4 * j)) & (kCb - 1)
+        ip += tab(j * kCb + c)
+        rn2 += n2(j * kCb + c)
+        j += 1
+      }
+      val denom = math.sqrt(rn2) * qn
+      if (denom > 0) ip / denom else 0.0
+    })
+    val c = codes.select(col(idCol).as("neighbor_id"), col("pq_code"))
+      .filter(col("pq_code").isNotNull)
+    val q = queries
+      .select(col(idCol).as("query_id"),
+        tableUdf(asDouble(col(vecCol))).as("__tab"),
+        qnUdf(asDouble(col(vecCol))).as("__qn"))
+      .filter(col("__tab").isNotNull)
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_cos", adcUdf(col("__tab"), col("__qn"), col("pq_code")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_cos"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold within blocks
     * (block on an LSH bucket or a provided key to bound the quadratic
     * term).

@@ -277,6 +277,81 @@ class SimilaritySpec extends SparkSpec {
     assert(byQ(0L).size == 5 && byQ(20L).size == 5)
   }
 
+  test("pqEncode matches a driver-side reference; codes pack 8 nibbles") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Similarity.pqEncode(e, "vec_id", "embedding")
+      .as[(Long, Int)].collect().toMap
+    val cbs = PqCodebooks.codebooks.map(_.map(_.toArray).toArray).toArray
+    val raw = e.select($"vec_id",
+        Similarity.asDouble($"embedding")).as[(Long, Array[Double])].collect()
+    val want = raw.map { case (id, v) =>
+      val codes = (0 until 8).map { j =>
+        (0 until 16).minBy(c => {
+          val ctr = cbs(j)(c)
+          ((0 until 8).map(i => { val t = v(j * 8 + i) - ctr(i); t * t }).sum, c)
+        })
+      }
+      id -> codes.zipWithIndex.map { case (c, j) => c << (4 * j) }.sum
+    }.toMap
+    assert(got == want)
+    // codes use the full nibble range somewhere (the fit is not degenerate)
+    assert(got.values.toSet.size > 50)
+    // null vector encodes as NULL (the packed nibbles span the whole Int
+    // range — negative codes are legitimate — so no in-band sentinel)
+    val withNull = Seq((99L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    assert(Similarity.pqEncode(withNull, "vec_id", "embedding")
+      .as[(Long, Option[Int])].head() == ((99L, None)))
+    assert(got.values.exists(_ < 0)) // negative packed codes occur and survive
+  }
+
+  test("pqTopKAgainst == ADC brute force over decoded centroids; decent recall vs exact") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter($"vec_id" < 10)
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding")
+    val got = Similarity.pqTopKAgainst(codes, queries, "vec_id", "embedding", k = 10)
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+
+    // independent reference: cosine of the query with the decoded
+    // (concatenated-centroid) reconstruction
+    val cbs = PqCodebooks.codebooks.map(_.map(_.toArray).toArray).toArray
+    val codeMap = codes.as[(Long, Int)].collect().toMap
+    val qv = queries.select($"vec_id", Similarity.asDouble($"embedding"))
+      .as[(Long, Array[Double])].collect()
+    val want = qv.map { case (qid, q) =>
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      val scored = codeMap.toSeq.filter(_._1 != qid).map { case (nid, code) =>
+        val recon = (0 until 8).flatMap(j => cbs(j)((code >> (4 * j)) & 15)).toArray
+        val ip = (0 until 64).map(i => q(i) * recon(i)).sum
+        val rn = math.sqrt(recon.map(x => x * x).sum)
+        (nid, if (rn * qn > 0) ip / (rn * qn) else 0.0)
+      }
+      qid -> scored.sortBy(r => (-r._2, r._1)).take(10).toSeq
+    }.toMap
+    // same neighbor sets in the same order (scores compared via ranking;
+    // the sum grouping differs between reference and kernel, so compare
+    // values only to 1e-9)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (qid, rows) =>
+      assert(rows.map(_._1) == want(qid).map(_._1), s"query $qid ranking")
+      rows.zip(want(qid)).foreach { case ((_, a), (_, b)) =>
+        assert(math.abs(a - b) < 1e-9)
+      }
+    }
+
+    // sanity: PQ@10 must recall far above the random-scan baseline on
+    // these mostly-isotropic vectors (random top-10 of 499 would hit
+    // ~1/50 of the exact top-5; observed 17/50 with 32-bit codes —
+    // the same calibrated-claim shape as the ivfTopKFrozen spec)
+    val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = exact.map { case (qid, top5) =>
+      (top5 & got(qid).map(_._1).toSet).size
+    }.sum
+    assert(hits >= 12, s"recall too low: $hits of ${exact.size * 5} (random ~1)")
+  }
+
   test("embeddingDupPairsLsh finds near-identical vectors without a block key") {
     val rnd = new scala.util.Random(13)
     val base = Array.fill(64)(rnd.nextGaussian().toFloat)
