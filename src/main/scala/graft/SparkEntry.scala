@@ -2465,6 +2465,74 @@ object SparkEntry {
              |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(adc_cos, 6) AS adc_cos
              |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
+    /** IVF-PQ index probe ([[operators.IvfPqIndex]]): coarse cells for
+      * partition pruning + packed PQ codes for 32x less probe IO — the
+      * production ANN serving layout. The oracle composes the q43 cell
+      * replay (assignment + nProbe ranking from the IvfCentroids
+      * literals) with the q76 ADC replay (codes, both tables, ordered
+      * sums, cosine division from the PqCodebooks literals).
+      */
+    private val q77 = Q(
+      "q77_ivfpq_index_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val index = operators.IvfPqIndex.build(e, "vec_id", "embedding")
+        val out = operators.IvfPqIndex.topKAgainst(
+            index, e.filter($"vec_id" < 5), "vec_id", "embedding",
+            k = 5, nProbe = 4)
+          .select($"query_id", $"rank", $"neighbor_id",
+            round($"adc_cos", 6).as("adc_cos"))
+          .orderBy("query_id", "rank")
+        out
+      },
+      Some(s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+             |           FROM embeddings),
+             |cb AS (SELECT * FROM $sqlPqCb),
+             |assigned AS (
+             |  SELECT vec_id AS neighbor_id, ${sqlIvfCells("vec")}[1].cell AS cell FROM v),
+             |codes AS (
+             |  SELECT vec_id, j, c FROM (
+             |    SELECT v.vec_id, cb.j, cb.c,
+             |      row_number() OVER (PARTITION BY v.vec_id, cb.j ORDER BY
+             |        list_reduce(list_prepend(0.0, list_transform(
+             |          list_zip(v.vec[cb.j*8+1 : cb.j*8+8], cb.ctr),
+             |          x -> (x[1] - x[2]) * (x[1] - x[2]))), (a, b) -> a + b), cb.c) AS rn
+             |    FROM v CROSS JOIN cb) WHERE rn = 1),
+             |q AS (SELECT vec_id AS query_id, vec AS qv,
+             |        sqrt(list_reduce(list_prepend(0.0, list_transform(vec, x -> x * x)),
+             |             (a, b) -> a + b)) AS qn
+             |      FROM v WHERE vec_id < 5),
+             |probes AS (
+             |  SELECT vec_id AS query_id,
+             |    unnest(list_transform(${sqlIvfCells("vec")}[1:4], s -> s.cell)) AS cell
+             |  FROM v WHERE vec_id < 5),
+             |cand AS (
+             |  SELECT DISTINCT p.query_id, a.neighbor_id
+             |  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.neighbor_id != p.query_id),
+             |parts AS (
+             |  SELECT ca.query_id, ca.neighbor_id, co.j,
+             |    list_reduce(list_prepend(0.0, list_transform(
+             |      list_zip(q.qv[co.j*8+1 : co.j*8+8], cb.ctr),
+             |      x -> x[1] * x[2])), (a, b) -> a + b) AS p,
+             |    list_reduce(list_prepend(0.0, list_transform(cb.ctr, x -> x * x)),
+             |      (a, b) -> a + b) AS n2p
+             |  FROM cand ca
+             |  JOIN codes co ON co.vec_id = ca.neighbor_id
+             |  JOIN cb ON cb.j = co.j AND cb.c = co.c
+             |  JOIN q ON q.query_id = ca.query_id),
+             |scored AS (
+             |  SELECT query_id, neighbor_id,
+             |    list_reduce(list_prepend(0.0, list(p ORDER BY j)), (a, b) -> a + b)
+             |      / (sqrt(list_reduce(list_prepend(0.0, list(n2p ORDER BY j)), (a, b) -> a + b))
+             |         * any_value(qn)) AS adc_cos
+             |  FROM parts JOIN q USING (query_id) GROUP BY query_id, neighbor_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, adc_cos,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY adc_cos DESC, neighbor_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(adc_cos, 6) AS adc_cos
+             |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -2472,7 +2540,7 @@ object SparkEntry {
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
-      q75, q76)
+      q75, q76, q77)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

@@ -152,7 +152,7 @@ object IvfIndex {
     *     than 64k distinct cells touches most of the index regardless,
     *     while every realistic probe stays on the static path above.
     */
-  private def cellRestricted(
+  private[operators] def cellRestricted(
       index: DataFrame, q: DataFrame, maxStatic: Int): DataFrame = {
     val cells = q.select(col("__cell")).distinct()
     val probed = cells.limit(math.max(maxStatic, 0) + 1)

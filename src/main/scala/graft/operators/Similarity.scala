@@ -413,9 +413,22 @@ object Similarity {
       k: Int,
       codebooks: Seq[Seq[Seq[Double]]] = PqCodebooks.codebooks): DataFrame = {
     val cbs = codebooks.map(_.map(_.toArray).toArray).toArray
-    val nSub = cbs.length
-    val kCb = cbs(0).length
-    val n2 = pqNormTable(cbs)
+    val c = codes.select(col(idCol).as("neighbor_id"), col("pq_code"))
+      .filter(col("pq_code").isNotNull)
+    val q = pqQuerySide(queries, idCol, vecCol, cbs)
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_cos", pqAdcCosUdf(cbs)(col("__tab"), col("__qn"), col("pq_code")))
+    pqRankTopK(scored, k)
+  }
+
+  /** Broadcastable query side for ADC scoring: `(query_id, __tab,
+    * __qn)` — the per-query IP lookup table and the query norm (dims
+    * accumulated in index order, the oracle contract).
+    */
+  private[operators] def pqQuerySide(
+      queries: DataFrame, idCol: String, vecCol: String,
+      cbs: Array[Array[Array[Double]]]): DataFrame = {
     val tableUdf = udf((q: Array[Double]) =>
       if (q == null) null else pqAdcTable(cbs, q))
     val qnUdf = udf((q: Array[Double]) =>
@@ -426,7 +439,23 @@ object Similarity {
         while (i < q.length) { t += q(i) * q(i); i += 1 }
         math.sqrt(t)
       })
-    val adcUdf = udf((tab: Array[Double], qn: Double, code: Int) => {
+    queries
+      .select(col(idCol).as("query_id"),
+        tableUdf(asDouble(col(vecCol))).as("__tab"),
+        qnUdf(asDouble(col(vecCol))).as("__qn"))
+      .filter(col("__tab").isNotNull)
+  }
+
+  /** ADC cosine kernel over `(table, queryNorm, code)`: both sums run
+    * in subspace order, the division is `ip / (sqrt(rn2) * qn)` — the
+    * exact shape the oracle replays.
+    */
+  private[operators] def pqAdcCosUdf(cbs: Array[Array[Array[Double]]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val nSub = cbs.length
+    val kCb = cbs(0).length
+    val n2 = pqNormTable(cbs)
+    udf((tab: Array[Double], qn: Double, code: Int) => {
       var ip = 0.0
       var rn2 = 0.0
       var j = 0
@@ -439,16 +468,10 @@ object Similarity {
       val denom = math.sqrt(rn2) * qn
       if (denom > 0) ip / denom else 0.0
     })
-    val c = codes.select(col(idCol).as("neighbor_id"), col("pq_code"))
-      .filter(col("pq_code").isNotNull)
-    val q = queries
-      .select(col(idCol).as("query_id"),
-        tableUdf(asDouble(col(vecCol))).as("__tab"),
-        qnUdf(asDouble(col(vecCol))).as("__qn"))
-      .filter(col("__tab").isNotNull)
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("adc_cos", adcUdf(col("__tab"), col("__qn"), col("pq_code")))
+  }
+
+  /** Shared PQ tail: top-k per query by (adc_cos desc, neighbor asc). */
+  private[operators] def pqRankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pins [[IvfPqIndex]]'s contract: the two approximations are
+  * independent — probing ALL cells recovers the unpruned
+  * [[Similarity.pqTopKAgainst]] bit-for-bit; cell pruning behaves like
+  * [[IvfIndex]] (same cell restriction, same partition-prune plan
+  * shape); both frozen models make [[IvfPqIndex.append]] exact.
+  */
+class IvfPqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private def queries = emb.filter($"vec_id" < 5)
+
+  private def topkSet(df: DataFrame): Set[(Long, Int, Long, Double)] =
+    df.select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("adc_cos"), 9).as("s"))
+      .as[(Long, Int, Long, Double)].collect().toSet
+
+  test("probing all cells == unpruned pqTopKAgainst, bit for bit") {
+    val index = IvfPqIndex.build(emb, "vec_id", "embedding")
+    val got = IvfPqIndex.topKAgainst(index, queries, "vec_id", "embedding",
+      k = 5, nProbe = 16)
+    val want = Similarity.pqTopKAgainst(
+      Similarity.pqEncode(emb, "vec_id", "embedding"),
+      queries, "vec_id", "embedding", k = 5)
+    assert(topkSet(got) == topkSet(want))
+    assert(topkSet(got).nonEmpty)
+    index.unpersist()
+  }
+
+  test("cell pruning restricts candidates to the probed cells") {
+    val index = IvfPqIndex.build(emb, "vec_id", "embedding")
+    val got = IvfPqIndex.topKAgainst(index, queries, "vec_id", "embedding",
+      k = 5, nProbe = 2)
+    // independent candidate-set reference: same frozen quantizer on the
+    // driver — every returned neighbor must live in a probed cell
+    val ctrs = IvfCentroids.centroids.map(_.toArray).toArray
+    val vecs = emb.select($"vec_id", Similarity.asDouble($"embedding"))
+      .as[(Long, Array[Double])].collect().toMap
+    val probed = vecs.filter(_._1 < 5).map { case (qid, v) =>
+      qid -> Similarity.nearestCells(ctrs, v, 2).toSet
+    }
+    val pairs = got.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    pairs.foreach { case (qid, nid) =>
+      val nCell = Similarity.nearestCells(ctrs, vecs(nid), 1)(0)
+      assert(probed(qid).contains(nCell), s"neighbor $nid of query $qid outside probed cells")
+    }
+    index.unpersist()
+  }
+
+  test("index round-trips through cell-partitioned Parquet and the probe scan prunes") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
+    val index = IvfPqIndex.build(emb, "vec_id", "embedding")
+    val direct = IvfPqIndex.topKAgainst(index, queries, "vec_id", "embedding", k = 5, nProbe = 2)
+    index.write.partitionBy("cell").mode("overwrite").parquet(s"$dir/index")
+    index.unpersist()
+    val reloaded = spark.read.parquet(s"$dir/index")
+    val (meta, ctrs, cbs) = IvfPqIndex.readMeta(reloaded)
+    assert(meta == IvfPqIndex.Meta(64, 16, 8, 16, emb.count()))
+    assert(ctrs.map(_.toSeq).toSeq == IvfCentroids.centroids)
+    assert(cbs.map(_.map(_.toSeq).toSeq).toSeq == PqCodebooks.codebooks)
+    val probed = IvfPqIndex.topKAgainst(reloaded, queries, "vec_id", "embedding", k = 5, nProbe = 2)
+    assert(topkSet(probed) == topkSet(direct))
+    // the scale claim: the probe reads ONLY probed cell partitions
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val idxScans = scans(probed.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("ivfpqidx")))
+    assert(idxScans.nonEmpty, "no parquet scan over the index directory found")
+    assert(idxScans.forall(_.partitionFilters.nonEmpty),
+      s"index scan not partition-pruned:\n${idxScans.map(_.toString).mkString}")
+  }
+
+  test("append is exact: probes equal a fresh build over the union") {
+    val a = emb.filter($"vec_id" % 2 === 0)
+    val b = emb.filter($"vec_id" % 2 === 1)
+    val incremental = IvfPqIndex.append(
+      IvfPqIndex.build(a, "vec_id", "embedding"), b, "vec_id", "embedding")
+    val rebuilt = IvfPqIndex.build(emb, "vec_id", "embedding")
+    val got = IvfPqIndex.topKAgainst(incremental, queries, "vec_id", "embedding", k = 5, nProbe = 4)
+    val want = IvfPqIndex.topKAgainst(rebuilt, queries, "vec_id", "embedding", k = 5, nProbe = 4)
+    assert(topkSet(got) == topkSet(want))
+    val (m, _, _) = IvfPqIndex.readMeta(incremental)
+    assert(m.nDocs == emb.count())
+    incremental.unpersist(); rebuilt.unpersist()
+  }
+
+  test("null vectors land in the null cell with NULL codes and are never served") {
+    val withNull = emb.select($"vec_id", $"embedding")
+      .unionAll(Seq((9999L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val index = IvfPqIndex.build(withNull, "vec_id", "embedding")
+    val nullRows = index.filter(col("cell") === IvfPqIndex.NullCell)
+    assert(nullRows.count() == 1 && nullRows.filter(col("pq_code").isNull).count() == 1)
+    val out = IvfPqIndex.topKAgainst(index, queries, "vec_id", "embedding", k = 5, nProbe = 16)
+    assert(out.filter(col("neighbor_id") === 9999L).isEmpty)
+    index.unpersist()
+  }
+
+  test("a frame that is not an IVF-PQ index fails typed") {
+    val e1 = intercept[IllegalArgumentException] {
+      IvfPqIndex.readMeta(emb)
+    }
+    assert(e1.getMessage.contains("not an IVF-PQ index"))
+    val index = IvfPqIndex.build(emb.limit(10), "vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      IvfPqIndex.readMeta(index.filter(col("cell") =!= IvfPqIndex.MetaCell))
+    }
+    assert(e2.getMessage.contains("exactly one meta row"))
+    index.unpersist()
+  }
+}
