@@ -289,6 +289,51 @@ object ProfileScale {
         println(f"PROFILE incremental_turn factor=$f kept=$keptN curated=$nCur " +
           f"turn_cold=$turnCold%.1f turn_warm=$turnWarm%.1f")
       }
+      if (only.forall(_ == "ivfpq")) {
+        // The IvfPqIndex claim: SAME cell pruning as IvfIndex, but the
+        // probed partitions hold 4-byte packed codes instead of 64
+        // doubles — the artifact (and therefore probe IO) shrinks ~32x
+        // while probe latency stays in the same band. Corpus scales
+        // with f, query batch fixed; both indexes written
+        // cell-partitioned to Parquet and probed from storage.
+        val s = root.newSession()
+        def corpus(sx: SparkSession) = scaledEmb(sx, sfDir, f)
+        def queries(sx: SparkSession) = scaledEmb(sx, sfDir, 1).filter(col("vec_id") < 25)
+        val dir = java.nio.file.Files.createTempDirectory("ivfpq_profile").toString
+        def dirBytes(p: String): Long = {
+          def walk(f: java.io.File): Long =
+            if (f.isFile) f.length
+            else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+          walk(new java.io.File(p))
+        }
+        val full = graft.operators.IvfIndex.build(
+          corpus(s), "vec_id", "embedding", graft.operators.IvfCentroids.centroids)
+        full.write.partitionBy("cell").mode("overwrite").parquet(s"$dir/ivf")
+        full.unpersist()
+        val pq = graft.operators.IvfPqIndex.build(corpus(s), "vec_id", "embedding")
+        pq.write.partitionBy("cell").mode("overwrite").parquet(s"$dir/ivfpq")
+        pq.unpersist()
+        val ivfIdx = s.read.parquet(s"$dir/ivf")
+        val pqIdx = s.read.parquet(s"$dir/ivfpq")
+        def probeOnce(fn: => Long): (Long, Double) = {
+          val t = System.nanoTime()
+          val n = fn
+          val secs = (System.nanoTime() - t) / 1e9
+          s.catalog.clearCache(); System.gc()
+          (n, secs)
+        }
+        def ivfProbe() = graft.operators.IvfIndex.topKAgainst(
+          ivfIdx, queries(s), "vec_id", "embedding", k = 5, nProbe = 4).count()
+        def pqProbe() = graft.operators.IvfPqIndex.topKAgainst(
+          pqIdx, queries(s), "vec_id", "embedding", k = 5, nProbe = 4).count()
+        val (_, ivfCold) = probeOnce(ivfProbe())
+        val (nIvf, ivfWarm) = probeOnce(ivfProbe())
+        val (_, pqCold) = probeOnce(pqProbe())
+        val (nPq, pqWarm) = probeOnce(pqProbe())
+        println(f"PROFILE ivfpq factor=$f rows_ivf=$nIvf rows_pq=$nPq " +
+          f"ivf_bytes=${dirBytes(s"$dir/ivf")} pq_bytes=${dirBytes(s"$dir/ivfpq")} " +
+          f"ivf_probe=$ivfCold%.1f/$ivfWarm%.1f pq_probe=$pqCold%.1f/$pqWarm%.1f")
+      }
       if (only.forall(_ == "ivf")) {
         // The IvfIndex claim (T35): indexed corpus scales with f, query
         // batch FIXED. The one-shot operator re-runs cell assignment (a
