@@ -38,24 +38,28 @@ object TextDedup {
     * contamination scans every training doc); the expression form
     * remains the oracle recipe.
     */
-  def shinglesKernel(c: Column, n: Int): Column = {
-    val f = (text: String) => {
-      if (text == null) Array.empty[String]
+  def shinglesKernel(c: Column, n: Int): Column =
+    udf((text: String) => shingleSet(text, n)).apply(c)
+
+  /** The row-level shingle loop behind [[shinglesKernel]], shared with
+    * the streaming decontamination gate so both paths produce the exact
+    * same distinct-gram sets.
+    */
+  private[graft] def shingleSet(text: String, n: Int): Array[String] = {
+    if (text == null) Array.empty[String]
+    else {
+      val lc = text.toLowerCase(java.util.Locale.ROOT)
+      if (lc.length < n) Array.empty[String]
       else {
-        val lc = text.toLowerCase(java.util.Locale.ROOT)
-        if (lc.length < n) Array.empty[String]
-        else {
-          val seen = new scala.collection.mutable.LinkedHashSet[String]
-          var i = 0
-          while (i + n <= lc.length) {
-            seen.add(lc.substring(i, i + n))
-            i += 1
-          }
-          seen.toArray
+        val seen = new scala.collection.mutable.LinkedHashSet[String]
+        var i = 0
+        while (i + n <= lc.length) {
+          seen.add(lc.substring(i, i + n))
+          i += 1
         }
+        seen.toArray
       }
     }
-    udf(f).apply(c)
   }
 
   /** Jaccard similarity of two distinct-element arrays. Uses
