@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins [[Bpe]]: the merge loop against a hand-checked classic fixture,
+  * the round-trip invariant (tokens reconstruct every word exactly),
+  * determinism across cluster layouts, and the monotone value of more
+  * merges.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    .select($"doc_id", $"text")
+
+  test("classic corpus: merges follow pair frequencies, frequent word collapses to one token") {
+    // 5x "low", 2x "lower", 6x "newest", 3x "widest" (Sennrich-style)
+    val corpus = Seq((0L,
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val m = Bpe.train(corpus, "text", numMerges = 10)
+    // highest-count first pair: ('e','s') in newest+widest = 9;
+    // then ('es','t') = 9, then ('est','</w>') = 9
+    assert(m.merges.take(3) == Seq(("e", "s"), ("es", "t"), ("est", Bpe.EndOfWord)))
+    val toks = corpus.select(Bpe.tokenize(m, $"text").as("t"))
+      .as[Seq[String]].head()
+    // "newest" (most frequent word) ends fully merged after 10 merges
+    assert(toks.containsSlice(Seq("newest</w>")))
+    // token count under more merges never increases
+    val few = Bpe.train(corpus, "text", numMerges = 2)
+    val nFew = corpus.select(Bpe.tokenCount(few, $"text")).as[Long].head()
+    val nMany = corpus.select(Bpe.tokenCount(m, $"text")).as[Long].head()
+    assert(nMany <= nFew)
+    assert(nMany >= 16L) // at least one token per word occurrence
+  }
+
+  test("round trip: concatenating a word's tokens (minus the marker) rebuilds the word") {
+    val m = Bpe.train(docs.filter($"doc_id" < 200), "text", numMerges = 200)
+    val sample = docs.filter($"doc_id" < 50)
+      .select(explode(filter(split(trim(coalesce($"text", lit(""))), "\\s+"),
+        w => w =!= "")).as("w")).distinct()
+      .as[String].collect()
+    assert(sample.nonEmpty)
+    sample.foreach { w =>
+      val toks = Bpe.applyWord(m.ranks, w)
+      assert(toks.mkString.stripSuffix(Bpe.EndOfWord) == w, s"round trip broke for '$w'")
+      assert(toks.last.endsWith(Bpe.EndOfWord))
+    }
+  }
+
+  test("training is layout-deterministic and merges actually compress the corpus") {
+    val slice = docs.filter($"doc_id" < 300)
+    val a = Bpe.train(slice, "text", numMerges = 100)
+    val b = Bpe.train(slice.repartition(13), "text", numMerges = 100)
+    assert(a.merges == b.merges)
+    val n0 = slice.select(sum(Bpe.tokenCount(BpeModelEmpty, $"text"))).as[Long].head()
+    val n100 = slice.select(sum(Bpe.tokenCount(a, $"text"))).as[Long].head()
+    assert(n100 < n0, s"100 merges should compress: $n100 vs $n0")
+  }
+  private val BpeModelEmpty = Bpe.BpeModel(Seq.empty)
+
+  test("histogram cap keeps the most frequent words and stays deterministic") {
+    val corpus = Seq((0L, "aa aa aa bb bb cc")).toDF("doc_id", "text")
+    // cap to 1 word: only "aa" trains — pairs (a,a) and (a,</w>) tie at
+    // count 3, and the lexicographic rule picks (a,</w>) ('<' sorts
+    // below 'a'); with "bb"/"cc" in the histogram the cap would be
+    // proven leaky by any b- or c-merge appearing later
+    val m = Bpe.train(corpus, "text", numMerges = 1, maxVocabWords = 1)
+    assert(m.merges == Seq(("a", Bpe.EndOfWord)))
+    // null/empty text tokenizes empty
+    val withNull = Seq((1L, null.asInstanceOf[String]), (2L, " ")).toDF("doc_id", "text")
+    val counts = withNull.select(Bpe.tokenCount(m, $"text")).as[Long].collect().toSeq
+    assert(counts == Seq(0L, 0L))
+  }
+}
