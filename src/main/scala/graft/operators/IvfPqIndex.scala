@@ -119,6 +119,7 @@ object IvfPqIndex {
     require(centroids.forall(_.length == dim), "centroids must share one dimensionality")
     val ctrs = centroids.map(_.toArray).toArray
     val cbs = codebooks.map(_.map(_.toArray).toArray).toArray
+    Similarity.requirePqShape(cbs)
     val docs = docRows(corpus, idCol, vecCol, ctrs, cbs).persist()
     val nDocs = docs.count()
     val m = Meta(dim, centroids.length, cbs.length, cbs(0).length, nDocs)
@@ -155,10 +156,14 @@ object IvfPqIndex {
       if (v == null) Array.empty[Int] else Similarity.nearestCells(ctrs, v, nProbe))
     val q0 = queries.select(
       col(idCol).as("query_id"), Similarity.asDouble(col(vecCol)).as("__qv"))
+    // Deliberately NOT persisted (r8 ADVICE — a persist here leaked one
+    // cached frame per probe call into executor storage for the life of
+    // the session): q is batch-sized, used twice (cell collect + the
+    // broadcast), and the cells-only sub-plan prunes the ADC-table UDF,
+    // so recomputation costs one pass over the query batch.
     val q = Similarity.pqQuerySide(q0, "query_id", "__qv", cbs)
       .join(q0.select(col("query_id"), explode(probeUdf(col("__qv"))).as("__cell")),
         "query_id")
-      .persist()
     val cand = IvfIndex.cellRestricted(index, q, maxStaticProbeCells)
       .filter(col("pq_code").isNotNull)
       .select(col(idCol).as("neighbor_id"), col("cell").as("__cell"), col("pq_code"))

@@ -157,7 +157,13 @@ object Sampling {
     require(maxPerKey >= 1, s"maxPerKey must be >= 1, got $maxPerKey")
     require(salts >= 1, s"salts must be >= 1, got $salts")
     import org.apache.spark.sql.expressions.Window
+    // NULL-id rows are excluded BEFORE ranking: concat_ws skips a null,
+    // so __r would collapse to md5(seed) — a valid, often-low rank that
+    // lets null-id rows occupy cap slots and then vanish in the
+    // semi-join, returning fewer than maxPerKey real survivors (r8
+    // ADVICE). Dropping them here keeps every slot for rankable rows.
     val slim = df.select(col(keyCol).as("__k"), col(idCol).as("__id"))
+      .filter(col("__id").isNotNull)
       .withColumn("__r", md5(concat_ws("|", lit(seed), col("__id").cast("string"))))
       .withColumn("__s", pmod(xxhash64(col("__id")), lit(salts.toLong)))
     val w1 = Window.partitionBy(col("__k"), col("__s"))

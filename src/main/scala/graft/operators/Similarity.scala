@@ -276,6 +276,29 @@ object Similarity {
     scoreProbedCells(assigned, q, k)
   }
 
+  /** Guard for the PQ packing scheme: [[pqEncodeKernel]] packs one
+    * 4-bit nibble per subspace into a single Int (`best << (4*j)`) and
+    * [[pqAdcCosUdf]] decodes with `& (kCb - 1)` — both silently corrupt
+    * codes if the codebook tensor exceeds 8 subspaces, has a
+    * non-power-of-two centroid count, or more than 16 centroids
+    * (r8 ADVICE: e.g. kCb = 10 decodes code 6 & 9 = 0). Every public
+    * PQ entry point ([[pqEncode]], [[pqTopKAgainst]],
+    * [[IvfPqIndex.build]]) validates the shape here so a custom
+    * codebook fails typed instead of mis-encoding.
+    */
+  private[operators] def requirePqShape(cbs: Array[Array[Array[Double]]]): Unit = {
+    require(cbs.nonEmpty && cbs.length <= 8,
+      s"PQ codebooks must have 1..8 subspaces (4-bit codes pack into one Int), got ${cbs.length}")
+    val kCb = cbs(0).length
+    require(cbs.forall(_.length == kCb),
+      "PQ codebooks must share one centroid count across subspaces")
+    require(kCb >= 1 && kCb <= 16 && Integer.bitCount(kCb) == 1,
+      s"PQ centroid count must be a power of two <= 16 (nibble packing), got $kCb")
+    val dsub = cbs(0)(0).length
+    require(dsub >= 1 && cbs.forall(_.forall(_.length == dsub)),
+      "PQ codebook centroids must share one subvector dimensionality")
+  }
+
   /** Product-quantization encode kernel: per subspace, the index of the
     * nearest codebook centroid (L2², strict `<` so ties keep the LOWER
     * index — matching the oracle's `ORDER BY d, c` replay), packed
@@ -328,6 +351,7 @@ object Similarity {
       vecCol: String,
       codebooks: Seq[Seq[Seq[Double]]] = PqCodebooks.codebooks): DataFrame = {
     val cbs = codebooks.map(_.map(_.toArray).toArray).toArray
+    requirePqShape(cbs)
     val enc = udf((v: Array[Double]) =>
       if (v == null) null
       else java.lang.Integer.valueOf(pqEncodeKernel(cbs, v)))
@@ -413,6 +437,7 @@ object Similarity {
       k: Int,
       codebooks: Seq[Seq[Seq[Double]]] = PqCodebooks.codebooks): DataFrame = {
     val cbs = codebooks.map(_.map(_.toArray).toArray).toArray
+    requirePqShape(cbs)
     val c = codes.select(col(idCol).as("neighbor_id"), col("pq_code"))
       .filter(col("pq_code").isNotNull)
     val q = pqQuerySide(queries, idCol, vecCol, cbs)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.SpanFreqIndex
 
@@ -23,11 +23,34 @@ import graft.operators.SpanFreqIndex
   * [[graft.operators.LineDedup.removeDuplicatedSpans]] over the corpus
   * streamed so far, restricted to the batch (spec-pinned).
   *
+  * ==State volatility and recovery (r8 ADVICE)==
+  * The grown index lives ONLY as `localCheckpoint` blocks — executor
+  * (or driver, in local mode) memory-and-disk, NOT reliable storage.
+  * Two failure modes follow:
+  *   - an executor loss drops blocks the lineage can no longer
+  *     recompute (localCheckpoint severs it), failing every later
+  *     batch;
+  *   - a stream restart constructs a fresh Gate, silently resetting
+  *     the corpus-so-far to whatever index the caller passes.
+  * Recovery contract: the index is a pure fold of `append` over raw
+  * batches, and disjoint-doc counts ADD, so it can always be rebuilt
+  * exactly as `SpanFreqIndex.build` over the persisted raw input (or
+  * `mergeMany` of per-epoch builds) — the restart recipe is "rebuild
+  * from what you already wrote", never "trust the gate's memory".
+  * For long streams where a full rebuild is too slow, pass
+  * `checkpointPath` + `checkpointEvery`: every N batches the gate
+  * writes the CURRENT index to `<checkpointPath>/span_index_<seq>`
+  * (a complete, self-contained Parquet artifact — the
+  * `SpanFreqIndex` write contract). On restart, reopen the newest
+  * artifact with `spark.read.parquet`, rebuild-and-`mergeMany` only
+  * the raw batches that arrived after it, and seed a new Gate.
+  *
   * Wiring:
   * {{{
   * val gate = new SpanGate.Gate(
   *   SpanFreqIndex.build(kept, "id", "text", n = 50),
-  *   "id", "text", minDup = 2)
+  *   "id", "text", minDup = 2,
+  *   checkpointPath = Some("/data/gates/spans"), checkpointEvery = 100)
   * stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
   *   gate.filterBatch(batch).write.mode("append").parquet(out)
   * }.start()
@@ -38,18 +61,32 @@ object SpanGate {
   /** Mutable gate state: call [[filterBatch]] from `foreachBatch` (Spark
     * invokes it serially per stream; the lock also makes sharing one
     * gate across streams safe).
+    *
+    * `checkpointPath`/`checkpointEvery`: when both set (path non-empty,
+    * every >= 1), each `checkpointEvery`-th [[filterBatch]] call also
+    * durably writes the post-append index to
+    * `<checkpointPath>/span_index_<seq>` — see the recovery contract in
+    * the object scaladoc. Each artifact is a fresh directory (never an
+    * overwrite of one a reader might hold open).
     */
   final class Gate(
       initialIndex: DataFrame,
       idCol: String,
       textCol: String,
-      minDup: Long) {
+      minDup: Long,
+      checkpointPath: Option[String] = None,
+      checkpointEvery: Int = 0) {
 
     private var index: DataFrame = initialIndex
     private var owned = false // never unpersist the caller's initial index
+    private var batches = 0L
 
     /** The live index (initial corpus + every raw batch so far). */
     def currentIndex: DataFrame = synchronized(index)
+
+    /** Path of the newest durable checkpoint written, if any. */
+    def lastCheckpoint: Option[String] = synchronized(lastCkpt)
+    private var lastCkpt: Option[String] = None
 
     /** Returns the batch rebuilt without corpus-duplicated spans
       * (`(idCol, text_kept, n_words, n_removed)`, one row per batch doc)
@@ -64,7 +101,34 @@ object SpanGate {
       if (owned) index.unpersist()
       index = next
       owned = true
+      batches += 1
+      if (checkpointEvery >= 1 && checkpointPath.exists(_.nonEmpty)
+          && batches % checkpointEvery == 0) {
+        val p = s"${checkpointPath.get}/span_index_$batches"
+        index.write.parquet(p)
+        lastCkpt = Some(p)
+      }
       out
+    }
+  }
+
+  /** Reopen the newest `span_index_<seq>` artifact under `path`, or
+    * None when no checkpoint has been written — the restart half of the
+    * recovery contract (the caller then `mergeMany`s builds of any raw
+    * batches newer than the artifact and seeds a fresh [[Gate]]).
+    */
+  def latestCheckpoint(spark: SparkSession, path: String): Option[DataFrame] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(dir)) None
+    else {
+      val seqs = fs.listStatus(dir).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith("span_index_"))
+        .flatMap(n => scala.util.Try(n.stripPrefix("span_index_").toLong).toOption.map(n -> _))
+      if (seqs.isEmpty) None
+      else Some(spark.read.parquet(s"$path/${seqs.maxBy(_._2)._1}"))
     }
   }
 }

@@ -106,6 +106,32 @@ class IvfPqIndexSpec extends SparkSpec {
     index.unpersist()
   }
 
+  test("off-shape PQ codebooks fail typed at every entry point (r8 ADVICE)") {
+    // Nibble packing silently corrupts codes past 8 subspaces or with a
+    // non-power-of-two centroid count (code 6 & 9 == 0); the guard turns
+    // that into a typed error before any row is encoded.
+    def cb(nSub: Int, kCb: Int): Seq[Seq[Seq[Double]]] =
+      Seq.tabulate(nSub, kCb, 2)((j, c, i) => (j + c + i).toDouble)
+    for (bad <- Seq(cb(9, 16), cb(8, 10), cb(8, 32), cb(0, 16))) {
+      assert(intercept[IllegalArgumentException] {
+        Similarity.pqEncode(emb, "vec_id", "embedding", bad)
+      }.getMessage.contains("PQ"))
+      assert(intercept[IllegalArgumentException] {
+        Similarity.pqTopKAgainst(
+          Similarity.pqEncode(emb, "vec_id", "embedding"),
+          queries, "vec_id", "embedding", k = 3, codebooks = bad)
+      }.getMessage.contains("PQ"))
+      assert(intercept[IllegalArgumentException] {
+        IvfPqIndex.build(emb, "vec_id", "embedding", codebooks = bad)
+      }.getMessage.contains("PQ"))
+    }
+    // ragged subvector dims also fail typed
+    val ragged = Seq(Seq(Seq(1.0, 2.0), Seq(3.0)), Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))
+    assert(intercept[IllegalArgumentException] {
+      Similarity.pqEncode(emb, "vec_id", "embedding", ragged)
+    }.getMessage.contains("PQ"))
+  }
+
   test("a frame that is not an IVF-PQ index fails typed") {
     val e1 = intercept[IllegalArgumentException] {
       IvfPqIndex.readMeta(emb)

@@ -649,6 +649,20 @@ class SamplingSpec extends SparkSpec {
     val all = Sampling.capPerKey(df.filter($"id".isNotNull), "key", "id", 99)
     assert(all.count() == 6)
   }
+
+  test("capPerKey: null-id rows never consume cap slots (r8 ADVICE)") {
+    // Before the fix, null-id rows all ranked at md5(seed) (concat_ws
+    // skips nulls) with null-first tiebreak — occupying every top slot
+    // in both window phases, then vanishing in the semi-join: a key
+    // with k real rows and any nulls returned FEWER than k survivors.
+    val df = Seq[(Option[Long], String)](
+      (Some(1L), "a"), (Some(2L), "a"), (Some(3L), "a"),
+      (None, "a"), (None, "a"), (None, "a"), (None, "a"), (None, "a"))
+      .toDF("id", "key")
+    val got = Sampling.capPerKey(df, "key", "id", 3)
+      .as[(Option[Long], String)].collect()
+    assert(got.map(_._1).toSet == Set(Some(1L), Some(2L), Some(3L)))
+  }
 }
 
 class VocabSpec extends SparkSpec {

@@ -71,4 +71,35 @@ class SpanGateSpec extends SparkSpec {
         .select($"win", $"cnt").as[(String, Long)].collect().toSet
     assert(ents(gate.currentIndex) == ents(direct))
   }
+
+  test("checkpoint hook writes a durable index every N batches; latest reopens (r8 ADVICE)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter($"doc_id" < 400)
+    val n = 5
+    val ckpt = java.nio.file.Files.createTempDirectory("span_ckpt").toString
+
+    assert(SpanGate.latestCheckpoint(spark, ckpt).isEmpty)
+    assert(SpanGate.latestCheckpoint(spark, s"$ckpt/absent").isEmpty)
+
+    val initial = docs.filter($"doc_id" % 4 === 0)
+    val gate = new SpanGate.Gate(
+      SpanFreqIndex.build(initial, "doc_id", "text", n),
+      "doc_id", "text", minDup = 2,
+      checkpointPath = Some(ckpt), checkpointEvery = 2)
+    (1 to 3).foreach { k =>
+      gate.filterBatch(docs.filter($"doc_id" % 4 === k)).count()
+    }
+    // 3 batches, every=2 -> exactly one artifact, written after batch 2
+    assert(gate.lastCheckpoint.exists(_.endsWith("span_index_2")))
+    val reopened = SpanGate.latestCheckpoint(spark, ckpt).get
+    val direct = SpanFreqIndex.build(
+      initial.unionAll(docs.filter($"doc_id" % 4 === 1))
+        .unionAll(docs.filter($"doc_id" % 4 === 2)),
+      "doc_id", "text", n)
+    assert(SpanFreqIndex.readMeta(reopened).nDocs == SpanFreqIndex.readMeta(direct).nDocs)
+    def ents(ix: DataFrame) =
+      ix.filter($"kind" === SpanFreqIndex.EntryKind)
+        .select($"win", $"cnt").as[(String, Long)].collect().toSet
+    assert(ents(reopened) == ents(direct))
+  }
 }
