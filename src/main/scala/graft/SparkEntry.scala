@@ -2533,6 +2533,81 @@ object SparkEntry {
              |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(adc_cos, 6) AS adc_cos
              |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
+    // BPE oracle pieces: the ENTIRE training loop replays in SQL. A
+    // segmentation is a marker string `{sym}{sym}...` ('{'/'}' excluded
+    // from text by a symmetric filter), so one left-to-right merge pass
+    // ([[operators.Bpe]]'s mergeOnce) is exactly one non-overlapping
+    // `replace(w, '{a}{b}', '{ab}')`, and each training iteration —
+    // adjacent-pair counts over the vocab, argmax with (count desc,
+    // pair asc) ties, one merge pass — is one CTE group, unrolled
+    // numMerges times. Apply replays the learned merges in training
+    // order over each doc's marker string; for a trained (well-formed)
+    // merge list that equals the kernel's greedy lowest-rank apply
+    // (BpeSpec pins the equivalence on every corpus word).
+    private def sqlBpeTrainCtes(n: Int): String =
+      (1 to n).map { i =>
+        s"""seg$i AS (
+           |  SELECT string_split(substr(w, 2, length(w) - 2), '}{') AS syms, c FROM s${i - 1}),
+           |pc$i AS (
+           |  SELECT a, b, sum(c) AS cnt FROM (
+           |    SELECT unnest(syms[1:len(syms)-1]) AS a, unnest(syms[2:len(syms)]) AS b, c
+           |    FROM seg$i)
+           |  GROUP BY a, b),
+           |m$i AS (SELECT a, b FROM pc$i ORDER BY cnt DESC, a, b LIMIT 1),
+           |s$i AS (
+           |  SELECT replace(w, '{' || a || '}{' || b || '}', '{' || a || b || '}') AS w, c
+           |  FROM s${i - 1}, m$i)""".stripMargin
+      }.mkString(",\n")
+
+    private def sqlBpeApply(expr: String, n: Int): String =
+      (1 to n).foldLeft(expr) { (acc, i) =>
+        s"replace($acc, (SELECT '{'||a||'}{'||b||'}' FROM m$i), (SELECT '{'||a||b||'}' FROM m$i))"
+      }
+
+    /** Real BPE tokenizer train + apply ([[operators.Bpe]]): 8 merges
+      * trained on the corpus word histogram (the one corpus-sized pass;
+      * the merge loop is driver-side vocab-state fitting), then per-doc
+      * token counts + leading tokens under the trained model. The
+      * oracle replays TRAINING itself — histogram, 8 unrolled
+      * pair-count/argmax/merge-pass iterations over marker strings —
+      * and then the application, so a hash match certifies the learned
+      * merges, the tie-breaks, and the greedy apply in one row set.
+      */
+    private val q78 = Q(
+      "q78_bpe_tokenize",
+      (s, dir) => {
+        // '{'/'}' delimit oracle marker strings; docs containing them
+        // are excluded SYMMETRICALLY on both sides (none in the fixture)
+        val docs = t(s, dir, "documents")
+          .filter(coalesce(!$"text".rlike("[{}]"), lit(true)))
+        val model = operators.Bpe.train(docs, "text", numMerges = 8)
+        docs.select($"doc_id",
+            operators.Bpe.tokenCount(model, $"text").as("n_tokens"),
+            array_join(slice(operators.Bpe.tokenize(model, $"text"), 1, 8), " ")
+              .as("head_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH words0 AS (
+             |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) != '' AND NOT regexp_matches(text, '[{}]')),
+             |hist AS (SELECT word, count(*) AS c FROM words0 WHERE word != '' GROUP BY word),
+             |s0 AS (SELECT regexp_replace(word, '(.)', '{\\1}', 'g') || '{</w>}' AS w, c FROM hist),
+             |${sqlBpeTrainCtes(8)},
+             |d0 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN text IS NULL OR trim(text) = '' THEN ''
+             |         ELSE replace(regexp_replace(regexp_replace(trim(text), '\\s+', ' ', 'g'),
+             |                      '(\\S)', '{\\1}', 'g'), ' ', '{</w>} ') || '{</w>}'
+             |    END AS w
+             |  FROM documents WHERE text IS NULL OR NOT regexp_matches(text, '[{}]')),
+             |applied AS (
+             |  SELECT doc_id, ${sqlBpeApply("d0.w", 8)} AS w FROM d0)
+             |SELECT doc_id,
+             |  CAST(length(w) - length(replace(w, '{', '')) AS BIGINT) AS n_tokens,
+             |  array_to_string(regexp_extract_all(w, '\\{([^}]*)\\}', 1)[1:8], ' ') AS head_tokens
+             |FROM applied ORDER BY doc_id""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -2540,7 +2615,7 @@ object SparkEntry {
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
-      q75, q76, q77)
+      q75, q76, q77, q78)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

@@ -61,6 +61,42 @@ class BpeSpec extends SparkSpec {
   }
   private val BpeModelEmpty = Bpe.BpeModel(Seq.empty)
 
+  test("greedy lowest-rank apply == replaying trained merges in order (q78 oracle contract)") {
+    // The q78 DuckDB oracle replays the learned merges IN TRAINING
+    // ORDER (one left-to-right pass each); the kernel applies greedily
+    // by lowest rank. For a TRAINED merge list the two coincide — every
+    // merge's parts are built only by earlier merges, and no later
+    // merge can create an earlier merge's adjacency — and this pins
+    // that equivalence on every corpus word under both a shallow and a
+    // deep model (deep models exercise multi-symbol merge chains).
+    def replayInOrder(m: Bpe.BpeModel, word: String): Seq[String] = {
+      var syms: Seq[String] = word.map(_.toString) :+ Bpe.EndOfWord
+      m.merges.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toSeq
+      }
+      syms
+    }
+    val vocab = docs
+      .select(explode(filter(split(trim(coalesce($"text", lit(""))), "\\s+"),
+        w => w =!= "")).as("w")).distinct()
+      .as[String].collect()
+    assert(vocab.nonEmpty)
+    for (numMerges <- Seq(8, 100)) {
+      val m = Bpe.train(docs, "text", numMerges)
+      vocab.foreach { w =>
+        assert(Bpe.applyWord(m.ranks, w).toSeq == replayInOrder(m, w),
+          s"greedy vs in-order replay diverged on '$w' at $numMerges merges")
+      }
+    }
+  }
+
   test("histogram cap keeps the most frequent words and stays deterministic") {
     val corpus = Seq((0L, "aa aa aa bb bb cc")).toDF("doc_id", "text")
     // cap to 1 word: only "aa" trains — pairs (a,a) and (a,</w>) tie at
