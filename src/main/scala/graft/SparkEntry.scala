@@ -1900,11 +1900,19 @@ object SparkEntry {
       * stop CTE; banding the union with one HAVING bar replays the
       * merged index's exact combined cap. The cross-generation
       * `globalCap` probe path is pinned equal to this in LshIndexSpec.
+      *
+      * Bounded to `doc_id < 500` (the q68 bounded-slice bench
+      * convention, r8 VERDICT ask #2): this entry is a REGRESSION
+      * instrument — three
+      * full-corpus builds inside one bench query were ~30% of the whole
+      * bench wall at sf0.1 while measuring nothing the bounded slice
+      * doesn't. The full-fat lifecycle curve lives in ProfileScale's
+      * `merge` mode (SCALE.md `merge` record).
       */
     private val q64 = Q(
       "q64_index_merge_probe",
       (s, dir) => {
-        val docs = t(s, dir, "documents")
+        val docs = t(s, dir, "documents").filter($"doc_id" < 500)
         def gen(m: Int) = operators.LshIndex.build(
           docs.filter($"doc_id" % 4 === m), idCol = "doc_id", textCol = "text",
           n = 3, numPerm = 64, bands = 16,
@@ -1924,7 +1932,7 @@ object SparkEntry {
              |    CASE WHEN text IS NULL THEN CAST([] AS BIGINT[]) ELSE
              |      list_distinct([CAST('0x' || substr(md5(substr(lower(text), i, 3)), 1, 8) AS BIGINT)
              |                     FOR i IN range(1, greatest(length(text) - 2, 0) + 1)]) END AS hs
-             |  FROM documents),
+             |  FROM documents WHERE doc_id < 500),
              |sigs AS (
              |  SELECT doc_id, hs,
              |    $q24Sigs

@@ -208,7 +208,13 @@ object IvfIndex {
     * stacking (pinned by IvfIndexSpec). Generations must share the
     * frozen quantizer bit-for-bit (typed error otherwise: cell spaces
     * from different quantizers are not comparable); ids must be unique
-    * across all generations.
+    * across all generations. Unlike the text-index fan-outs
+    * ([[LshIndex.pairsAgainstMany]] / `SimHashIndex.pairsAgainstMany`)
+    * there is NO `globalCap` knob here and none is missing: those
+    * families cap bucket sizes (a policy that can disagree between
+    * per-generation and union views), while this probe has no caps and
+    * is already exact over the union — the family's opt-in-strictness
+    * default applies only where a cap policy exists.
     */
   def topKAgainstMany(
       indexes: Seq[DataFrame],

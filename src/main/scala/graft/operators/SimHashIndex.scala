@@ -325,7 +325,10 @@ object SimHashIndex {
   }
 
   /** Probe several generations with one signed batch. Default: per-
-    * generation caps (generations fully independent). `globalCap =
+    * generation caps (generations fully independent) — opt-in
+    * strictness is the family-wide default; the rationale and cost
+    * model live on [[LshIndex.pairsAgainstMany]] (the r9 decision) and
+    * in SCALE.md, and this family follows it verbatim. `globalCap =
     * true` runs the cross-generation count pass over the touched
     * buckets' entry rows and enforces the one-shot union cap exactly —
     * and, like [[LshIndex.pairsAgainstMany]], is exact even over

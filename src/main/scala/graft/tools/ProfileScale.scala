@@ -289,6 +289,54 @@ object ProfileScale {
         println(f"PROFILE incremental_turn factor=$f kept=$keptN curated=$nCur " +
           f"turn_cold=$turnCold%.1f turn_warm=$turnWarm%.1f")
       }
+      if (only.forall(_ == "merge")) {
+        // The full-fat q64 lifecycle (r8 VERDICT ask #2 moved it here
+        // from the bench, which now runs the doc_id<2000 bounded slice):
+        // the kept corpus scales with f and is built as TWO generation
+        // artifacts, consolidated with mergeMany — a stored-row union +
+        // exact recount, ZERO text access — then probed with the FIXED
+        // f=1 odd-id batch. Build cost must grow ~linearly with f (it
+        // re-signs its half of the corpus); merge cost scales with
+        // stored ENTRY rows only; probe cost should stay ~flat (signs
+        // only the incoming batch; kept side is a pushed-filter entry
+        // scan). maxDocFreqRatio=1.0 keeps the pruning policy constant
+        // across factors (the q56 rationale) and is also mergeMany's
+        // empty-frozen-stop-set compatibility bar.
+        val s = root.newSession()
+        def half(sx: SparkSession, m: Int) = scaled(sx, sfDir, f).filter(col("doc_id") % 4 === m)
+        def incoming(sx: SparkSession) = scaled(sx, sfDir, 1).filter(col("doc_id") % 2 =!= 0)
+        val dir = java.nio.file.Files.createTempDirectory("lshmerge_profile").toString
+        val tb0 = System.nanoTime()
+        val gen1 = graft.operators.LshIndex.build(half(s, 0), "doc_id", "text",
+          n = 3, numPerm = 64, bands = 16, portableHash = true, maxDocFreqRatio = 1.0)
+        gen1.write.mode("overwrite").parquet(s"$dir/gen1")
+        val gen2 = graft.operators.LshIndex.build(half(s, 2), "doc_id", "text",
+          n = 3, numPerm = 64, bands = 16, portableHash = true, maxDocFreqRatio = 1.0)
+        gen2.write.mode("overwrite").parquet(s"$dir/gen2")
+        val buildSecs = (System.nanoTime() - tb0) / 1e9
+        gen1.unpersist(); gen2.unpersist()
+        val tm0 = System.nanoTime()
+        val merged = graft.operators.LshIndex.mergeMany(
+          Seq(s.read.parquet(s"$dir/gen1"), s.read.parquet(s"$dir/gen2")), "doc_id")
+        merged.write.mode("overwrite").parquet(s"$dir/merged")
+        val mergeSecs = (System.nanoTime() - tm0) / 1e9
+        val keptN = graft.operators.LshIndex.readMeta(merged)._1.nDocs
+        merged.unpersist()
+        val index = s.read.parquet(s"$dir/merged")
+        def probeOnce(): (Long, Double) = {
+          val t = System.nanoTime()
+          val p = graft.operators.LshIndex.pairsAgainst(
+            index, incoming(s), "doc_id", "text", threshold = 0.7)
+          val n = p.pairs.count()
+          val secs = (System.nanoTime() - t) / 1e9
+          p.unpersist(); s.catalog.clearCache(); System.gc()
+          (n, secs)
+        }
+        val (nPairs, probeCold) = probeOnce()
+        val (_, probeWarm) = probeOnce()
+        println(f"PROFILE merge_lifecycle factor=$f kept=$keptN pairs=$nPairs " +
+          f"build2=$buildSecs%.1f merge=$mergeSecs%.1f probe_cold=$probeCold%.1f probe_warm=$probeWarm%.1f")
+      }
       if (only.forall(_ == "ivfpq")) {
         // The IvfPqIndex claim: SAME cell pruning as IvfIndex, but the
         // probed partitions hold 4-byte packed codes instead of 64
