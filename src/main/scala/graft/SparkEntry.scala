@@ -2616,6 +2616,55 @@ object SparkEntry {
              |  array_to_string(regexp_extract_all(w, '\\{([^}]*)\\}', 1)[1:8], ' ') AS head_tokens
              |FROM applied ORDER BY doc_id""".stripMargin))
 
+    /** Token stats under the TRAINED tokenizer
+      * ([[operators.TextAnalysis.tokenStats]] BPE overload, r8 VERDICT
+      * ask #4): per-doc token count and mean token CHARACTER length
+      * (`</w>` marker stripped) under the same 8-merge model as q78 —
+      * the real-cost numbers a length profile or packing budget should
+      * use instead of the q44 regex proxy. The oracle reuses q78's
+      * training replay verbatim and measures tokens string-wise on the
+      * applied marker strings: count = brace pairs, payload = chars
+      * minus braces minus 4 per '</w>'-suffixed token; one int division
+      * per doc, so the rounded mean is bit-deterministic.
+      */
+    private val q79 = Q(
+      "q79_bpe_token_stats",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .filter(coalesce(!$"text".rlike("[{}]"), lit(true)))
+        val model = operators.Bpe.train(docs, "text", numMerges = 8)
+        val (n, meanLen) = operators.TextAnalysis.tokenStats(model, $"text")
+        docs.select($"doc_id", $"lang",
+            n.cast("long").as("n_tokens"),
+            round(meanLen, 6).as("mean_tok_len"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH words0 AS (
+             |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND trim(text) != '' AND NOT regexp_matches(text, '[{}]')),
+             |hist AS (SELECT word, count(*) AS c FROM words0 WHERE word != '' GROUP BY word),
+             |s0 AS (SELECT regexp_replace(word, '(.)', '{\\1}', 'g') || '{</w>}' AS w, c FROM hist),
+             |${sqlBpeTrainCtes(8)},
+             |d0 AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN text IS NULL OR trim(text) = '' THEN ''
+             |         ELSE replace(regexp_replace(regexp_replace(trim(text), '\\s+', ' ', 'g'),
+             |                      '(\\S)', '{\\1}', 'g'), ' ', '{</w>} ') || '{</w>}'
+             |    END AS w
+             |  FROM documents WHERE text IS NULL OR NOT regexp_matches(text, '[{}]')),
+             |applied AS (
+             |  SELECT doc_id, lang, ${sqlBpeApply("d0.w", 8)} AS w FROM d0),
+             |stats AS (
+             |  SELECT doc_id, lang,
+             |    CAST(length(w) - length(replace(w, '{', '')) AS BIGINT) AS n_tokens,
+             |    CAST(length(replace(replace(replace(w, '{', ''), '}', ''), ' ', ''))
+             |      - 4 * ((length(w) - length(replace(w, '</w>}', ''))) // 5) AS BIGINT) AS total_len
+             |  FROM applied)
+             |SELECT doc_id, lang, n_tokens,
+             |  round(CASE WHEN n_tokens > 0 THEN CAST(total_len AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS mean_tok_len
+             |FROM stats ORDER BY doc_id""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -2623,7 +2672,7 @@ object SparkEntry {
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
-      q75, q76, q77, q78)
+      q75, q76, q77, q78, q79)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

@@ -55,14 +55,44 @@ object Packing {
       idCol: String,
       textCol: String,
       budget: Int,
+      nShards: Int): DataFrame =
+    packSequencesBy(df, idCol,
+      size(TextAnalysis.tokens(col(textCol))).cast("long"), budget, nShards)
+
+  /** [[packSequences]] under a TRAINED tokenizer: chunk budgets are
+    * model token budgets, so counting with the real [[Bpe.BpeModel]]
+    * instead of the whitespace proxy is the difference between packed
+    * sequences that fit the context window and ones that overflow it
+    * (r8 VERDICT ask #4). Same sharded plan; only the per-row count
+    * kernel changes.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Int,
+      nShards: Int,
+      model: Bpe.BpeModel): DataFrame =
+    packSequencesBy(df, idCol, Bpe.tokenCount(model, col(textCol)), budget, nShards)
+
+  /** The general form: pack by ANY per-row token-count column (a
+    * whitespace proxy, a trained BPE model, a provider-specific
+    * estimator...). The count expression must be a pure function of the
+    * row (retry-idempotence — the same argument as [[Sampling]]'s
+    * hash-keyed decisions).
+    */
+  def packSequencesBy(
+      df: DataFrame,
+      idCol: String,
+      tokenCount: Column,
+      budget: Int,
       nShards: Int): DataFrame = {
     require(budget > 0 && nShards > 0, s"budget/nShards must be positive")
     val id = col(idCol)
     val shard = Sampling.hashBucket(id) % nShards
-    val nTokens = size(TextAnalysis.tokens(col(textCol))).cast("long")
     val w = Window.partitionBy(col("shard")).orderBy(id)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.select(id, shard.as("shard"), nTokens.as("n_tokens"))
+    df.select(id, shard.as("shard"), tokenCount.cast("long").as("n_tokens"))
       .withColumn("token_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(
         id, col("shard"), col("n_tokens"), col("token_start"),

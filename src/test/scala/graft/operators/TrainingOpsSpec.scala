@@ -754,6 +754,56 @@ class PackingSpec extends SparkSpec {
       .select("shard").distinct().count()
     assert(shards == 10, s"expected 10 derived shards, got $shards")
   }
+
+  test("packing under a trained BPE model: real counts, same spans as packSequencesBy (r8 ask #4)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val model = Bpe.train(docs, "text", numMerges = 8)
+    val got = Packing.packSequences(docs, "doc_id", "text", budget = 512,
+        nShards = 4, model = model)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // the overload is exactly the general form fed Bpe.tokenCount
+    val viaBy = Packing.packSequencesBy(docs, "doc_id",
+        Bpe.tokenCount(model, col("text")), budget = 512, nShards = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == viaBy)
+    // n_tokens agree with an independent per-doc count under the model
+    val want = docs.select($"doc_id", Bpe.tokenCount(model, $"text").as("n"))
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (id, _, n, _, _, _) => assert(n == want(id)) }
+    // and the spans differ from the whitespace-proxy packing: subword
+    // counts exceed word counts wherever a word splits, so chunk spans
+    // MUST move — if they didn't, the model would not be load-bearing
+    val proxy = Packing.packSequences(docs, "doc_id", "text", budget = 512, nShards = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got != proxy)
+  }
+
+  test("regex proxy vs trained-model token counts diverge and the divergence is the honest one") {
+    // q44's bpeTokenCount is a tokenizer-COST PROXY (alpha runs, digit
+    // runs, punctuation singles); a trained model counts actual merges.
+    // Pin the divergence on the classic fixture: the proxy is blind to
+    // training (counts never change), the model compresses with merges.
+    val corpus = Seq((0L,
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val proxyN = corpus.select(graft.functions.Cols.bpeTokenCount($"text"))
+      .as[Long].head()
+    assert(proxyN == 16L) // 16 alpha runs, one per word occurrence
+    val m0 = Bpe.train(corpus, "text", numMerges = 0)
+    val m10 = Bpe.train(corpus, "text", numMerges = 10)
+    val n0 = corpus.select(Bpe.tokenCount(m0, $"text")).as[Long].head()
+    val n10 = corpus.select(Bpe.tokenCount(m10, $"text")).as[Long].head()
+    // untrained model = chars + markers (far above the proxy); training
+    // collapses toward it; the proxy never moves
+    assert(n0 > proxyN && n10 < n0)
+    // mean token CHAR length under the model: markers are stripped, so
+    // an untrained model's mean is < 1 char/token never >
+    val (_, meanLen) = TextAnalysis.tokenStats(m0, $"text")
+    val mean0 = corpus.select(meanLen).as[Double].head()
+    assert(mean0 > 0.0 && mean0 < 1.0)
+  }
 }
 
 class CurationSpec extends SparkSpec {
