@@ -154,4 +154,35 @@ object Bpe {
     */
   def tokenCount(model: BpeModel, c: Column): Column =
     size(tokenize(model, c)).cast("long")
+
+  /** A trained model as a persistable artifact: one `(rank, left,
+    * right)` row per merge, rank = training order. The tokenizer is the
+    * train-once/apply-nightly member of the artifact family — the model
+    * a corpus was counted/packed under must be THE model every later
+    * run applies, bit for bit, or token budgets drift silently — so it
+    * follows the index-family contract: write once, reopen anywhere
+    * (`spark.read.parquet` + [[modelFromDf]]), nothing rides on the
+    * training session. Round-trip == identity is spec-pinned.
+    */
+  def modelToDf(spark: org.apache.spark.sql.SparkSession, model: BpeModel): DataFrame = {
+    import spark.implicits._
+    model.merges.zipWithIndex
+      .map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "left", "right")
+  }
+
+  /** Reopen a persisted model. Ranks must be exactly 0..n-1 (training
+    * order is the model — a hole or duplicate means a corrupt artifact,
+    * failed typed here rather than mis-tokenizing later).
+    */
+  def modelFromDf(df: DataFrame): BpeModel = {
+    require(Seq("rank", "left", "right").forall(df.columns.contains),
+      "not a BPE model artifact: expected columns (rank, left, right)")
+    val rows = df.select(col("rank").cast("int"), col("left"), col("right"))
+      .collect().map(r => (r.getInt(0), (r.getString(1), r.getString(2))))
+      .sortBy(_._1)
+    require(rows.map(_._1).toSeq == rows.indices.toSeq,
+      s"corrupt BPE model artifact: ranks must be exactly 0..${rows.length - 1}")
+    BpeModel(rows.map(_._2).toSeq)
+  }
 }

@@ -289,6 +289,77 @@ object ProfileScale {
         println(f"PROFILE incremental_turn factor=$f kept=$keptN curated=$nCur " +
           f"turn_cold=$turnCold%.1f turn_warm=$turnWarm%.1f")
       }
+      if (only.forall(_ == "staleness")) {
+        // Frozen-stop-set staleness, quantified (r8 VERDICT ask #7): a
+        // boilerplate template arrives ONLY AFTER the index was built,
+        // in f appended batches. The frozen probe and a fresh rebuild
+        // then disagree in both directions (LshStalenessSpec pins the
+        // mechanism): un-stopped template grams (a) pair content-
+        // unrelated docs (spurious) and (b) dilute dups of PRE-template
+        // docs below threshold (missed). Planted pairs measure recall:
+        // 200 dup-of-late (identical suffixed text — both paths must
+        // find them) and 200 dup-of-base (clean text + template —
+        // frozen dilutes them). The rebuild's price is the corpus-sized
+        // re-sign the append path exists to avoid — that tension is the
+        // cadence rule this record exists to state.
+        require(f <= 8, "staleness uses copies f+1..9 for incoming; factor must be <= 8")
+        val s = root.newSession()
+        val boil = (0 until 100).map(i => s"boilerplate${i}gram").mkString(" ")
+        def withBoil(df: DataFrame) =
+          df.withColumn("text", concat_ws(" ", col("text"), lit(boil)))
+        val span = {
+          val d = s.read.parquet(s"$sfDir/documents.parquet")
+          d.agg(max("doc_id")).head.getLong(0) + 1
+        }
+        val base = scaled(s, sfDir, 1)
+        val late = withBoil(scaled(s, sfDir, f + 1).filter(col("doc_id") >= span))
+        val incoming =
+          withBoil(scaled(s, sfDir, 10).filter(col("doc_id") >= 9 * span && col("doc_id") % 2 === 1))
+            .unionAll(late.filter(col("doc_id") < span + 200)
+              .select((col("doc_id") + 10000000L).as("doc_id"), col("text"), col("lang")))
+            .unionAll(withBoil(base.filter(col("doc_id") % 25 === 0))
+              .select((col("doc_id") + 20000000L).as("doc_id"), col("text"), col("lang")))
+        def timedSecs[A](fn: => A): (A, Double) = {
+          val t0 = System.nanoTime(); val a = fn; (a, (System.nanoTime() - t0) / 1e9)
+        }
+        val (builtBase, buildSecs) = timedSecs {
+          val ix = graft.operators.LshIndex.build(base, "doc_id", "text"); ix.count(); ix
+        }
+        val (frozenIx, appendSecs) = timedSecs {
+          val ix = graft.operators.LshIndex.append(builtBase, late, "doc_id", "text")
+          ix.count(); ix
+        }
+        val (rebuiltIx, rebuildSecs) = timedSecs {
+          val ix = graft.operators.LshIndex.build(base.unionAll(late), "doc_id", "text")
+          ix.count(); ix
+        }
+        def probe(ix: DataFrame): (Long, Long, Long, Long, Double) = {
+          val ((p, n), secs) = timedSecs {
+            val p0 = graft.operators.LshIndex.pairsAgainst(
+              ix, incoming, "doc_id", "text", threshold = 0.5)
+            (p0, p0.pairs.count())
+          }
+          val dupLate = p.pairs
+            .filter(col("id_incoming") >= 10000000L && col("id_incoming") < 20000000L)
+            .filter(col("id_existing") === col("id_incoming") - 10000000L).count()
+          val dupBase = p.pairs
+            .filter(col("id_incoming") >= 20000000L)
+            .filter(col("id_existing") === col("id_incoming") - 20000000L).count()
+          val dropped = p.droppedBuckets
+          p.unpersist()
+          (n, dupLate, dupBase, dropped, secs)
+        }
+        val (nF, dlF, dbF, drF, pF) = probe(frozenIx)
+        val (nR, dlR, dbR, drR, pR) = probe(rebuiltIx)
+        val stopF = graft.operators.LshIndex.readMeta(frozenIx)._2.length
+        val stopR = graft.operators.LshIndex.readMeta(rebuiltIx)._2.length
+        builtBase.unpersist(); frozenIx.unpersist(); rebuiltIx.unpersist()
+        println(f"PROFILE staleness factor=$f stop_frozen=$stopF stop_rebuilt=$stopR " +
+          f"pairs_frozen=$nF pairs_rebuilt=$nR " +
+          f"dup_late=$dlF/$dlR dup_base=$dbF/$dbR dropped_buckets=$drF/$drR " +
+          f"build=$buildSecs%.1f append=$appendSecs%.1f rebuild=$rebuildSecs%.1f " +
+          f"probe_frozen=$pF%.1f probe_rebuilt=$pR%.1f")
+      }
       if (only.forall(_ == "merge")) {
         // The full-fat q64 lifecycle (r8 VERDICT ask #2 moved it here
         // from the bench, which now runs the doc_id<2000 bounded slice):

@@ -97,6 +97,28 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("model artifact round-trips through Parquet into a fresh session; corrupt ranks fail typed") {
+    val m = Bpe.train(docs, "text", numMerges = 50)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_model").toString
+    Bpe.modelToDf(spark, m).write.parquet(s"$dir/model")
+    val s2 = spark.newSession()
+    val m2 = Bpe.modelFromDf(s2.read.parquet(s"$dir/model"))
+    assert(m2.merges == m.merges) // training order preserved exactly
+    // reopened model tokenizes bit-identically
+    val a = docs.select($"doc_id", Bpe.tokenize(m, $"text").as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    val b = docs.select($"doc_id", Bpe.tokenize(m2, $"text").as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(a == b)
+    // a hole in the rank sequence is a corrupt artifact, not a model
+    val holed = Bpe.modelToDf(spark, m).filter($"rank" =!= 3)
+    val e = intercept[IllegalArgumentException](Bpe.modelFromDf(holed))
+    assert(e.getMessage.contains("corrupt"))
+    val notModel = docs.limit(1)
+    val e2 = intercept[IllegalArgumentException](Bpe.modelFromDf(notModel))
+    assert(e2.getMessage.contains("not a BPE model"))
+  }
+
   test("histogram cap keeps the most frequent words and stays deterministic") {
     val corpus = Seq((0L, "aa aa aa bb bb cc")).toDF("doc_id", "text")
     // cap to 1 word: only "aa" trains — pairs (a,a) and (a,</w>) tie at
