@@ -56,14 +56,49 @@ object Bpe {
       numMerges: Int,
       maxVocabWords: Int = 1 << 20): BpeModel = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    BpeModel(mergeLoop(histogramOf(df, textCol, maxVocabWords), numMerges))
+  }
+
+  /** Train to a target VOCAB SIZE — the knob real tokenizers expose
+    * ("32k vocab"), where vocab = base symbols (every distinct
+    * character in the capped histogram, plus the [[EndOfWord]] marker)
+    * + one new symbol per merge. Runs `vocabSize - base` merges over
+    * the same histogram reduction as [[train]]; fails typed when the
+    * target doesn't exceed the base (no merge budget is not a model).
+    * Merge outputs are counted one-per-merge (the standard convention;
+    * two merge paths producing the same string is a degenerate corpus
+    * case, and the model's `merges.length` — not a distinct-string
+    * count — is what apply-time cost scales with).
+    */
+  def trainToVocab(
+      df: DataFrame,
+      textCol: String,
+      vocabSize: Int,
+      maxVocabWords: Int = 1 << 20): BpeModel = {
+    val hist = histogramOf(df, textCol, maxVocabWords)
+    val base = hist.iterator.flatMap(_._1.iterator).toSet.size + 1 // chars + </w>
+    require(vocabSize > base,
+      s"vocabSize $vocabSize must exceed the base vocabulary " +
+        s"($base = ${base - 1} distinct chars + the $EndOfWord marker)")
+    BpeModel(mergeLoop(hist, vocabSize - base))
+  }
+
+  /** The one corpus-sized pass: capped word histogram, deterministic
+    * (count desc, word asc) order.
+    */
+  private def histogramOf(
+      df: DataFrame, textCol: String, maxVocabWords: Int): Array[(String, Long)] = {
     require(maxVocabWords >= 1, s"maxVocabWords must be >= 1, got $maxVocabWords")
-    val hist = df.select(explode(words(col(textCol))).as("w"))
+    df.select(explode(words(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w").asc)
       .limit(maxVocabWords)
       .collect().map(r => r.getString(0) -> r.getLong(1))
+  }
 
-    // driver-side merge loop over vocab-sized state
+  /** Driver-side merge loop over vocab-sized state. */
+  private def mergeLoop(
+      hist: Array[(String, Long)], numMerges: Int): Seq[(String, String)] = {
     var segs: Array[(Array[String], Long)] = hist.map { case (w, c) =>
       (w.map(_.toString).toArray :+ EndOfWord, c)
     }
@@ -89,7 +124,7 @@ object Bpe {
         it += 1
       }
     }
-    BpeModel(merges.result())
+    merges.result()
   }
 
   /** One left-to-right merge pass of `pair` over a symbol sequence. */

@@ -376,6 +376,50 @@ object LshIndex {
     appended
   }
 
+  /** The staleness monitor (r9, closing the SCALE.md `staleness`
+    * record's loop): reports whether any shingle ABSENT from the frozen
+    * stop set has grown past the stop-set bar in the CURRENT corpus —
+    * the exact condition under which the measured staleness defects
+    * switch on (4-5x probe cost, several-fold spurious pairs, silently
+    * missed diluted dups; see SCALE.md). Every gram in stored doc rows
+    * is outside the frozen stop set by construction (build and append
+    * both prune before storing), so one explode + groupBy over the
+    * stored `sh` arrays IS the union-wide DF of candidate offenders —
+    * no text access, no re-shingling, no signing. Deliberately a
+    * corpus-sized doc-row scan (the price of a build's stop-set pass
+    * minus all its text CPU): run it on the nightly cadence and rebuild
+    * WHEN IT FIRES instead of on a timer.
+    *
+    * `maxDocFreqRatio`/`minDocFreq` are parameters (the build-time
+    * policy is not stored in the meta row): pass the same values the
+    * index was built with, or a stricter bar to get early warning.
+    */
+  final case class StalenessReport(
+      nDocs: Long,
+      cutoff: Long,
+      crossed: Boolean,
+      offenders: Seq[(Long, Long)]) // (shingle hash, union-wide doc freq), df desc
+
+  def stalenessReport(
+      index: DataFrame,
+      maxDocFreqRatio: Double = 0.5,
+      minDocFreq: Long = TextDedup.DefaultMinDocFreq,
+      maxOffenders: Int = 100): StalenessReport = {
+    require(maxDocFreqRatio > 0.0 && maxDocFreqRatio < 1.0,
+      s"maxDocFreqRatio must be in (0,1) for a meaningful bar, got $maxDocFreqRatio")
+    require(maxOffenders >= 1, s"maxOffenders must be >= 1, got $maxOffenders")
+    val (m, _) = readMeta(index)
+    val cutoff = math.max((m.nDocs * maxDocFreqRatio).toLong, minDocFreq)
+    val offenders = index.filter(col("band") === DocBand)
+      .select(explode(col("sh")).as("__h"))
+      .groupBy("__h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > cutoff)
+      .orderBy(col("__df").desc, col("__h"))
+      .limit(maxOffenders)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    StalenessReport(m.nDocs, cutoff, offenders.nonEmpty, offenders)
+  }
+
   /** Probe SEVERAL index generations with one incoming batch — the
     * production layout for a kept corpus too large to rebuild as one
     * artifact (e.g. one index per monthly crawl, each built and

@@ -37,19 +37,32 @@ object BoilerplateGate {
   /** Mutable gate state: call [[filterBatch]] from `foreachBatch` (Spark
     * invokes it serially per stream; the lock also makes sharing one
     * gate across streams safe).
+    *
+    * `checkpointPath`/`checkpointEvery`: when both set, each
+    * `checkpointEvery`-th batch also durably writes the post-append
+    * index to `<checkpointPath>/line_index_<seq>` — the
+    * [[GateCheckpoints]] family contract (r9); reopen with
+    * [[latestCheckpoint]] on restart.
     */
   final class Gate(
       initialIndex: DataFrame,
       idCol: String,
       textCol: String,
       maxDocFreq: Long,
-      joiner: Option[String] = None) {
+      joiner: Option[String] = None,
+      checkpointPath: Option[String] = None,
+      checkpointEvery: Int = 0) {
 
     private var index: DataFrame = initialIndex
     private var owned = false // never unpersist the caller's initial index
+    private var batches = 0L
+    private var lastCkpt: Option[String] = None
 
     /** The live index (initial corpus + every raw batch so far). */
     def currentIndex: DataFrame = synchronized(index)
+
+    /** Path of the newest durable checkpoint written, if any. */
+    def lastCheckpoint: Option[String] = synchronized(lastCkpt)
 
     /** Returns the batch rebuilt without over-frequent lines
       * (`(idCol, text_kept, n_total, n_kept)`, one row per batch doc)
@@ -64,7 +77,15 @@ object BoilerplateGate {
       if (owned) index.unpersist()
       index = next
       owned = true
+      batches += 1
+      GateCheckpoints.maybeWrite(index, checkpointPath, checkpointEvery,
+        "line_index_", batches).foreach(p => lastCkpt = Some(p))
       out
     }
   }
+
+  /** Newest `line_index_<seq>` artifact under `path`, or None. */
+  def latestCheckpoint(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[DataFrame] =
+    GateCheckpoints.latest(spark, path, "line_index_")
 }

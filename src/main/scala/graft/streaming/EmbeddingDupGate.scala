@@ -47,13 +47,26 @@ object EmbeddingDupGate {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      nProbe: Int = 2) {
+      nProbe: Int = 2,
+      checkpointPath: Option[String] = None,
+      checkpointEvery: Int = 0) {
 
     private var index: DataFrame = initialIndex
     private var owned = false // never unpersist the caller's initial index
+    private var batches = 0L
+    private var lastCkpt: Option[String] = None
 
     /** The live index (initial corpus + all survivors so far). */
     def currentIndex: DataFrame = synchronized(index)
+
+    /** Path of the newest durable checkpoint written, if any — the
+      * [[GateCheckpoints]] family contract (r9): every
+      * `checkpointEvery`-th batch writes the post-append index to
+      * `<checkpointPath>/ivf_index_<seq>` (write it cell-partitioned
+      * yourself if probes will run straight off the artifact); reopen
+      * with [[latestCheckpoint]] on restart.
+      */
+    def lastCheckpoint: Option[String] = synchronized(lastCkpt)
 
     /** Returns the batch rows that survive the gate (batch columns and
       * order preserved) and appends them to the index.
@@ -68,7 +81,15 @@ object EmbeddingDupGate {
       if (owned) index.unpersist()
       index = next
       owned = true
+      batches += 1
+      GateCheckpoints.maybeWrite(index, checkpointPath, checkpointEvery,
+        "ivf_index_", batches).foreach(p => lastCkpt = Some(p))
       survivors
     }
   }
+
+  /** Newest `ivf_index_<seq>` artifact under `path`, or None. */
+  def latestCheckpoint(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[DataFrame] =
+    GateCheckpoints.latest(spark, path, "ivf_index_")
 }

@@ -46,13 +46,25 @@ object NearDupGate {
       initialIndex: DataFrame,
       idCol: String,
       textCol: String,
-      threshold: Double = 0.8) {
+      threshold: Double = 0.8,
+      checkpointPath: Option[String] = None,
+      checkpointEvery: Int = 0) {
 
     private var index: DataFrame = initialIndex
     private var owned = false // never unpersist the caller's initial index
+    private var batches = 0L
+    private var lastCkpt: Option[String] = None
 
     /** The live index (initial corpus + all survivors so far). */
     def currentIndex: DataFrame = synchronized(index)
+
+    /** Path of the newest durable checkpoint written, if any — the
+      * [[GateCheckpoints]] family contract (r9): every
+      * `checkpointEvery`-th batch writes the post-append index to
+      * `<checkpointPath>/lsh_index_<seq>`; reopen with
+      * [[latestCheckpoint]] on restart.
+      */
+    def lastCheckpoint: Option[String] = synchronized(lastCkpt)
 
     /** Returns the batch rows that survive the gate (batch columns and
       * order preserved) and appends them to the index.
@@ -67,7 +79,15 @@ object NearDupGate {
       if (owned) index.unpersist()
       index = next
       owned = true
+      batches += 1
+      GateCheckpoints.maybeWrite(index, checkpointPath, checkpointEvery,
+        "lsh_index_", batches).foreach(p => lastCkpt = Some(p))
       survivors
     }
   }
+
+  /** Newest `lsh_index_<seq>` artifact under `path`, or None. */
+  def latestCheckpoint(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[DataFrame] =
+    GateCheckpoints.latest(spark, path, "lsh_index_")
 }

@@ -102,12 +102,8 @@ object SpanGate {
       index = next
       owned = true
       batches += 1
-      if (checkpointEvery >= 1 && checkpointPath.exists(_.nonEmpty)
-          && batches % checkpointEvery == 0) {
-        val p = s"${checkpointPath.get}/span_index_$batches"
-        index.write.parquet(p)
-        lastCkpt = Some(p)
-      }
+      GateCheckpoints.maybeWrite(index, checkpointPath, checkpointEvery,
+        "span_index_", batches).foreach(p => lastCkpt = Some(p))
       out
     }
   }
@@ -117,18 +113,6 @@ object SpanGate {
     * recovery contract (the caller then `mergeMany`s builds of any raw
     * batches newer than the artifact and seeds a fresh [[Gate]]).
     */
-  def latestCheckpoint(spark: SparkSession, path: String): Option[DataFrame] = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dir = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(dir)) None
-    else {
-      val seqs = fs.listStatus(dir).toSeq
-        .map(_.getPath.getName)
-        .filter(_.startsWith("span_index_"))
-        .flatMap(n => scala.util.Try(n.stripPrefix("span_index_").toLong).toOption.map(n -> _))
-      if (seqs.isEmpty) None
-      else Some(spark.read.parquet(s"$path/${seqs.maxBy(_._2)._1}"))
-    }
-  }
+  def latestCheckpoint(spark: SparkSession, path: String): Option[DataFrame] =
+    GateCheckpoints.latest(spark, path, "span_index_")
 }

@@ -97,6 +97,24 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("trainToVocab: vocab budget = base symbols + merges; under-budget fails typed") {
+    val corpus = Seq((0L,
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+      .toDF("doc_id", "text")
+    // distinct chars: l o w e r n s t i d -> 10; base vocab = 11 with </w>
+    val m = Bpe.trainToVocab(corpus, "text", vocabSize = 14)
+    assert(m.merges == Bpe.train(corpus, "text", numMerges = 3).merges)
+    // the emitted symbol inventory respects the budget
+    val symbols = corpus.select(Bpe.tokenize(m, $"text").as("t"))
+      .as[Seq[String]].head().toSet
+    assert(symbols.size <= 14)
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainToVocab(corpus, "text", vocabSize = 11)
+    }
+    assert(e.getMessage.contains("must exceed the base vocabulary"))
+  }
+
   test("model artifact round-trips through Parquet into a fresh session; corrupt ranks fail typed") {
     val m = Bpe.train(docs, "text", numMerges = 50)
     val dir = java.nio.file.Files.createTempDirectory("bpe_model").toString

@@ -83,4 +83,42 @@ class LshStalenessSpec extends SparkSpec {
     // the rebuild fixes both defects: exactly the ten true pairs, nothing else
     assert(rebuilt == dupOfLate ++ dupOfClean)
   }
+
+  test("stalenessReport fires exactly when a new gram family crosses the frozen bar") {
+    val boil = " subscribe to our newsletter and accept all cookies to continue " +
+      "reading this exclusive premium article today best regards the editorial team"
+    def uniq(prefix: String, i: Long) =
+      (0 until 5).map(k => s"$prefix${i * 37 + k * 11}z").mkString(" ")
+    val base = (0L until 100L).map(i => (i, uniq("q", i))).toDF("doc_id", "text")
+    val late = (1000L until 1150L).map(i => (i, uniq("v", i - 1000 + 200) + boil))
+      .toDF("doc_id", "text")
+
+    val built = LshIndex.build(base, "doc_id", "text", minDocFreq = 0)
+    // clean corpus: nothing outside the frozen stop set is anywhere near
+    // the bar (per-doc content is unique)
+    val before = LshIndex.stalenessReport(built, minDocFreq = 0)
+    assert(!before.crossed && before.offenders.isEmpty)
+    assert(before.nDocs == 100L && before.cutoff == 50L)
+
+    // appending a sub-bar template batch must NOT fire (the SCALE.md
+    // f=1 finding: below the bar a rebuild buys nothing, so alerting
+    // there would schedule useless rebuilds)
+    val halfway = LshIndex.append(built, late.filter($"doc_id" < 1080), "doc_id", "text")
+    val mid = LshIndex.stalenessReport(halfway, minDocFreq = 0)
+    assert(!mid.crossed, s"80/180 docs with the template is under the 0.5 bar: $mid")
+
+    // past the bar: the report fires and the offenders are exactly the
+    // late template's gram family (every stored gram with df > cutoff
+    // must come from the boilerplate — content grams are unique per doc)
+    val stale = LshIndex.append(built, late, "doc_id", "text")
+    val after = LshIndex.stalenessReport(stale, minDocFreq = 0)
+    assert(after.crossed && after.nDocs == 250L && after.cutoff == 125L)
+    assert(after.offenders.nonEmpty && after.offenders.forall(_._2 == 150L))
+    // ... and a rebuild under the same policy stops that exact family,
+    // silencing the report: the monitor-then-rebuild loop closes
+    val rebuilt = LshIndex.build(base.unionAll(late), "doc_id", "text", minDocFreq = 0)
+    val healed = LshIndex.stalenessReport(rebuilt, minDocFreq = 0)
+    assert(!healed.crossed && healed.offenders.isEmpty)
+    built.unpersist(); halfway.unpersist(); stale.unpersist(); rebuilt.unpersist()
+  }
 }
