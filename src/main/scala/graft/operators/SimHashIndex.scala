@@ -336,6 +336,40 @@ object SimHashIndex {
     * trusted there). Ids must be unique across all generations and the
     * batch.
     */
+  /** The Hamming family's staleness monitor (r9, the
+    * [[LshIndex.stalenessReport]] twin): this family freezes no stop
+    * set, so its one drifting statistic is BUCKET COUNTS — [[append]]
+    * stores batch-local `cnt`s, and the probe's combined-size cap test
+    * (`cnt + cnt_i > cap`) evaluates per stored row, so a bucket grown
+    * past the frozen cap across several appends is never suppressed as
+    * long as each append's share stayed under it. That is documented
+    * under-suppression (probes only ever verify MORE pairs, never miss
+    * one), but the unbounded join cost the cap exists to bound grows
+    * with it. This report recounts every bucket from entry rows (one
+    * columnar scan, no text) and lists buckets whose TRUE size exceeds
+    * the frozen cap while every stored row still claims under-cap —
+    * exactly the buckets [[compact]] would repair (recount) and a
+    * rebuild would drop. Run nightly; `compact` when it fires.
+    */
+  final case class CapDriftReport(
+      nDocs: Long,
+      cap: Int,
+      crossed: Boolean,
+      drifted: Seq[(Int, Long, Long, Long)]) // (seg, value, true size, max stored cnt), size desc
+
+  def capDriftReport(index: DataFrame, maxBuckets: Int = 100): CapDriftReport = {
+    require(maxBuckets >= 1, s"maxBuckets must be >= 1, got $maxBuckets")
+    val m = readMeta(index)
+    val drifted = index.filter(col("seg") >= 0)
+      .groupBy("seg", "value")
+      .agg(count(lit(1)).as("__true"), max(col("cnt")).as("__stored"))
+      .filter(col("__true") > m.maxBucketSize && col("__stored") <= m.maxBucketSize)
+      .orderBy(col("__true").desc, col("seg"), col("value"))
+      .limit(maxBuckets)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    CapDriftReport(m.nDocs, m.maxBucketSize, drifted.nonEmpty, drifted)
+  }
+
   def pairsAgainstMany(
       indexes: Seq[DataFrame],
       incoming: DataFrame,

@@ -121,4 +121,36 @@ class LshStalenessSpec extends SparkSpec {
     assert(!healed.crossed && healed.offenders.isEmpty)
     built.unpersist(); halfway.unpersist(); stale.unpersist(); rebuilt.unpersist()
   }
+
+  test("SimHash capDriftReport: appends grow a bucket past the frozen cap unnoticed; compact repairs and silences") {
+    // identical texts share every segment bucket; batch-local appended
+    // counts (6 per batch) each stay under the cap of 10 while the TRUE
+    // bucket size crosses it — the documented under-suppression this
+    // monitor exists to surface
+    def batch(ids: Range) = ids.map(i => (i.toLong, "the same exact boilerplate page"))
+      .toDF("doc_id", "text")
+    val built = SimHashIndex.build(batch(0 until 6), "doc_id", "text",
+      segments = 4, maxBucketSize = 10)
+    val before = SimHashIndex.capDriftReport(built)
+    assert(!before.crossed && before.cap == 10)
+
+    var ix = built
+    Seq(100 until 106, 200 until 206, 300 until 306).foreach { ids =>
+      ix = SimHashIndex.append(ix, batch(ids), "doc_id", "text")
+    }
+    val after = SimHashIndex.capDriftReport(ix)
+    assert(after.crossed && after.nDocs == 24L)
+    // all 4 segment buckets of the shared fingerprint drifted: true
+    // size 24 > cap 10, yet no stored row claims more than 6
+    assert(after.drifted.size == 4)
+    assert(after.drifted.forall { case (_, _, t, s) => t == 24L && s == 6L })
+
+    // compact recounts from stored rows — the oversized buckets get the
+    // one-shot drop and the report goes silent
+    val compacted = SimHashIndex.compact(ix, "doc_id")
+    val healed = SimHashIndex.capDriftReport(compacted)
+    assert(!healed.crossed && healed.drifted.isEmpty)
+    assert(SimHashIndex.readMeta(compacted).nDocs == 24L)
+    built.unpersist(); compacted.unpersist()
+  }
 }
