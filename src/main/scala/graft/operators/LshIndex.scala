@@ -420,6 +420,41 @@ object LshIndex {
     StalenessReport(m.nDocs, cutoff, offenders.nonEmpty, offenders)
   }
 
+  /** The monitor-then-rebuild nightly loop as one call: run
+    * [[stalenessReport]]; if it fires, [[build]] a fresh index over
+    * `corpus` (the kept corpus's raw text — the one input the index
+    * cannot reconstruct) reusing the EXACT frozen recipe from the meta
+    * row (n / numPerm / bands / seed / hash mode / bucket cap), so the
+    * rebuild is the same index with a fresh stop set and exact counts —
+    * never an accidental recipe change; if it stays silent, return the
+    * index untouched (the SCALE.md `staleness` record's finding 1:
+    * below the bar a rebuild buys nothing). The returned report is the
+    * evidence either way — log it.
+    *
+    * The caller owns consistency between `index` and `corpus`: pass the
+    * same kept corpus the index covers (nDocs mismatch fails typed as a
+    * cheap guard against probing last week's corpus frame).
+    */
+  def rebuildIfStale(
+      index: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocFreqRatio: Double = 0.5,
+      minDocFreq: Long = TextDedup.DefaultMinDocFreq): (DataFrame, StalenessReport) = {
+    val (m, _) = readMeta(index)
+    val report = stalenessReport(index, maxDocFreqRatio, minDocFreq)
+    if (!report.crossed) (index, report)
+    else {
+      val n = corpus.count()
+      require(n == m.nDocs,
+        s"corpus has $n docs but the index covers ${m.nDocs} — rebuildIfStale " +
+          "needs the exact kept corpus the index was grown over")
+      (build(corpus, idCol, textCol, m.n, m.numPerm, m.bands, m.seed,
+        m.maxBucketSize, maxDocFreqRatio, m.portableHash, minDocFreq), report)
+    }
+  }
+
   /** Probe SEVERAL index generations with one incoming batch — the
     * production layout for a kept corpus too large to rebuild as one
     * artifact (e.g. one index per monthly crawl, each built and

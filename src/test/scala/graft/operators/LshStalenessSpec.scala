@@ -122,6 +122,38 @@ class LshStalenessSpec extends SparkSpec {
     built.unpersist(); halfway.unpersist(); stale.unpersist(); rebuilt.unpersist()
   }
 
+  test("rebuildIfStale: no-op below the bar, exact-recipe rebuild past it, corpus mismatch fails typed") {
+    val boil = " subscribe to our newsletter and accept all cookies to continue " +
+      "reading this exclusive premium article today best regards the editorial team"
+    def uniq(prefix: String, i: Long) =
+      (0 until 5).map(k => s"$prefix${i * 37 + k * 11}z").mkString(" ")
+    val base = (0L until 100L).map(i => (i, uniq("q", i))).toDF("doc_id", "text")
+    val late = (1000L until 1150L).map(i => (i, uniq("v", i - 1000 + 200) + boil))
+      .toDF("doc_id", "text")
+
+    val built = LshIndex.build(base, "doc_id", "text", minDocFreq = 0)
+    // clean: untouched (the same frame back) + silent report
+    val (same, quiet) = LshIndex.rebuildIfStale(built, base, "doc_id", "text", minDocFreq = 0)
+    assert((same eq built) && !quiet.crossed)
+
+    val stale = LshIndex.append(built, late, "doc_id", "text")
+    val corpus = base.unionAll(late)
+    // wrong corpus frame: cheap typed guard, not a silent wrong rebuild
+    val e = intercept[IllegalArgumentException] {
+      LshIndex.rebuildIfStale(stale, base, "doc_id", "text", minDocFreq = 0)
+    }
+    assert(e.getMessage.contains("rebuildIfStale"))
+    // stale: rebuilds under the meta row's exact recipe; the report that
+    // triggered it comes back as evidence, and the new index is healthy
+    val (fresh, fired) = LshIndex.rebuildIfStale(stale, corpus, "doc_id", "text", minDocFreq = 0)
+    assert(fired.crossed)
+    val direct = LshIndex.build(corpus, "doc_id", "text", minDocFreq = 0)
+    assert(LshIndex.readMeta(fresh)._1 == LshIndex.readMeta(direct)._1)
+    assert(LshIndex.readMeta(fresh)._2.toSet == LshIndex.readMeta(direct)._2.toSet)
+    assert(!LshIndex.stalenessReport(fresh, minDocFreq = 0).crossed)
+    built.unpersist(); stale.unpersist(); fresh.unpersist(); direct.unpersist()
+  }
+
   test("SimHash capDriftReport: appends grow a bucket past the frozen cap unnoticed; compact repairs and silences") {
     // identical texts share every segment bucket; batch-local appended
     // counts (6 per batch) each stay under the cap of 10 while the TRUE
