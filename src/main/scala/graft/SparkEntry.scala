@@ -2665,6 +2665,53 @@ object SparkEntry {
              |  round(CASE WHEN n_tokens > 0 THEN CAST(total_len AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS mean_tok_len
              |FROM stats ORDER BY doc_id""".stripMargin))
 
+    /** Staleness monitor replay ([[operators.LshIndex.stalenessReport]],
+      * r9 T49): build a portable-hash index over the even docs, append
+      * the odd docs with a late boilerplate suffix, and emit the
+      * monitor's offender list — every shingle outside the frozen stop
+      * set whose union-wide DF crossed the bar. The oracle replays the
+      * whole loop from the q24 md5-shingle recipe: frozen stop set from
+      * the evens, per-doc pruned gram sets for ALL stored docs, union
+      * DF, bar filter, (df desc, sh) order, the maxOffenders limit.
+      */
+    private val q80 = Q(
+      "q80_staleness_report",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val kept = docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+        val late = docs.filter(col("doc_id") % 2 =!= 0).select(col("doc_id"),
+          concat(col("text"), lit(" join our mailing list and subscribe today")).as("text"))
+        val built = operators.LshIndex.build(kept, "doc_id", "text",
+          n = 3, numPerm = 64, bands = 16, portableHash = true, minDocFreq = 0)
+        val stale = operators.LshIndex.append(built, late, "doc_id", "text")
+        val report = operators.LshIndex.stalenessReport(
+          stale, maxDocFreqRatio = 0.5, minDocFreq = 0)
+        built.unpersist(); stale.unpersist()
+        val out = { import s.implicits._; report.offenders.toDF("sh", "df") }
+        out.orderBy(col("df").desc, col("sh"))
+      },
+      Some("""WITH txt AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 2 = 0 THEN text
+             |         ELSE text || ' join our mailing list and subscribe today' END AS text
+             |  FROM documents),
+             |sh0 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN text IS NULL THEN CAST([] AS BIGINT[]) ELSE
+             |      list_distinct([CAST('0x' || substr(md5(substr(lower(text), i, 3)), 1, 8) AS BIGINT)
+             |                     FOR i IN range(1, greatest(length(text) - 2, 0) + 1)]) END AS hs
+             |  FROM txt),
+             |stop AS (
+             |  SELECT h FROM (SELECT unnest(hs) AS h FROM sh0 WHERE doc_id % 2 = 0)
+             |  GROUP BY h
+             |  HAVING count(*) > floor((SELECT count(*) FROM documents WHERE doc_id % 2 = 0) * 0.5)),
+             |pruned AS (
+             |  SELECT doc_id, h FROM (SELECT doc_id, unnest(hs) AS h FROM sh0)
+             |  WHERE h NOT IN (SELECT h FROM stop))
+             |SELECT h AS sh, count(*) AS df FROM pruned GROUP BY h
+             |HAVING count(*) > floor((SELECT count(*) FROM documents) * 0.5)
+             |ORDER BY df DESC, sh LIMIT 100""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -2672,7 +2719,7 @@ object SparkEntry {
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
-      q75, q76, q77, q78, q79)
+      q75, q76, q77, q78, q79, q80)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.
