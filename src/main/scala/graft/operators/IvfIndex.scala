@@ -199,6 +199,46 @@ object IvfIndex {
     out
   }
 
+  /** The embedding family's drift monitor (r9, completing the
+    * monitor-per-family story: `LshIndex.stalenessReport` watches the
+    * frozen stop set, `SimHashIndex.capDriftReport` the frozen bucket
+    * cap — here the one frozen statistic is the QUANTIZER itself).
+    * Appends are exact, so nothing in this index is ever *wrong*; what
+    * drifts is cell BALANCE: as the embedding distribution moves away
+    * from the one the centroids were fitted on, documents pile into few
+    * cells — probe latency concentrates there (a probe scans its
+    * `nProbe` cells in full) and recall degrades for queries landing in
+    * over-full cells' neighborhoods. One stored-row groupBy (no
+    * vectors touched beyond the `cell` column): occupancy per cell,
+    * the max/mean skew factor, and empty-cell count. A balanced index
+    * reads skew ~1-3; a skew of `nCentroids` means one cell holds
+    * everything and probes degenerate to brute force over it. The
+    * remedy is a quantizer re-fit + rebuild; this report is the
+    * measured trigger.
+    */
+  final case class CellOccupancy(
+      nDocs: Long,
+      nCentroids: Int,
+      nonEmptyCells: Int,
+      maxCell: Long,
+      meanPerCell: Double,
+      skew: Double, // maxCell / (nDocs / nCentroids); 0 on an empty index
+      top: Seq[(Int, Long)]) // (cell, docs), occupancy desc
+
+  def cellOccupancyReport(index: DataFrame, topK: Int = 16): CellOccupancy = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val (m, _) = readMeta(index)
+    val occ = index.filter(col("cell") >= 0)
+      .groupBy("cell").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("cell"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val nDocs = occ.map(_._2).sum
+    val maxCell = occ.headOption.map(_._2).getOrElse(0L)
+    val mean = if (m.nCentroids > 0) nDocs.toDouble / m.nCentroids else 0.0
+    CellOccupancy(nDocs, m.nCentroids, occ.size, maxCell, mean,
+      if (mean > 0) maxCell / mean else 0.0, occ.take(topK))
+  }
+
   /** Probe SEVERAL index generations and return the GLOBAL top-k — the
     * [[LshIndex.pairsAgainstMany]] layout applied to ANN serving (one
     * index per ingest epoch, each built once). Correctness leans on a

@@ -260,4 +260,26 @@ class IvfIndexSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](IvfIndex.readMeta(noMeta))
     assert(e2.getMessage.contains("exactly one meta row"))
   }
+
+  test("cellOccupancyReport: balanced on the fitted corpus, degenerate skew on a drifted one") {
+    // the quantizer was fitted on this corpus: occupancy must be spread
+    // (every cell populated, skew far from the one-cell degenerate)
+    val fitted = IvfIndex.build(emb, "vec_id", "embedding", IvfCentroids.centroids)
+    val ok = IvfIndex.cellOccupancyReport(fitted)
+    assert(ok.nCentroids == 16 && ok.nonEmptyCells >= 12) // 13/16 on this fit
+    assert(ok.nDocs == emb.count())
+    assert(ok.skew >= 1.0 && ok.skew < 8.0, s"fitted corpus should be spread: $ok")
+    assert(ok.top.size == ok.nonEmptyCells && ok.top.head._2 == ok.maxCell)
+
+    // drifted distribution: every vector identical -> one cell holds
+    // everything, the exact condition the report exists to surface
+    val one = emb.filter($"vec_id" === 0L).select($"embedding")
+    val drifted = spark.range(200).select($"id".as("vec_id")).crossJoin(one)
+    val degen = IvfIndex.build(drifted, "vec_id", "embedding", IvfCentroids.centroids)
+    val bad = IvfIndex.cellOccupancyReport(degen, topK = 4)
+    assert(bad.nonEmptyCells == 1 && bad.maxCell == 200L)
+    assert(bad.skew == 16.0, s"one-cell pileup must read skew == nCentroids: $bad")
+    assert(bad.top == Seq(bad.top.head) || bad.top.size == 1)
+    fitted.unpersist(); degen.unpersist()
+  }
 }
