@@ -239,6 +239,34 @@ object IvfIndex {
       if (mean > 0) maxCell / mean else 0.0, occ.take(topK))
   }
 
+  /** [[cellOccupancyReport]] over SEVERAL generations, WITHOUT
+    * materializing [[mergeMany]] (exact there, but it still unions and
+    * re-persists every doc row for a read-only question): occupancy of
+    * the shared cell space across all generations' doc rows in one
+    * groupBy. Because assignment is a pure function of the shared
+    * frozen quantizer, this IS [[cellOccupancyReport]] of the merged
+    * artifact (pinned by IvfIndexSpec) — the epoch-layout's re-fit
+    * trigger without touching a vector.
+    */
+  def cellOccupancyReportMany(
+      indexes: Seq[DataFrame], topK: Int = 16): CellOccupancy = {
+    require(indexes.nonEmpty, "need at least one index generation")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val metasCtrs = indexes.map(readMeta)
+    requireOneQuantizer(metasCtrs.map(_._2))
+    val nCentroids = metasCtrs.head._1.nCentroids
+    val occ = indexes.map(_.filter(col("cell") >= 0).select(col("cell")))
+      .reduce(_ unionAll _)
+      .groupBy("cell").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("cell"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val nDocs = occ.map(_._2).sum
+    val maxCell = occ.headOption.map(_._2).getOrElse(0L)
+    val mean = if (nCentroids > 0) nDocs.toDouble / nCentroids else 0.0
+    CellOccupancy(nDocs, nCentroids, occ.size, maxCell, mean,
+      if (mean > 0) maxCell / mean else 0.0, occ.take(topK))
+  }
+
   /** Probe SEVERAL index generations and return the GLOBAL top-k — the
     * [[LshIndex.pairsAgainstMany]] layout applied to ANN serving (one
     * index per ingest epoch, each built once). Correctness leans on a

@@ -455,6 +455,58 @@ object LshIndex {
     }
   }
 
+  /** [[stalenessReport]] over SEVERAL generations — the monthly-index
+    * layout's monitor, WITHOUT materializing [[mergeMany]] first (the
+    * merge unions doc AND entry rows and recounts every bucket; the
+    * monitor needs only the doc rows' pruned shingle sets, so running
+    * it through a merge would pay a full compact for a read-only
+    * question). Union-wide document frequency per un-stopped shingle,
+    * one columnar scan over each generation's doc rows, zero text CPU;
+    * the bar is `max(totalDocs * maxDocFreqRatio, minDocFreq)` over the
+    * COMBINED doc count — exactly what [[stalenessReport]] on the
+    * merged artifact would compute (pinned by LshStalenessSpec).
+    *
+    * Compatibility bar: same shingle space only — `n` / hash mode and
+    * one frozen stop set (stored shingles pruned by different stop sets
+    * are not comparable). Deliberately NOT the full probe bar
+    * (numPerm/bands/seed/cap don't enter a document-frequency count);
+    * generations probeable together are always monitorable together,
+    * but not vice versa.
+    */
+  def stalenessReportMany(
+      indexes: Seq[DataFrame],
+      maxDocFreqRatio: Double = 0.5,
+      minDocFreq: Long = TextDedup.DefaultMinDocFreq,
+      maxOffenders: Int = 100): StalenessReport = {
+    require(indexes.nonEmpty, "need at least one index generation")
+    require(maxDocFreqRatio > 0.0 && maxDocFreqRatio < 1.0,
+      s"maxDocFreqRatio must be in (0,1) for a meaningful bar, got $maxDocFreqRatio")
+    require(maxOffenders >= 1, s"maxOffenders must be >= 1, got $maxOffenders")
+    val metasStops = indexes.map(readMeta)
+    val metas = metasStops.map(_._1)
+    require(metas.forall(m => m.n == metas.head.n &&
+      m.portableHash == metas.head.portableHash),
+      "index generations disagree on the shingle recipe (n / hash mode) — " +
+        "their stored shingle hashes share no comparable space")
+    val stops = metasStops.map(_._2.sorted.toSeq)
+    require(stops.forall(_ == stops.head),
+      "index generations disagree on the frozen stop set — stored " +
+        "shingles were pruned differently and share no comparable space; " +
+        "rebuild the generations from raw text with one recipe")
+    val nDocs = metas.map(_.nDocs).sum
+    val cutoff = math.max((nDocs * maxDocFreqRatio).toLong, minDocFreq)
+    val offenders = indexes
+      .map(_.filter(col("band") === DocBand).select(col("sh")))
+      .reduce(_ unionAll _)
+      .select(explode(col("sh")).as("__h"))
+      .groupBy("__h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > cutoff)
+      .orderBy(col("__df").desc, col("__h"))
+      .limit(maxOffenders)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    StalenessReport(nDocs, cutoff, offenders.nonEmpty, offenders)
+  }
+
   /** Probe SEVERAL index generations with one incoming batch — the
     * production layout for a kept corpus too large to rebuild as one
     * artifact (e.g. one index per monthly crawl, each built and

@@ -370,6 +370,39 @@ object SimHashIndex {
     CapDriftReport(m.nDocs, m.maxBucketSize, drifted.nonEmpty, drifted)
   }
 
+  /** [[capDriftReport]] over SEVERAL generations, WITHOUT materializing
+    * [[mergeMany]] (the merge recounts and rewrites every entry row;
+    * the monitor needs one read-only groupBy over the unioned entry
+    * rows). Surfaces buckets whose UNION-WIDE true size exceeds the
+    * shared frozen cap while every stored row still claims under-cap —
+    * exactly the buckets a default (`globalCap = false`)
+    * [[pairsAgainstMany]] keeps verifying pairs in (each generation's
+    * share is under the cap, so no per-generation probe suppresses
+    * them) but the one-shot union cap would suppress. When it fires,
+    * the measured remedies are `pairsAgainstMany(globalCap = true)`
+    * (exact union semantics, no rebuild) or [[mergeMany]] (one
+    * artifact, recounted); staying on the default is also legitimate —
+    * the cost is bounded extra verification, never a missed pair.
+    */
+  def capDriftReportMany(
+      indexes: Seq[DataFrame], maxBuckets: Int = 100): CapDriftReport = {
+    require(indexes.nonEmpty, "need at least one index generation")
+    require(maxBuckets >= 1, s"maxBuckets must be >= 1, got $maxBuckets")
+    val metas = indexes.map(readMeta)
+    requireOneRecipe(metas)
+    val m = metas.head
+    val drifted = indexes.map(_.filter(col("seg") >= 0)
+        .select(col("seg"), col("value"), col("cnt")))
+      .reduce(_ unionAll _)
+      .groupBy("seg", "value")
+      .agg(count(lit(1)).as("__true"), max(col("cnt")).as("__stored"))
+      .filter(col("__true") > m.maxBucketSize && col("__stored") <= m.maxBucketSize)
+      .orderBy(col("__true").desc, col("seg"), col("value"))
+      .limit(maxBuckets)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    CapDriftReport(metas.map(_.nDocs).sum, m.maxBucketSize, drifted.nonEmpty, drifted)
+  }
+
   def pairsAgainstMany(
       indexes: Seq[DataFrame],
       incoming: DataFrame,

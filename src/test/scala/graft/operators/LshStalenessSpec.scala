@@ -185,4 +185,118 @@ class LshStalenessSpec extends SparkSpec {
     assert(SimHashIndex.readMeta(compacted).nDocs == 24L)
     built.unpersist(); compacted.unpersist()
   }
+
+  test("stalenessReportMany: union-wide bar without materializing the merge; per-generation alarms can be union noise") {
+    // tokens spread BOTH boundary characters over the alphabet so no
+    // junction 3-gram ("<last> <first>") is generation-common: the only
+    // grams that can cross any bar are the injected template's. Built
+    // with maxDocFreqRatio = 1.0 (empty frozen stop sets — the shared
+    // shingle space the monitor requires), monitored at the 0.5 bar.
+    def tok(i: Long, k: Int): String = {
+      val a = ('a' + ((i * 5 + k) % 26)).toChar
+      val b = ('a' + ((i * 7 + k * 3) % 26)).toChar
+      s"$a${i * 37 + k * 11}$b"
+    }
+    def uniq(i: Long) = (0 until 5).map(k => tok(i, k)).mkString(" ")
+    val boil = " subscribe to our newsletter and accept all cookies to continue " +
+      "reading this exclusive premium article today best regards the editorial team"
+    val cleanA = (0L until 100L).map(i => (i, uniq(i))).toDF("doc_id", "text")
+    val cleanB = (500L until 550L).map(i => (i, uniq(i))).toDF("doc_id", "text")
+
+    // generation B drifts past ITS OWN bar via appends (template df
+    // 200/250 > 125) while generation A stays clean
+    val genA = LshIndex.build(cleanA, "doc_id", "text",
+      maxDocFreqRatio = 1.0, minDocFreq = 0)
+    val lateB = (1000L until 1200L).map(i => (i, uniq(i) + boil)).toDF("doc_id", "text")
+    val genB = LshIndex.append(
+      LshIndex.build(cleanB, "doc_id", "text", maxDocFreqRatio = 1.0, minDocFreq = 0),
+      lateB, "doc_id", "text")
+    assert(LshIndex.stalenessReport(genB, minDocFreq = 0).crossed)
+
+    // union view: 200 templated of 350 docs crosses the union bar too —
+    // and the direct union report must EQUAL the report over the
+    // materialized merge, field for field
+    val many = LshIndex.stalenessReportMany(Seq(genA, genB), minDocFreq = 0)
+    val merged = LshIndex.mergeMany(Seq(genA, genB), "doc_id")
+    val viaMerge = LshIndex.stalenessReport(merged, minDocFreq = 0)
+    assert(many == viaMerge)
+    assert(many.crossed && many.nDocs == 350L && many.cutoff == 175L)
+    // every offender carries the 200 templated docs (a handful of
+    // template grams additionally collide with content-junction grams
+    // in a few clean docs, so >= not ==; no pure-content gram can reach
+    // the 175 bar on its own)
+    assert(many.offenders.nonEmpty && many.offenders.forall(_._2 >= 200L),
+      s"every offender must be the late template's gram family: $many")
+
+    // the converse geometry: a big clean generation dilutes B's local
+    // template below the union bar — per-generation monitoring would
+    // schedule a rebuild the union probe surface doesn't need
+    val bigClean = (5000L until 5650L).map(i => (i, uniq(i))).toDF("doc_id", "text")
+    val genC = LshIndex.build(bigClean, "doc_id", "text",
+      maxDocFreqRatio = 1.0, minDocFreq = 0)
+    val diluted = LshIndex.stalenessReportMany(Seq(genC, genB), minDocFreq = 0)
+    assert(!diluted.crossed && diluted.nDocs == 900L,
+      s"200 templated of 900 union docs is under the 0.5 bar: $diluted")
+
+    // incompatible shingle spaces fail typed, not silently wrong
+    val genD = LshIndex.build(cleanA, "doc_id", "text", n = 4,
+      maxDocFreqRatio = 1.0, minDocFreq = 0)
+    val e = intercept[IllegalArgumentException] {
+      LshIndex.stalenessReportMany(Seq(genA, genD), minDocFreq = 0)
+    }
+    assert(e.getMessage.contains("shingle"))
+    genA.unpersist(); genB.unpersist(); genC.unpersist(); genD.unpersist(); merged.unpersist()
+  }
+
+  test("SimHash capDriftReportMany: cross-generation bucket growth invisible to every per-generation monitor") {
+    def batch(ids: Range) = ids.map(i => (i.toLong, "the same exact boilerplate page"))
+      .toDF("doc_id", "text")
+    // two independently-built generations, each under the cap of 10 on
+    // its own (6 docs each, exact counts) — no per-generation monitor
+    // can fire, yet the union bucket holds 12
+    val genA = SimHashIndex.build(batch(0 until 6), "doc_id", "text",
+      segments = 4, maxBucketSize = 10)
+    val genB = SimHashIndex.build(batch(100 until 106), "doc_id", "text",
+      segments = 4, maxBucketSize = 10)
+    assert(!SimHashIndex.capDriftReport(genA).crossed)
+    assert(!SimHashIndex.capDriftReport(genB).crossed)
+
+    val many = SimHashIndex.capDriftReportMany(Seq(genA, genB))
+    assert(many.crossed && many.nDocs == 12L && many.cap == 10)
+    assert(many.drifted.size == 4)
+    assert(many.drifted.forall { case (_, _, t, s) => t == 12L && s == 6L })
+
+    // mergeMany is the repair: the recount drops the over-cap buckets
+    // (one-shot build semantics) and the merged artifact reads silent
+    val merged = SimHashIndex.mergeMany(Seq(genA, genB), "doc_id")
+    assert(!SimHashIndex.capDriftReport(merged).crossed)
+    assert(SimHashIndex.readMeta(merged).builtDroppedBuckets == 4L)
+    genA.unpersist(); genB.unpersist(); merged.unpersist()
+  }
+
+  test("IVF cellOccupancyReportMany equals the merged artifact's report without materializing the merge") {
+    val ctrs = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    def vecs(ids: Range, skewTo: Int) = ids.map { i =>
+      val v = if (i % 4 == 0 && skewTo == 0 || skewTo == 1 && i % 4 != 0)
+        Array(0.1, 0.9) else Array(0.9, 0.1)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val genA = IvfIndex.build(vecs(0 until 40, 0), "vec_id", "embedding", ctrs)
+    val genB = IvfIndex.build(vecs(100 until 160, 1), "vec_id", "embedding", ctrs)
+
+    val many = IvfIndex.cellOccupancyReportMany(Seq(genA, genB))
+    val merged = IvfIndex.mergeMany(Seq(genA, genB), "vec_id")
+    val viaMerge = IvfIndex.cellOccupancyReport(merged)
+    assert(many == viaMerge)
+    assert(many.nDocs == 100L && many.nCentroids == 2)
+
+    // different quantizers fail typed
+    val genC = IvfIndex.build(vecs(200 until 210, 0), "vec_id", "embedding",
+      Seq(Seq(0.5, 0.5), Seq(0.0, 1.0)))
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.cellOccupancyReportMany(Seq(genA, genC))
+    }
+    assert(e.getMessage.contains("quantizer"))
+    genA.unpersist(); genB.unpersist(); genC.unpersist(); merged.unpersist()
+  }
 }
