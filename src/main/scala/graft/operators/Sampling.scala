@@ -102,6 +102,21 @@ object Sampling {
     val counts = df.groupBy(col(domainCol))
       .agg(count(lit(1)).cast("double").as("__n"))
       .join(broadcast(wDf), domainCol)
+    mixFiltered(df, idCol, domainCol, counts)
+  }
+
+  /** Shared tail of [[mixToWeights]] / [[temperatureMix]]: thresholds
+    * from a `(domainCol, __n, __w)` counts frame, broadcast back, rows
+    * kept by the md5-bucket rule. ONE expression shape on purpose —
+    * `temperatureMix` is defined as mixToWeights with `n^alpha` weights,
+    * and algebraically-equal-but-differently-associated float math can
+    * floor() to a different bucket threshold (3/5-style ratios round
+    * down under one association and exactly under the other), which
+    * would make the equivalence spec flaky instead of exact.
+    */
+  private def mixFiltered(
+      df: DataFrame, idCol: String, domainCol: String,
+      counts: DataFrame): DataFrame = {
     val tRow = counts.select(min(col("__n") / col("__w")).as("__T"))
     // The binding domain (n/w == T, an exact double comparison against
     // its own division) gets the full bucket range explicitly:
@@ -117,6 +132,43 @@ object Sampling {
     df.join(broadcast(thresholds), Seq(domainCol))
       .filter(hashBucket(col(idCol)) < col("__thr"))
       .select(df.columns.map(col): _*)
+  }
+
+  /** Temperature-flattened domain mixing (the multilingual-corpus
+    * sampling rule of mBERT/XLM-R/mT5: keep probability proportional to
+    * `count^alpha`): [[mixToWeights]] with `weights = n_d^alpha`,
+    * computed from the SAME count pass the mix needs anyway instead of
+    * a caller-supplied map — one operator call where the by-hand
+    * version costs a count collect plus a second pass. The weight is
+    * the only new math (`pow(__n, alpha)`, evaluated on the
+    * dimension-sized counts frame); thresholds and the keep/drop rule
+    * are literally [[mixToWeights]]'s shared expression, so
+    * `temperatureMix(df, alpha)` equals `mixToWeights(df,
+    * weights = counts^alpha)` bit-for-bit (pinned by PropertySpec).
+    *
+    * `alpha = 1` keeps everything (natural distribution: every domain
+    * is binding); `alpha = 0` cuts every domain to the smallest's
+    * bucket share (uniform mix); between, rare domains keep
+    * proportionally more than the natural mix would give them. Null
+    * domains and null ids are dropped — the family contract
+    * ([[mixToWeights]] doc).
+    *
+    * Plan shape at 100 TB: identical to [[mixToWeights]] — one
+    * dimension-sized count groupBy, a 1-row min broadcast back, the
+    * per-row keep/drop a scan-side md5-bucket compare after a broadcast
+    * threshold join; the corpus never shuffles.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
+    val counts = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__w", pow(col("__n"), lit(alpha)))
+    mixFiltered(df, idCol, domainCol, counts)
   }
 
   /** Deterministic per-key cap — the Common Crawl-style "at most

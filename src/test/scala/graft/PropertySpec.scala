@@ -177,6 +177,46 @@ class PartitionInvariantSpec extends SparkSpec {
       "null-domain/null-id rows silently drop; everything else is untouched")
   }
 
+  test("temperatureMix == mixToWeights with count^alpha weights; alpha endpoints behave") {
+    val rnd = new scala.util.Random(43)
+    val domains = Seq("en", "es", "de", "fi")
+    val rows = (0 until 2500).map(i => (i.toLong,
+      domains(math.min(rnd.nextInt(domains.size * 2), domains.size - 1))))
+    val df = rows.toDF("id", "dom")
+    val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+
+    // the closed form IS mixToWeights with w_d = n_d^alpha: same kept set
+    for (alpha <- Seq(0.0, 0.3, 0.5, 0.7)) {
+      val viaTemp = graft.operators.Sampling.temperatureMix(df, "id", "dom", alpha)
+        .as[(Long, String)].collect().toSet
+      val viaMix = graft.operators.Sampling.mixToWeights(df, "id", "dom",
+        counts.map { case (d, n) => d -> math.pow(n.toDouble, alpha) }.toMap)
+        .as[(Long, String)].collect().toSet
+      assert(viaTemp == viaMix, s"alpha=$alpha: closed form diverged from mixToWeights")
+    }
+
+    // alpha = 1: the natural distribution — everything survives
+    val natural = graft.operators.Sampling.temperatureMix(df, "id", "dom", 1.0)
+    assert(natural.count() == rows.size)
+    // alpha = 0: every domain cut toward the smallest's size (threshold
+    // = floor(Buckets * n_min/n_d) buckets, so kept counts land near
+    // n_min and far under the natural count for big domains)
+    val flat = graft.operators.Sampling.temperatureMix(df, "id", "dom", 0.0)
+      .as[(Long, String)].collect().toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nMin = counts.values.min
+    assert(flat(counts.minBy(_._2)._1) == nMin, "smallest domain keeps every row")
+    for ((d, n) <- counts if n > nMin * 2)
+      assert(flat(d) < n / 2 && flat(d) > nMin / 2,
+        s"alpha=0 must cut $d (n=$n) toward n_min=$nMin, kept ${flat(d)}")
+    // rare-domain share grows monotonically as alpha falls
+    def rareShare(a: Double): Double = {
+      val kept = graft.operators.Sampling.temperatureMix(df, "id", "dom", a)
+        .as[(Long, String)].collect().toSeq
+      kept.count(_._2 == counts.minBy(_._2)._1).toDouble / kept.size
+    }
+    assert(rareShare(0.0) > rareShare(0.5) && rareShare(0.5) > rareShare(1.0))
+  }
+
   test("dedup split partitions the input for random frames") {
     val rnd = new scala.util.Random(3)
     val rows = (0 until 500).map(i => (rnd.nextInt(50).toLong, i.toLong))
