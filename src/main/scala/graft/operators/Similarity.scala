@@ -504,6 +504,152 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_cos"))
   }
 
+  // ---- SQ8 scalar quantization ---------------------------------------
+
+  /** Per-dimension [lo, hi] calibration for [[sq8Encode]]: the exact
+    * min/max of every dimension over the calibration corpus — one
+    * posexplode + groupBy(pos) agg (min/max are exact, no float-order
+    * sensitivity), collected as the frozen 2 x dim artifact (model-sized,
+    * the [[PqCodebooks]] contract: fit once, then a pair of literal
+    * arrays every encode/probe reuses). Null vectors are skipped;
+    * requires at least one non-null vector.
+    */
+  def sq8Fit(df: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
+    val rows = df.select(posexplode(asDouble(col(vecCol))).as(Seq("__pos", "__x")))
+      .groupBy("__pos")
+      .agg(min(col("__x")).as("__lo"), max(col("__x")).as("__hi"))
+      .orderBy("__pos")
+      .collect()
+    require(rows.nonEmpty, "sq8Fit needs at least one non-null vector")
+    require(rows.zipWithIndex.forall { case (r, i) => r.getInt(0) == i },
+      "vectors must share one dimensionality with no null elements")
+    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  private def requireSqShape(lo: Array[Double], hi: Array[Double]): Unit = {
+    require(lo.nonEmpty && lo.length == hi.length,
+      s"SQ8 calibration arrays must be non-empty and equal-length, got ${lo.length}/${hi.length}")
+    require(lo.indices.forall(i => lo(i) <= hi(i)),
+      "SQ8 calibration must satisfy lo <= hi per dimension")
+  }
+
+  /** SQ8 encode kernel: per dimension, `floor((x - lo) * 255 / (hi -
+    * lo) + 0.5)` clamped to [0, 255] (floor(+0.5) — not language
+    * "round" — because engines disagree on half-rounding; floor is
+    * exact everywhere). A constant dimension (hi == lo) encodes 0 and
+    * reconstructs `lo`. Out-of-calibration values clamp — encoding a
+    * later batch under a frozen calibration degrades gracefully at the
+    * range edge instead of wrapping.
+    */
+  private[operators] def sq8EncodeKernel(
+      lo: Array[Double], hi: Array[Double], v: Array[Double]): Array[Byte] = {
+    val out = new Array[Byte](lo.length)
+    var i = 0
+    while (i < lo.length) {
+      val span = hi(i) - lo(i)
+      val c =
+        if (span <= 0) 0
+        else {
+          val t = math.floor((v(i) - lo(i)) * 255.0 / span + 0.5)
+          if (t < 0) 0 else if (t > 255) 255 else t.toInt
+        }
+      out(i) = c.toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Scalar (int8) quantization encoding: each vector becomes `dim`
+    * bytes (`sq_code` binary) — 4x smaller than the float32 it
+    * replaces, the middle rung of the compression ladder between raw
+    * vectors and [[pqEncode]]'s 32x nibble codes, at far higher
+    * fidelity (max error half a step per dimension instead of a
+    * centroid residual). THIS is the persistable artifact: write
+    * `(id, sq_code)` once, probe forever under the frozen `(lo, hi)`
+    * calibration from [[sq8Fit]]. Encoding is a per-row kernel in the
+    * scan — no fit job in the hot path, no shuffle. Null vectors
+    * encode as NULL; vectors of the wrong dimensionality fail typed.
+    */
+  def sq8Encode(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      lo: Seq[Double],
+      hi: Seq[Double]): DataFrame = {
+    val (l, h) = (lo.toArray, hi.toArray)
+    requireSqShape(l, h)
+    val enc = udf((v: Array[Double]) =>
+      if (v == null) null
+      else {
+        require(v.length == l.length,
+          s"vector has ${v.length} dims, calibration has ${l.length}")
+        sq8EncodeKernel(l, h, v)
+      })
+    df.select(col(idCol), enc(asDouble(col(vecCol))).as("sq_code"))
+  }
+
+  /** ADC cosine kernel over SQ8 codes: reconstruct each dimension as
+    * `lo + code * (hi - lo) / 255` and accumulate `ip` and the
+    * reconstruction norm in index order — the exact association the
+    * oracle's list_reduce replays. Cosine of the query with the
+    * reconstructed vector; 0 where either norm is 0.
+    */
+  private[operators] def sq8AdcCosUdf(lo: Array[Double], hi: Array[Double])
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((q: Array[Double], qn: Double, code: Array[Byte]) => {
+      var ip = 0.0
+      var rn2 = 0.0
+      var i = 0
+      while (i < lo.length) {
+        val r = lo(i) + (code(i) & 0xff) * (hi(i) - lo(i)) / 255.0
+        ip += q(i) * r
+        rn2 += r * r
+        i += 1
+      }
+      val denom = math.sqrt(rn2) * qn
+      if (denom > 0) ip / denom else 0.0
+    })
+
+  /** Asymmetric top-k over SQ8 codes: queries stay full-precision, the
+    * corpus is its byte codes (typically read back from the persisted
+    * artifact). Same output contract as [[pqTopKAgainst]]
+    * (`query_id, rank, neighbor_id, adc_cos`), same scale shape
+    * (queries broadcast, the code scan never shuffles, one per-query
+    * window top-k), 4x corpus-scan compression with near-exact ranks —
+    * pinned against [[bruteForceTopK]] by spec. Ties break on the
+    * lower neighbor id; self-matches excluded when ids collide.
+    */
+  def sq8TopKAgainst(
+      codes: DataFrame,    // (idCol, sq_code)
+      queries: DataFrame,  // (idCol, vecCol)
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      lo: Seq[Double],
+      hi: Seq[Double]): DataFrame = {
+    val (l, h) = (lo.toArray, hi.toArray)
+    requireSqShape(l, h)
+    val qnUdf = udf((q: Array[Double]) =>
+      if (q == null) 0.0
+      else {
+        var t = 0.0
+        var i = 0
+        while (i < q.length) { t += q(i) * q(i); i += 1 }
+        math.sqrt(t)
+      })
+    val q = queries
+      .select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("__qv"),
+        qnUdf(asDouble(col(vecCol))).as("__qn"))
+      .filter(col("__qv").isNotNull)
+    val c = codes.select(col(idCol).as("neighbor_id"), col("sq_code"))
+      .filter(col("sq_code").isNotNull)
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_cos", sq8AdcCosUdf(l, h)(col("__qv"), col("__qn"), col("sq_code")))
+    pqRankTopK(scored, k)
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold within blocks
     * (block on an LSH bucket or a provided key to bound the quadratic
     * term).
