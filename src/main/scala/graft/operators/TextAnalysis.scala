@@ -248,6 +248,85 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BM25 top-k retrieval (Robertson/Lucene formulation) — the ranked
+    * full-text search a curation stack leans on for contamination
+    * triage, dedup validation, and eval-set neighborhood audits. Per
+    * query, documents rank by
+    * `Σ_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))` over the
+    * query's DISTINCT terms, with the always-positive idf
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))`; `N` = all docs in `docs`
+    * (tokenless docs count toward N and avgdl but can never match).
+    * Tokens are the family tokenizer ([[tokens]]: lowercased
+    * whitespace split, Spark trim semantics — the q44 SQL parity).
+    *
+    * Determinism: the per-(query, doc) score folds its term
+    * contributions in TERM-ASC order (array_sort + aggregate, not a
+    * float SUM whose order the engine picks) — duplicate documents get
+    * bit-identical scores, so ranks are total-ordered by
+    * (score desc, doc id) and the SQL oracle replays them exactly.
+    *
+    * Plan shape at 100 TB: the corpus side is a posting build — one
+    * explode + groupBy(doc, term) for tf, a groupBy(doc) for dl
+    * (co-partitioned join), one groupBy(term) for df. The query side
+    * is batch-sized: distinct query terms join df by BROADCAST, and
+    * the enriched term list broadcasts again into the tf scan — the
+    * posting list is filtered scan-side to matching terms before
+    * anything shuffles toward the per-query window top-k. Persist
+    * `tf.join(dl)` once, probe many times, exactly like the index
+    * family.
+    */
+  def bm25TopK(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: org.apache.spark.sql.DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0, b in [0,1]: k1=$k1 b=$b")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol).as("__doc"), explode(tokens(col(textCol))).as("__term"))
+    val tf = toks.groupBy("__doc", "__term")
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dl = toks.groupBy("__doc")
+      .agg(count(lit(1)).cast("double").as("__dl"))
+    // N over ALL docs (tokenless included), avgdl = total tokens / N —
+    // both exact integers before one double division
+    val stats = docs.select(count(lit(1)).cast("double").as("__nd"))
+      .crossJoin(toks.select(count(lit(1)).cast("double").as("__tot")))
+    val dfr = toks.select("__doc", "__term").distinct()
+      .groupBy("__term").agg(count(lit(1)).cast("double").as("__df"))
+    val qt = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(tokens(col(queryTextCol)))).as("__term"))
+    // enrich the (tiny) query-term list with df, then broadcast it into
+    // the posting scan: candidates never include a non-matching term
+    val qdf = dfr.join(broadcast(qt), "__term")
+    val cand = tf
+      .join(broadcast(qdf), "__term")
+      .join(dl, "__doc")
+      .crossJoin(broadcast(stats))
+      .withColumn("__contrib",
+        log(lit(1.0) + (col("__nd") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+          * (col("__tf") * (lit(k1) + lit(1.0)))
+          / (col("__tf") + lit(k1) *
+              (lit(1.0) - lit(b) + lit(b) * col("__dl") / (col("__tot") / col("__nd")))))
+    val scored = cand.groupBy(col("query_id"), col("__doc"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("__term").as("t"), col("__contrib").as("c")))),
+        lit(0.0), (acc, x) => acc + x.getField("c")).as("__score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__score").desc, col("__doc").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("__doc").as(idCol),
+        col("__score").as("bm25"))
+  }
+
   /** Character n-gram language model trained on a reference corpus —
     * the CCNet-style model-based quality signal (there KenLM
     * perplexity; here an add-one-smoothed char-gram LM with zero
