@@ -2712,6 +2712,188 @@ object SparkEntry {
              |HAVING count(*) > floor((SELECT count(*) FROM documents) * 0.5)
              |ORDER BY df DESC, sh LIMIT 100""".stripMargin))
 
+    /** Multi-generation staleness monitor
+      * ([[operators.LshIndex.stalenessReportMany]], r9): two
+      * generations built over the even/odd doc halves with EMPTY frozen
+      * stop sets (ratio 1.0 — the shared shingle space), monitored
+      * union-wide at the 0.5 bar WITHOUT materializing the merge. The
+      * oracle replays the union document-frequency count from the q80
+      * md5-shingle recipe directly over ALL docs (the generation split
+      * cancels out of a union count — that identity IS the operator's
+      * contract, pinned field-for-field against the merged artifact in
+      * LshStalenessSpec).
+      */
+    private val q81 = Q(
+      "q81_staleness_many",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        def gen(m: Int) = operators.LshIndex.build(
+          docs.filter(col("doc_id") % 2 === m).select(col("doc_id"), col("text")),
+          "doc_id", "text", n = 3, numPerm = 64, bands = 16,
+          portableHash = true, maxDocFreqRatio = 1.0, minDocFreq = 0)
+        val (genA, genB) = (gen(0), gen(1))
+        val report = operators.LshIndex.stalenessReportMany(
+          Seq(genA, genB), maxDocFreqRatio = 0.5, minDocFreq = 0)
+        genA.unpersist(); genB.unpersist()
+        val out = { import s.implicits._; report.offenders.toDF("sh", "df") }
+        out.orderBy(col("df").desc, col("sh"))
+      },
+      Some("""WITH sh0 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN text IS NULL THEN CAST([] AS BIGINT[]) ELSE
+             |      list_distinct([CAST('0x' || substr(md5(substr(lower(text), i, 3)), 1, 8) AS BIGINT)
+             |                     FOR i IN range(1, greatest(length(text) - 2, 0) + 1)]) END AS hs
+             |  FROM documents)
+             |SELECT h AS sh, count(*) AS df FROM (SELECT unnest(hs) AS h FROM sh0)
+             |GROUP BY h
+             |HAVING count(*) > floor((SELECT count(*) FROM documents) * 0.5)
+             |ORDER BY df DESC, sh LIMIT 100""".stripMargin))
+
+    /** Temperature-flattened language mix
+      * ([[operators.Sampling.temperatureMix]], r9): keep ∝ count^0.5 —
+      * the mBERT/XLM-R sampling rule, one fused count-then-mix pass.
+      * The oracle replays the exact expression shape (w = pow(n, 0.5),
+      * T = min(n / w), binding-domain equality, left-associated
+      * floor(10000 * w * T / n)) and the q52 md5-bucket membership
+      * rule; pow(n, 0.5) is correctly-rounded sqrt in both engines, and
+      * the shared association means the floors agree bit-for-bit (the
+      * same discipline as q59, whose oracle this extends).
+      */
+    private val q82 = Q(
+      "q82_temperature_mix",
+      (s, dir) => Sampling.temperatureMix(
+          t(s, dir, "documents"), idCol = "doc_id", domainCol = "lang",
+          alpha = 0.5)
+        .select($"doc_id", $"lang")
+        .orderBy("doc_id"),
+      Some("""WITH cnt AS (
+             |  SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+             |         pow(CAST(count(*) AS DOUBLE), 0.5) AS wt
+             |  FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+             |t AS (SELECT min(n / wt) AS T FROM cnt),
+             |thr AS (
+             |  SELECT lang, CASE WHEN n / wt = (SELECT T FROM t) THEN 10000
+             |               ELSE floor(10000.0 * wt * (SELECT T FROM t) / n) END AS th
+             |  FROM cnt)
+             |SELECT d.doc_id, d.lang
+             |FROM documents d
+             |JOIN thr ON thr.lang = d.lang
+             |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < thr.th
+             |ORDER BY d.doc_id""".stripMargin))
+
+    /** SQ8 scalar-quantized ANN ([[Similarity.sq8Fit]] / `sq8Encode` /
+      * `sq8TopKAgainst`, r9): the middle rung of the embedding
+      * compression ladder — 4x scan compression at near-exact ranks
+      * (vs PQ's 32x at centroid fidelity, q76). Full oracle: DuckDB
+      * replays the per-dim min/max calibration, the floor(+0.5)
+      * byte encode with edge clamps, per-dim reconstruction, and the
+      * index-ordered ADC cosine folds — every float op in the same
+      * association as the kernels, so scores and ranks match
+      * bit-for-bit before the round(6).
+      */
+    private val q83 = Q(
+      "q83_sq8_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val (lo, hi) = Similarity.sq8Fit(e, "embedding")
+        val codes = Similarity.sq8Encode(e, "vec_id", "embedding", lo, hi)
+        Similarity.sq8TopKAgainst(codes, e.filter($"vec_id" < 5),
+            "vec_id", "embedding", k = 5, lo, hi)
+          .select($"query_id", $"rank", $"neighbor_id", round($"adc_cos", 6).as("adc_cos"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+             |           FROM embeddings),
+             |dims AS (
+             |  SELECT i, min(vec[i]) AS lo, max(vec[i]) AS hi
+             |  FROM v CROSS JOIN range(1, 65) r(i)
+             |  GROUP BY i),
+             |cal AS (SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his FROM dims),
+             |rec AS (
+             |  SELECT vec_id,
+             |    [los[i] + greatest(0, least(255,
+             |         CAST(floor((vec[i] - los[i]) * 255.0 / (his[i] - los[i]) + 0.5) AS BIGINT)))
+             |       * (his[i] - los[i]) / 255.0
+             |     FOR i IN range(1, 65)] AS rvec
+             |  FROM v CROSS JOIN cal),
+             |q AS (
+             |  SELECT vec_id AS query_id, vec AS qv,
+             |    sqrt(list_reduce(list_prepend(0.0, list_transform(vec, x -> x * x)),
+             |         (a, b) -> a + b)) AS qn
+             |  FROM v WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT q.query_id, r.vec_id AS neighbor_id, q.qn,
+             |    list_reduce(list_prepend(0.0, list_transform(list_zip(q.qv, r.rvec),
+             |        p -> p[1] * p[2])), (a, b) -> a + b) AS ip,
+             |    sqrt(list_reduce(list_prepend(0.0, list_transform(r.rvec, x -> x * x)),
+             |        (a, b) -> a + b)) AS rn
+             |  FROM rec r CROSS JOIN q
+             |  WHERE r.vec_id != q.query_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id,
+             |    CASE WHEN rn * qn > 0 THEN ip / (rn * qn) ELSE 0.0 END AS adc_cos,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY CASE WHEN rn * qn > 0 THEN ip / (rn * qn) ELSE 0.0 END DESC,
+             |               neighbor_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(adc_cos, 6) AS adc_cos
+             |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
+    /** BM25 ranked retrieval ([[operators.TextAnalysis.bm25TopK]], r9):
+      * three documents as queries against the whole corpus, Lucene-form
+      * idf, k1 = 1.2 / b = 0.75. Full oracle: DuckDB rebuilds the
+      * posting statistics (tf/dl/df/avgdl) from the q44 tokenizer
+      * recipe and replays every float op in the kernel's association;
+      * per-(query, doc) scores fold term contributions in term-asc
+      * order on BOTH sides (list_sort / array_sort before the fold),
+      * so duplicate docs tie bit-exactly and the (score desc, doc_id)
+      * ranking is total.
+      */
+    private val q84 = Q(
+      "q84_bm25_topk",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        operators.TextAnalysis.bm25TopK(
+            docs, "doc_id", "text",
+            docs.filter($"doc_id" < 3), "doc_id", "text", k = 10)
+          .select($"query_id", $"rank", $"doc_id", round($"bm25", 6).as("bm25"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+             |  FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+             |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+             |       FROM toks GROUP BY doc_id, term),
+             |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+             |       FROM toks GROUP BY doc_id),
+             |stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS nd,
+             |                 CAST((SELECT count(*) FROM toks) AS DOUBLE) AS tot),
+             |dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+             |        FROM toks GROUP BY term),
+             |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id < 3),
+             |cand AS (
+             |  SELECT qt.query_id, tf.doc_id, qt.term,
+             |    ln(1.0 + (s.nd - dft.df + 0.5) / (dft.df + 0.5))
+             |      * (tf.tf * (1.2 + 1.0))
+             |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (s.tot / s.nd))) AS contrib
+             |  FROM qt
+             |  JOIN tf ON tf.term = qt.term
+             |  JOIN dl ON dl.doc_id = tf.doc_id
+             |  JOIN dft ON dft.term = qt.term
+             |  CROSS JOIN stats s),
+             |scored AS (
+             |  SELECT query_id, doc_id,
+             |    list_reduce(list_prepend(0.0, list_transform(
+             |      list_sort(list({'t': term, 'c': contrib})), r -> r.c)),
+             |      (a, b) -> a + b) AS score
+             |  FROM cand GROUP BY query_id, doc_id),
+             |ranked AS (
+             |  SELECT query_id, doc_id, score,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, round(score, 6) AS bm25
+             |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -2719,7 +2901,7 @@ object SparkEntry {
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
-      q75, q76, q77, q78, q79, q80)
+      q75, q76, q77, q78, q79, q80, q81, q82, q83, q84)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

@@ -232,6 +232,77 @@ class TextDedupSpec extends SparkSpec {
   }
 }
 
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25TopK: driver-reference parity, duplicate docs tie by id, N counts tokenless docs") {
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple apple kiwi"),
+      (3L, "unrelated words entirely"),
+      (4L, "apple banana cherry"), // exact dup of 1 -> bit-equal score, id tiebreak
+      (5L, ""),                    // tokenless: in N/avgdl, can never match
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    // query term repeated -> counted once (distinct query terms)
+    val queries = Seq((100L, "apple banana apple")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        queries, "doc_id", "text", k = 10)
+      .select($"query_id", $"rank", $"doc_id", $"bm25")
+      .as[(Long, Int, Long, Double)].collect().toSeq.sortBy(_._2)
+
+    // independent driver-side reference of the exact formula
+    val corpus = Map(1L -> "apple banana cherry", 2L -> "apple apple kiwi",
+      3L -> "unrelated words entirely", 4L -> "apple banana cherry")
+    val toks = corpus.view.mapValues(_.toLowerCase.split("\\s+").toSeq).toMap
+    val nD = 6.0 // ALL docs, including "" and null
+    val avgdl = toks.values.map(_.size).sum.toDouble / nD
+    val dfm = toks.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size.toDouble).toMap
+    def score(id: Long): Double =
+      Seq("apple", "banana").sorted.foldLeft(0.0) { (acc, t) =>
+        val ts = toks(id)
+        val tf = ts.count(_ == t).toDouble
+        if (tf == 0) acc
+        else acc + math.log(1.0 + (nD - dfm(t) + 0.5) / (dfm(t) + 0.5)) *
+          (tf * (1.2 + 1.0)) /
+          (tf + 1.2 * (1.0 - 0.75 + 0.75 * ts.size.toDouble / avgdl))
+      }
+    val want = Seq(1L, 2L, 4L).map(id => id -> score(id)).toMap
+
+    // docs 3 (no query terms), 5, 6 (tokenless) never appear
+    assert(got.map(_._3).toSet == Set(1L, 2L, 4L))
+    got.foreach { case (qid, _, id, s) =>
+      assert(qid == 100L)
+      assert(math.abs(s - want(id)) < 1e-12, s"doc $id: $s vs ${want(id)}")
+    }
+    // duplicate docs score bit-identically and tie-break on id
+    val byId = got.map(r => r._3 -> r).toMap
+    assert(byId(1L)._4 == byId(4L)._4)
+    assert(byId(1L)._2 < byId(4L)._2)
+    // two matched terms with idf beats one repeated mid-idf term here
+    assert(got.head._3 == 1L && got(1)._3 == 4L)
+  }
+
+  test("bm25TopK: tf monotonicity at equal length, k truncation, multiple queries") {
+    val docs = Seq(
+      (1L, "cat dog bird fish"),
+      (2L, "cat cat bird fish"),   // same dl, higher tf("cat")
+      (3L, "cat cat cat fish"),
+      (4L, "mouse mole vole shrew")
+    ).toDF("doc_id", "text")
+    val queries = Seq((10L, "cat"), (20L, "mouse")).toDF("qid", "qtext")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        queries, "qid", "qtext", k = 2)
+      .select($"query_id", $"rank", $"doc_id")
+      .as[(Long, Int, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    // more occurrences at equal length ranks strictly higher; k=2 truncates
+    assert(got(10L) == Seq(3L, 2L))
+    assert(got(20L) == Seq(4L))
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
@@ -350,6 +421,67 @@ class SimilaritySpec extends SparkSpec {
       (top5 & got(qid).map(_._1).toSet).size
     }.sum
     assert(hits >= 12, s"recall too low: $hits of ${exact.size * 5} (random ~1)")
+  }
+
+  test("sq8 encode/fit: driver-parity, half-step fidelity, clamping, degenerate dims, nulls") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (lo, hi) = Similarity.sq8Fit(e, "embedding")
+    assert(lo.length == 64 && hi.length == 64 && lo.indices.forall(i => lo(i) < hi(i)))
+
+    val codes = Similarity.sq8Encode(e, "vec_id", "embedding", lo, hi)
+      .as[(Long, Array[Byte])].collect().toMap
+    val raw = e.select($"vec_id", Similarity.asDouble($"embedding"))
+      .as[(Long, Array[Double])].collect()
+    // driver-side reference of the kernel formula
+    raw.foreach { case (id, v) =>
+      val want = v.indices.map { i =>
+        val t = math.floor((v(i) - lo(i)) * 255.0 / (hi(i) - lo(i)) + 0.5)
+        math.max(0, math.min(255, t.toInt)).toByte
+      }
+      assert(codes(id).toSeq == want, s"vec $id codes diverge")
+      // reconstruction error is at most one quantization step per dim
+      v.indices.foreach { i =>
+        val rec = lo(i) + (codes(id)(i) & 0xff) * (hi(i) - lo(i)) / 255.0
+        assert(math.abs(rec - v(i)) <= (hi(i) - lo(i)) / 255.0 + 1e-12)
+      }
+    }
+
+    // out-of-calibration values clamp to the range edges; a constant
+    // dimension encodes 0 and reconstructs lo; nulls stay NULL
+    val l2 = Seq(0.0, 0.0, 5.0)
+    val h2 = Seq(1.0, 0.0, 6.0)
+    val odd = Seq(
+      (1L, Array(-3f, 7f, 5.5f)),
+      (2L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    val oddCodes = Similarity.sq8Encode(odd, "vec_id", "embedding", l2, h2)
+      .as[(Long, Option[Array[Byte]])].collect().toMap
+    assert(oddCodes(1L).get.map(_ & 0xff).toSeq == Seq(0, 0, 128))
+    assert(oddCodes(2L).isEmpty)
+  }
+
+  test("sq8TopKAgainst: near-exact ranks vs brute force at 4x scan compression") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter($"vec_id" < 10)
+    val (lo, hi) = Similarity.sq8Fit(e, "embedding")
+    val codes = Similarity.sq8Encode(e, "vec_id", "embedding", lo, hi)
+    val got = Similarity.sq8TopKAgainst(codes, queries, "vec_id", "embedding",
+        k = 5, lo, hi)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(got.keySet == exact.keySet && got.keySet.size == 10)
+    // 8-bit quantization is high fidelity: demand near-total top-5
+    // agreement (PQ's 32-bit codes manage ~1/3 on this fixture; SQ8
+    // keeps 256 levels per dim, so sets should essentially coincide)
+    val hits = exact.map { case (qid, top5) => (top5.toSet & got(qid).toSet).size }.sum
+    assert(hits >= 45, s"SQ8 recall too low: $hits of 50")
+    // and rank-1 must agree almost everywhere
+    val top1 = exact.count { case (qid, top5) => got(qid).head == top5.head }
+    assert(top1 >= 8, s"SQ8 top-1 agreement too low: $top1 of 10")
   }
 
   test("embeddingDupPairsLsh finds near-identical vectors without a block key") {
