@@ -2849,17 +2849,11 @@ object SparkEntry {
       * so duplicate docs tie bit-exactly and the (score desc, doc_id)
       * ranking is total.
       */
-    private val q84 = Q(
-      "q84_bm25_topk",
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        operators.TextAnalysis.bm25TopK(
-            docs, "doc_id", "text",
-            docs.filter($"doc_id" < 3), "doc_id", "text", k = 10)
-          .select($"query_id", $"rank", $"doc_id", round($"bm25", 6).as("bm25"))
-          .orderBy("query_id", "rank")
-      },
-      Some("""WITH toks AS (
+    /** One BM25 replay shared by q84 (direct operator) and q85 (the
+      * persisted posting index, built as two generations) — the index
+      * lifecycle is EXACT, so both must hash-match the same SQL.
+      */
+    private val bm25OracleSql = """WITH toks AS (
              |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
              |  FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
              |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
@@ -2892,7 +2886,42 @@ object SparkEntry {
              |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
              |  FROM scored)
              |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, round(score, 6) AS bm25
-             |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
+             |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+    private val q84 = Q(
+      "q84_bm25_topk",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        operators.TextAnalysis.bm25TopK(
+            docs, "doc_id", "text",
+            docs.filter($"doc_id" < 3), "doc_id", "text", k = 10)
+          .select($"query_id", $"rank", $"doc_id", round($"bm25", 6).as("bm25"))
+          .orderBy("query_id", "rank")
+      },
+      Some(bm25OracleSql))
+
+    /** Persisted BM25 posting index ([[operators.Bm25Index]], r9):
+      * build the even half, append the odd half (exact — counts add,
+      * df recomputed at probe), probe with the q84 queries. The oracle
+      * IS q84's full-corpus SQL: the artifact lifecycle must be
+      * indistinguishable from the direct operator, bit for bit.
+      */
+    private val q85 = Q(
+      "q85_bm25_index_topk",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val evens = operators.Bm25Index.build(
+          docs.filter($"doc_id" % 2 === 0), "doc_id", "text")
+        val ix = operators.Bm25Index.append(
+          evens, docs.filter($"doc_id" % 2 =!= 0), "doc_id", "text")
+        val res = operators.Bm25Index.topKAgainst(
+            ix, docs.filter($"doc_id" < 3), "doc_id", "text", k = 10)
+          .select($"query_id", $"rank", $"doc_id", round($"bm25", 6).as("bm25"))
+          .orderBy("query_id", "rank")
+        evens.unpersist(); ix.unpersist()
+        res
+      },
+      Some(bm25OracleSql))
 
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2901,7 +2930,7 @@ object SparkEntry {
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
-      q75, q76, q77, q78, q79, q80, q81, q82, q83, q84)
+      q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

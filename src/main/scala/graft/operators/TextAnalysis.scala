@@ -285,9 +285,6 @@ object TextAnalysis {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75): org.apache.spark.sql.DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0, b in [0,1]: k1=$k1 b=$b")
-    import org.apache.spark.sql.expressions.Window
     val toks = docs
       .select(col(idCol).as("__doc"), explode(tokens(col(textCol))).as("__term"))
     val tf = toks.groupBy("__doc", "__term")
@@ -298,15 +295,42 @@ object TextAnalysis {
     // both exact integers before one double division
     val stats = docs.select(count(lit(1)).cast("double").as("__nd"))
       .crossJoin(toks.select(count(lit(1)).cast("double").as("__tot")))
-    val dfr = toks.select("__doc", "__term").distinct()
-      .groupBy("__term").agg(count(lit(1)).cast("double").as("__df"))
+    bm25ScoreTopK(tf, dl, stats, queries, queryIdCol, queryTextCol, k, k1, b, idCol)
+  }
+
+  /** Shared BM25 scoring tail over standard posting frames — ONE
+    * expression tree on purpose, so [[bm25TopK]] (frames derived from
+    * raw text) and [[Bm25Index.topKAgainst]] (frames read from the
+    * stored artifact) are bit-identical, not merely algebraically
+    * equal. `df` is recomputed from the tf rows restricted to query
+    * terms (one distinct over matched postings — O(matching postings),
+    * which the probe reads anyway), so nothing term-global is ever
+    * stored to go stale.
+    */
+  private[operators] def bm25ScoreTopK(
+      tf: org.apache.spark.sql.DataFrame,     // (__doc, __term, __tf double)
+      dl: org.apache.spark.sql.DataFrame,     // (__doc, __dl double)
+      stats: org.apache.spark.sql.DataFrame,  // 1 row (__nd, __tot double)
+      queries: org.apache.spark.sql.DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      k1: Double,
+      b: Double,
+      outIdCol: String): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0, b in [0,1]: k1=$k1 b=$b")
+    import org.apache.spark.sql.expressions.Window
     val qt = queries
       .select(col(queryIdCol).as("query_id"),
         explode(array_distinct(tokens(col(queryTextCol)))).as("__term"))
-    // enrich the (tiny) query-term list with df, then broadcast it into
-    // the posting scan: candidates never include a non-matching term
+    // prune postings to query terms FIRST (broadcast into the scan),
+    // then df over the matched postings only
+    val matched = tf.join(broadcast(qt.select("__term").distinct()), "__term")
+    val dfr = matched.select("__doc", "__term").distinct()
+      .groupBy("__term").agg(count(lit(1)).cast("double").as("__df"))
     val qdf = dfr.join(broadcast(qt), "__term")
-    val cand = tf
+    val cand = matched
       .join(broadcast(qdf), "__term")
       .join(dl, "__doc")
       .crossJoin(broadcast(stats))
@@ -323,7 +347,7 @@ object TextAnalysis {
       .orderBy(col("__score").desc, col("__doc").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("__doc").as(idCol),
+      .select(col("query_id"), col("rank"), col("__doc").as(outIdCol),
         col("__score").as("bm25"))
   }
 

@@ -55,6 +55,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("BM25 index probe: pruned artifact scans, query terms broadcast") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val ix = graft.operators.Bm25Index.build(docs, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25plan").toString
+    ix.write.parquet(s"$dir/ix")
+    ix.unpersist()
+    val probe = graft.operators.Bm25Index.topKAgainst(
+      spark.read.parquet(s"$dir/ix"),
+      docs.filter(col("doc_id") < 3), "doc_id", "text", k = 5)
+    val plan = probe.queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty, s"no scan in plan:\n$plan")
+    // artifact scans (they carry `kind`) never read the meta column and
+    // stay at (id, kind, term, tf | dl); the remaining scan is the
+    // query side's (doc_id, text)
+    val (artifact, querySide) = schemas
+      .map(_.split(",").map(_.split(":")(0).trim).toSet)
+      .partition(_.contains("kind"))
+    assert(artifact.nonEmpty, s"no artifact scan in plan:\n$plan")
+    artifact.foreach { cols =>
+      assert(!cols.contains("params"), s"probe scan reads the meta column: $cols")
+      assert(cols.subsetOf(Set("doc_id", "kind", "term", "tf", "dl")),
+        s"probe scan wider than the probe needs: $cols")
+    }
+    querySide.foreach(cols => assert(cols.subsetOf(Set("doc_id", "text")), s"$cols"))
+    assert(plan.contains("BroadcastHashJoin"), "query terms must broadcast into the posting scan")
+    assert(!plan.contains("SortMergeJoin") || schemas.size <= 4,
+      "unexpected plan explosion") // dl join may sort-merge at scale; postings filter must not
+  }
+
   test("contamination reads the training side exactly once") {
     val q = SparkEntry.queries("q51_contamination")(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString
