@@ -239,6 +239,55 @@ object IvfIndex {
       if (mean > 0) maxCell / mean else 0.0, occ.take(topK))
   }
 
+  /** Fit a coarse quantizer over a vector column — seeded Spark ML
+    * k-means with centroids rounded to 6 decimals (a rounded centroid
+    * is still a valid Voronoi site; short literals keep artifacts and
+    * inlined oracle SQL compact) — the [[graft.tools.FitIvf]]
+    * provenance recipe as a library call, for [[refitIfSkewed]] and
+    * for callers fitting fresh epochs.
+    */
+  def fitCentroids(
+      df: DataFrame, vecCol: String, k: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = df.select(Similarity.asDouble(col(vecCol)).as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("__features", array_to_vector(col("__v")))
+    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("__features").fit(e)
+    model.clusterCenters.map(_.toArray.map(x =>
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble).toSeq).toSeq
+  }
+
+  /** The monitor-then-refit nightly loop as one call — the
+    * [[LshIndex.rebuildIfStale]] shape for the embedding family, with
+    * one structural advantage: the index stores its vectors, so the
+    * refit needs NO external corpus — the artifact heals from itself.
+    * Runs [[cellOccupancyReport]]; if skew stays within `maxSkew`, the
+    * index comes back untouched (below the bar a refit buys nothing);
+    * past it, a fresh k-means (same centroid count, seeded) is fitted
+    * over the stored vectors and assignments rebuilt. The returned
+    * report is the evidence either way — log it. Unlike
+    * [[rebuildIfStale]]'s exact-recipe rebuild, a refit CHANGES the
+    * quantizer by design (that is the remedy), so probes against other
+    * same-quantizer generations must rebuild too — refit the merged
+    * artifact, not one generation of many.
+    */
+  def refitIfSkewed(
+      index: DataFrame,
+      idCol: String,
+      maxSkew: Double = 8.0,
+      seed: Long = 42L): (DataFrame, CellOccupancy) = {
+    require(maxSkew >= 1.0, s"maxSkew below 1 would always fire; got $maxSkew")
+    val report = cellOccupancyReport(index)
+    if (report.skew <= maxSkew) (index, report)
+    else {
+      val (m, _) = readMeta(index)
+      val vecs = index.filter(col("cell") =!= MetaCell).select(col(idCol), col("vec"))
+      (build(vecs, idCol, "vec", fitCentroids(vecs, "vec", m.nCentroids, seed)), report)
+    }
+  }
+
   /** [[cellOccupancyReport]] over SEVERAL generations, WITHOUT
     * materializing [[mergeMany]] (exact there, but it still unions and
     * re-persists every doc row for a read-only question): occupancy of

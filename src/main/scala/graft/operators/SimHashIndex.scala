@@ -370,6 +370,21 @@ object SimHashIndex {
     CapDriftReport(m.nDocs, m.maxBucketSize, drifted.nonEmpty, drifted)
   }
 
+  /** The monitor-then-repair nightly loop as one call (the
+    * [[LshIndex.rebuildIfStale]] shape for the Hamming family, where
+    * the remedy is cheaper: no raw text, no refit — [[compact]]'s
+    * stored-row recount IS the exact repair for cap drift). Runs
+    * [[capDriftReport]]; compacts iff it fires, returns the index
+    * untouched otherwise. The report is the evidence either way — log
+    * it.
+    */
+  def compactIfDrifted(
+      index: DataFrame, idCol: String): (DataFrame, CapDriftReport) = {
+    val report = capDriftReport(index)
+    if (!report.crossed) (index, report)
+    else (compact(index, idCol), report)
+  }
+
   /** [[capDriftReport]] over SEVERAL generations, WITHOUT materializing
     * [[mergeMany]] (the merge recounts and rewrites every entry row;
     * the monitor needs one read-only groupBy over the unioned entry

@@ -274,6 +274,60 @@ class LshStalenessSpec extends SparkSpec {
     genA.unpersist(); genB.unpersist(); merged.unpersist()
   }
 
+  test("SimHash compactIfDrifted: no-op below the bar, exact stored-row repair past it") {
+    def batch(ids: Range) = ids.map(i => (i.toLong, "the same exact boilerplate page"))
+      .toDF("doc_id", "text")
+    val built = SimHashIndex.build(batch(0 until 6), "doc_id", "text",
+      segments = 4, maxBucketSize = 10)
+    val (same, quiet) = SimHashIndex.compactIfDrifted(built, "doc_id")
+    assert((same eq built) && !quiet.crossed)
+
+    var ix = built
+    Seq(100 until 106, 200 until 206).foreach { ids =>
+      ix = SimHashIndex.append(ix, batch(ids), "doc_id", "text")
+    }
+    val (repaired, fired) = SimHashIndex.compactIfDrifted(ix, "doc_id")
+    assert(fired.crossed && fired.drifted.forall { case (_, _, t, _) => t == 18L })
+    assert(!SimHashIndex.capDriftReport(repaired).crossed)
+    assert(SimHashIndex.readMeta(repaired).nDocs == 18L)
+    built.unpersist(); repaired.unpersist()
+  }
+
+  test("IVF refitIfSkewed: no-op when balanced, the artifact re-fits from its own stored vectors when drifted") {
+    val rnd = new scala.util.Random(11)
+    def around(cx: Double, cy: Double, s: Double) =
+      Array(cx + rnd.nextGaussian() * s, cy + rnd.nextGaussian() * s)
+    val ctrs = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0), Seq(0.0, -1.0))
+
+    // balanced: the corpus matches the quantizer's four clusters
+    val balanced = (0 until 60).map { i =>
+      val c = ctrs(i % 4)
+      (i.toLong, around(c.head, c(1), 0.05))
+    }.toDF("vec_id", "embedding")
+    val ok = IvfIndex.build(balanced, "vec_id", "embedding", ctrs)
+    val (same, quiet) = IvfIndex.refitIfSkewed(ok, "vec_id", maxSkew = 3.0)
+    assert((same eq ok) && quiet.skew <= 3.0)
+
+    // drift: the embedding distribution moved wholesale to a region the
+    // frozen quantizer never saw — everything piles into one cell
+    val drifted = (100 until 160)
+      .map(i => (i.toLong, around(10.0, 0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val bad = IvfIndex.build(drifted, "vec_id", "embedding", ctrs)
+    val (fresh, fired) = IvfIndex.refitIfSkewed(bad, "vec_id", maxSkew = 3.0)
+    assert(fired.skew > 3.0 && fired.nonEmptyCells == 1,
+      s"drifted corpus must degenerate to one cell: $fired")
+    // the refit healed the balance WITHOUT any external corpus, kept
+    // every doc, and probes work against the new quantizer
+    val healed = IvfIndex.cellOccupancyReport(fresh)
+    assert(healed.skew <= 3.0 && healed.nonEmptyCells > 1, s"refit must rebalance: $healed")
+    assert(IvfIndex.readMeta(fresh)._1.nDocs == 60L)
+    val probed = IvfIndex.topKAgainst(fresh,
+      drifted.filter($"vec_id" === 100L), "vec_id", "embedding", k = 3, nProbe = 4)
+    assert(probed.count() == 3L)
+    ok.unpersist(); bad.unpersist(); fresh.unpersist()
+  }
+
   test("IVF cellOccupancyReportMany equals the merged artifact's report without materializing the merge") {
     val ctrs = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
     def vecs(ids: Range, skewTo: Int) = ids.map { i =>
