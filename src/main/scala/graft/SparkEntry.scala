@@ -2923,6 +2923,32 @@ object SparkEntry {
       },
       Some(bm25OracleSql))
 
+    /** Trainable quality classifier
+      * ([[operators.QualityClassifier]], r9): bootstrap labels from
+      * the heuristic gate on a 20% slice (the classic fastText-recipe
+      * shape: cheap labels -> learned smoother), train hashed-token
+      * logistic regression, score the whole corpus. ROWS-ONLY BY
+      * DECLARED DESIGN (the q68 convention): LBFGS training is not
+      * SQL-expressible, and its float path is not bit-replayable —
+      * correctness is pinned instead by QualityClassifierSpec
+      * (planted-corpus holdout accuracy, bit-exact artifact
+      * round-trip, typed corrupt-artifact errors).
+      */
+    private val q86 = Q(
+      "q86_quality_classifier",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val labeled = docs.filter($"doc_id" % 5 === 0)
+          .select($"text",
+            when(TextAnalysis.qualityScore($"text") >= 0.5, 1.0).otherwise(0.0).as("label"))
+        val model = operators.QualityClassifier.train(
+          labeled, "text", "label", numFeatures = 1 << 14)
+        operators.QualityClassifier.score(model, docs, "text", "q")
+          .select($"doc_id", round($"q", 3).as("q"))
+          .orderBy("doc_id")
+      },
+      None)
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -2930,7 +2956,7 @@ object SparkEntry {
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
-      q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85)
+      q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.
