@@ -408,6 +408,88 @@ object ProfileScale {
         println(f"PROFILE merge_lifecycle factor=$f kept=$keptN pairs=$nPairs " +
           f"build2=$buildSecs%.1f merge=$mergeSecs%.1f probe_cold=$probeCold%.1f probe_warm=$probeWarm%.1f")
       }
+      if (only.forall(_ == "bm25")) {
+        // The T56 claim: Bm25Index moves the corpus-sized tokenize +
+        // count work to build time; a probe pays the matched-posting
+        // scan + scoring join only. Corpus scales with f, queries FIXED
+        // (three f=1 docs). Contrast: the direct operator re-tokenizes
+        // and re-counts the WHOLE corpus every call. Probe cost still
+        // grows with f (matched postings are a corpus fraction — that
+        // is the honest slope; the saved term is the text CPU), so the
+        // record reports both curves, not a flat-probe claim.
+        val s = root.newSession()
+        def corpus(sx: SparkSession) = scaled(sx, sfDir, f).select("doc_id", "text")
+        def queries(sx: SparkSession) =
+          scaled(sx, sfDir, 1).filter(col("doc_id") < 3).select("doc_id", "text")
+        val dir = java.nio.file.Files.createTempDirectory("bm25_profile").toString
+        val tb0 = System.nanoTime()
+        val built = graft.operators.Bm25Index.build(corpus(s), "doc_id", "text")
+        built.write.mode("overwrite").parquet(s"$dir/index")
+        val buildSecs = (System.nanoTime() - tb0) / 1e9
+        val keptN = graft.operators.Bm25Index.readMeta(built).nDocs
+        built.unpersist()
+        val index = s.read.parquet(s"$dir/index")
+        def probeOnce(): (Long, Double) = {
+          val t = System.nanoTime()
+          val n = graft.operators.Bm25Index.topKAgainst(
+            index, queries(s), "doc_id", "text", k = 10).count()
+          val secs = (System.nanoTime() - t) / 1e9
+          s.catalog.clearCache(); System.gc()
+          (n, secs)
+        }
+        val (nRows, probeCold) = probeOnce()
+        val (_, probeWarm) = probeOnce()
+        println(f"PROFILE bm25_probe factor=$f kept=$keptN rows=$nRows " +
+          f"build=$buildSecs%.1f probe_cold=$probeCold%.1f probe_warm=$probeWarm%.1f")
+        val (nOne, oneCold, oneWarm) = timed { sx =>
+          graft.operators.TextAnalysis.bm25TopK(
+            corpus(sx), "doc_id", "text", queries(sx), "doc_id", "text", k = 10)
+        }
+        println(f"PROFILE bm25_oneshot factor=$f rows=$nOne cold=$oneCold%.1f warm=$oneWarm%.1f")
+      }
+      if (only.forall(_ == "sq8")) {
+        // The T53 claim: SQ8 codes are the 4x rung of the compression
+        // ladder — measure the ARTIFACT bytes (codes vs raw float
+        // vectors, both Parquet) and the probe wall against brute-force
+        // cosine over the raw vectors, from disk both sides, at growing
+        // corpus scale. Calibration is fit once on the f=1 corpus and
+        // FROZEN (the production shape: encode later epochs under the
+        // frozen artifact).
+        val s = root.newSession()
+        val cal = graft.operators.Similarity.sq8Fit(scaledEmb(s, sfDir, 1), "embedding")
+        val emb = scaledEmb(s, sfDir, f)
+        val dir = java.nio.file.Files.createTempDirectory("sq8_profile").toString
+        emb.write.mode("overwrite").parquet(s"$dir/raw")
+        graft.operators.Similarity.sq8Encode(emb, "vec_id", "embedding", cal._1, cal._2)
+          .write.mode("overwrite").parquet(s"$dir/codes")
+        def bytes(p: String): Long = {
+          val fs = new org.apache.hadoop.fs.Path(p)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+        }
+        def queries(sx: SparkSession) = scaledEmb(sx, sfDir, 1).filter(col("vec_id") < 5)
+        def once(fn: => Long): (Long, Double) = {
+          val t = System.nanoTime()
+          val n = fn
+          val secs = (System.nanoTime() - t) / 1e9
+          s.catalog.clearCache(); System.gc()
+          (n, secs)
+        }
+        def sqProbe() = once {
+          graft.operators.Similarity.sq8TopKAgainst(
+            s.read.parquet(s"$dir/codes"), queries(s), "vec_id", "embedding",
+            k = 10, cal._1, cal._2).count()
+        }
+        def bruteProbe() = once {
+          graft.operators.Similarity.bruteForceTopK(
+            s.read.parquet(s"$dir/raw"), queries(s), "vec_id", "embedding", k = 10).count()
+        }
+        val (nSq, sqCold) = sqProbe(); val (_, sqWarm) = sqProbe()
+        val (nBr, brCold) = bruteProbe(); val (_, brWarm) = bruteProbe()
+        println(f"PROFILE sq8 factor=$f rows=$nSq/$nBr raw_bytes=${bytes(s"$dir/raw")} " +
+          f"code_bytes=${bytes(s"$dir/codes")} sq_cold=$sqCold%.1f sq_warm=$sqWarm%.1f " +
+          f"brute_cold=$brCold%.1f brute_warm=$brWarm%.1f")
+      }
       if (only.forall(_ == "ivfpq")) {
         // The IvfPqIndex claim: SAME cell pruning as IvfIndex, but the
         // probed partitions hold 4-byte packed codes instead of 64
