@@ -232,6 +232,49 @@ class TextDedupSpec extends SparkSpec {
   }
 }
 
+class DatasetDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("diff labels added/removed/changed/unchanged; summary zero-fills") {
+    val a = Seq((1L, "same"), (2L, "old"), (3L, "gone"), (5L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val b = Seq((1L, "same"), (2L, "new"), (4L, "fresh"), (5L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val d = DatasetDiff.diff(a, b, "id", Seq("text"))
+      .as[(Long, String)].collect().toMap
+    assert(d == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged"))
+    val s = DatasetDiff.summary(DatasetDiff.diff(a, b, "id", Seq("text")))
+      .as[(String, Long)].collect().toMap
+    assert(s == Map("added" -> 1L, "changed" -> 1L, "removed" -> 1L, "unchanged" -> 2L))
+    // identical snapshots: all unchanged, other statuses zero-filled
+    val s2 = DatasetDiff.summary(DatasetDiff.diff(a, a, "id", Seq("text")))
+      .as[(String, Long)].collect().toMap
+    assert(s2 == Map("added" -> 0L, "changed" -> 0L, "removed" -> 0L, "unchanged" -> 4L))
+  }
+
+  test("multi-column identity: separator prevents boundary collisions") {
+    val a = Seq((1L, "ab", "c")).toDF("id", "x", "y")
+    val b = Seq((1L, "a", "bc")).toDF("id", "x", "y")
+    val d = DatasetDiff.diff(a, b, "id", Seq("x", "y")).as[(Long, String)].collect().toMap
+    assert(d == Map(1L -> "changed"), "(ab, c) must not hash like (a, bc)")
+  }
+
+  test("only (id, hash) shuffles: content columns absent from the exchange") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val d = DatasetDiff.diff(
+      docs.select($"doc_id", $"text"),
+      docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"text"),
+      "doc_id", Seq("text"))
+    val plan = d.queryExecution.executedPlan.toString
+    // every exchange carries only the id and the 32-char hash; the text
+    // column is consumed scan-side by the md5 projection
+    "Exchange hashpartitioning[^\\n]*".r.findAllIn(plan).foreach { ex =>
+      assert(!ex.contains("text"), s"content column in exchange: $ex")
+    }
+  }
+}
+
 class Bm25Spec extends SparkSpec {
   import spark.implicits._
 
@@ -673,6 +716,27 @@ class SamplingSpec extends SparkSpec {
   import spark.implicits._
 
   private def ids = (0L until 20000L).toDF("id")
+
+  test("assignSplit: disjoint cover, layout-independent membership, subset-consistent with hashSample") {
+    val split = Sampling.assignSplit(ids, "id", 0.8, 0.1)
+      .as[(Long, String)].collect().toMap
+    assert(split.size == 20000)
+    val byName = split.groupBy(_._2).view.mapValues(_.size).toMap
+    // quantized-rate bounds, not exact fractions: md5 buckets are ~uniform
+    assert(byName("train") > 15500 && byName("train") < 16500, s"$byName")
+    assert(byName("val") > 1700 && byName("val") < 2300, s"$byName")
+    assert(byName("test") > 1700 && byName("test") < 2300, s"$byName")
+    // layout-independent
+    val split2 = Sampling.assignSplit(ids.repartition(13), "id", 0.8, 0.1)
+      .as[(Long, String)].collect().toMap
+    assert(split2 == split)
+    // the train split IS hashSample(0.8): one family, one bucket rule
+    val sampled = Sampling.hashSample(ids, "id", 0.8).as[Long].collect().toSet
+    assert(split.filter(_._2 == "train").keySet == sampled)
+    // null ids are dropped, not silently bucketed into test
+    val withNull = (Seq(Option.empty[Long]) ++ (0L until 10L).map(Some(_))).toDF("id")
+    assert(Sampling.assignSplit(withNull, "id", 0.5, 0.25).count() == 10)
+  }
 
   test("hashSample keeps ~rate of rows and is deterministic") {
     val a = Sampling.hashSample(ids, "id", 0.25).as[Long].collect().toSet
