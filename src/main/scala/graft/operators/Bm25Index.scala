@@ -110,6 +110,20 @@ object Bm25Index {
     index
   }
 
+  /** The number of distinct query terms up to which the probe inlines
+    * them as a literal `isin` filter on the posting scan — static
+    * predicate pushdown at PLANNING time (the
+    * [[IvfIndex.DefaultMaxStaticProbeCells]] discipline applied to
+    * postings): with the artifact written term-sorted
+    * ([[writeSorted]]), Parquet row-group min/max stats skip every
+    * group holding no query term, so the probe reads a posting SLICE
+    * instead of the whole posting file. Semantically a no-op either
+    * way — the broadcast term join filters identically — so past the
+    * bound the probe just omits the literal filter (bounded planning,
+    * the honest trade for degenerate thousand-term query batches).
+    */
+  val DefaultMaxStaticProbeTerms: Int = 4096
+
   /** Ranked top-k against the stored postings — output contract and
     * bit-level scores identical to [[TextAnalysis.bm25TopK]] over the
     * same corpus (one shared scoring expression; pinned by spec).
@@ -121,16 +135,79 @@ object Bm25Index {
       queryTextCol: String,
       k: Int,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      maxStaticProbeTerms: Int = DefaultMaxStaticProbeTerms): DataFrame = {
     val m = readMeta(index)
     val idCol = index.columns.head
-    val tf = index.filter(col("kind") === PostKind)
-      .select(col(idCol).as("__doc"), col("term").as("__term"),
-        col("tf").cast("double").as("__tf"))
+    val qTerms = queries
+      .select(explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("t"))
+      .distinct().limit(math.max(maxStaticProbeTerms, 0) + 1)
+      .collect().map(_.getString(0)).toSeq
+    val posts = index.filter(col("kind") === PostKind)
+    val pruned =
+      if (qTerms.length <= maxStaticProbeTerms) posts.filter(col("term").isInCollection(qTerms))
+      else posts
+    val tf = pruned.select(col(idCol).as("__doc"), col("term").as("__term"),
+      col("tf").cast("double").as("__tf"))
     val dl = index.filter(col("kind") === DocKind)
       .select(col(idCol).as("__doc"), col("dl").cast("double").as("__dl"))
     val stats = index.sparkSession.range(1).select(
       lit(m.nDocs.toDouble).as("__nd"), lit(m.totTokens.toDouble).as("__tot"))
+    TextAnalysis.bm25ScoreTopK(tf, dl, stats, queries, queryIdCol, queryTextCol,
+      k, k1, b, idCol)
+  }
+
+  /** Write the artifact term-sorted so [[topKAgainst]]'s literal term
+    * filter turns into Parquet row-group skipping: postings range-
+    * partition and sort by term (meta/doc rows' null terms collapse
+    * into one partition, always read — they are the probe's other
+    * scans anyway). One range exchange at write time buys every later
+    * probe a slice-read.
+    */
+  def writeSorted(index: DataFrame, path: String): Unit =
+    index.repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"))
+      .write.parquet(path)
+
+  /** Probe SEVERAL index generations with one query batch — the
+    * monthly-artifact layout, and (like [[LineFreqIndex]]'s family,
+    * unlike the LSH one) EXACT with no compatibility knobs: BM25's
+    * only global statistics are additive (`nDocs`/`totTokens` sum; df
+    * recomputes from the unioned matched postings), so this equals
+    * `topKAgainst(mergeMany(generations))` bit-for-bit WITHOUT
+    * materializing the merge — pinned by Bm25IndexSpec. Ids must be
+    * unique across generations; the tokenizer is the family constant,
+    * so no recipe can disagree.
+    */
+  def topKAgainstMany(
+      indexes: Seq[DataFrame],
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      maxStaticProbeTerms: Int = DefaultMaxStaticProbeTerms): DataFrame = {
+    require(indexes.nonEmpty, "need at least one index generation")
+    val metas = indexes.map(readMeta)
+    val idCol = indexes.head.columns.head
+    val qTerms = queries
+      .select(explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("t"))
+      .distinct().limit(math.max(maxStaticProbeTerms, 0) + 1)
+      .collect().map(_.getString(0)).toSeq
+    def posts(ix: DataFrame) = {
+      val p = ix.filter(col("kind") === PostKind)
+      if (qTerms.length <= maxStaticProbeTerms) p.filter(col("term").isInCollection(qTerms))
+      else p
+    }
+    val tf = indexes.map(ix => posts(ix).select(col(idCol).as("__doc"),
+      col("term").as("__term"), col("tf").cast("double").as("__tf"))).reduce(_ unionAll _)
+    val dl = indexes.map(_.filter(col("kind") === DocKind)
+      .select(col(idCol).as("__doc"), col("dl").cast("double").as("__dl")))
+      .reduce(_ unionAll _)
+    val stats = indexes.head.sparkSession.range(1).select(
+      lit(metas.map(_.nDocs).sum.toDouble).as("__nd"),
+      lit(metas.map(_.totTokens).sum.toDouble).as("__tot"))
     TextAnalysis.bm25ScoreTopK(tf, dl, stats, queries, queryIdCol, queryTextCol,
       k, k1, b, idCol)
   }

@@ -61,12 +61,16 @@ class PlanSpec extends SparkSpec {
       .select("doc_id", "text")
     val ix = graft.operators.Bm25Index.build(docs, "doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("bm25plan").toString
-    ix.write.parquet(s"$dir/ix")
+    graft.operators.Bm25Index.writeSorted(ix, s"$dir/ix")
     ix.unpersist()
     val probe = graft.operators.Bm25Index.topKAgainst(
       spark.read.parquet(s"$dir/ix"),
       docs.filter(col("doc_id") < 3), "doc_id", "text", k = 5)
     val plan = probe.queryExecution.executedPlan.toString
+    // the probe's static term filter reaches the posting scan as a
+    // pushed predicate (row-group skipping on the term-sorted artifact)
+    assert("PushedFilters: \\[[^\\]]*In\\(term".r.findFirstIn(plan).isDefined,
+      s"term isin must push into the posting scan:\n$plan")
     val schemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan).map(_.group(1)).toSeq
     assert(schemas.nonEmpty, s"no scan in plan:\n$plan")
     // artifact scans (they carry `kind`) never read the meta column and

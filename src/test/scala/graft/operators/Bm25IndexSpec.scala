@@ -75,6 +75,29 @@ class Bm25IndexSpec extends SparkSpec {
     ix.unpersist()
   }
 
+  test("topKAgainstMany == merged-artifact probe == direct operator, bit for bit") {
+    val direct = collectTopK(TextAnalysis.bm25TopK(
+      docs, "doc_id", "text", queries, "doc_id", "text", k = 10))
+    val gens = Seq(0, 1, 2).map(m =>
+      Bm25Index.build(docs.filter($"doc_id" % 3 === m), "doc_id", "text"))
+    val many = collectTopK(Bm25Index.topKAgainstMany(
+      gens, queries, "doc_id", "text", k = 10))
+    assert(many == direct)
+    val merged = Bm25Index.mergeMany(gens, "doc_id")
+    assert(collectTopK(Bm25Index.topKAgainst(merged, queries, "doc_id", "text", k = 10)) == direct)
+    gens.foreach(_.unpersist()); merged.unpersist()
+  }
+
+  test("static term pushdown is a semantic no-op: past the bound, the probe falls back identically") {
+    val ix = Bm25Index.build(docs, "doc_id", "text")
+    val static = collectTopK(Bm25Index.topKAgainst(ix, queries, "doc_id", "text", k = 10))
+    // force the fallback path (every real query has > 0 terms)
+    val fallback = collectTopK(Bm25Index.topKAgainst(ix, queries, "doc_id", "text",
+      k = 10, maxStaticProbeTerms = 0))
+    assert(static == fallback && static.nonEmpty)
+    ix.unpersist()
+  }
+
   test("not-an-index frames fail typed") {
     val junk = Seq((1L, 0)).toDF("doc_id", "kind")
     val e1 = intercept[IllegalArgumentException] { Bm25Index.readMeta(junk) }
