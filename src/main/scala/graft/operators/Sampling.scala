@@ -134,6 +134,33 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Deterministic train/val/test assignment by id hash — the split
+    * every training run needs pinned BEFORE any shuffling or
+    * sampling, so membership never moves between runs, retries,
+    * engines, or corpus re-orderings (a `randomSplit` re-draws on all
+    * four). Buckets `[0, t1)` → train, `[t1, t2)` → val, rest → test,
+    * with `t1/t2` from the same quantized-rate rule as [[hashSample]].
+    * NULL-id rows are dropped (the family contract: no deterministic
+    * fate exists for them). One codegen'd CASE on the scan — no
+    * shuffle, no join.
+    */
+  def assignSplit(
+      df: DataFrame,
+      idCol: String,
+      trainFrac: Double,
+      valFrac: Double,
+      splitCol: String = "split"): DataFrame = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
+      s"need trainFrac, valFrac >= 0 with sum <= 1: $trainFrac/$valFrac")
+    require(!df.columns.contains(splitCol), s"output column collides: $splitCol")
+    val t1 = math.round(trainFrac * Buckets)
+    val t2 = t1 + math.round(valFrac * Buckets)
+    df.filter(col(idCol).isNotNull).withColumn(splitCol,
+      when(hashBucket(col(idCol)) < t1, "train")
+        .when(hashBucket(col(idCol)) < t2, "val")
+        .otherwise("test"))
+  }
+
   /** Temperature-flattened domain mixing (the multilingual-corpus
     * sampling rule of mBERT/XLM-R/mT5: keep probability proportional to
     * `count^alpha`): [[mixToWeights]] with `weights = n_d^alpha`,
