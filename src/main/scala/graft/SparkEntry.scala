@@ -2949,6 +2949,127 @@ object SparkEntry {
       },
       None)
 
+    /** Snapshot diff ([[operators.DatasetDiff]], r9): version B drops
+      * every 7th doc, rewrites every 5th, and adds a shifted copy of
+      * every 11th — the diff labels each id added/removed/changed/
+      * unchanged from scan-side md5 content hashes (only (id, hash)
+      * ever shuffles). Full oracle: DuckDB replays the hash and the
+      * full-outer status CASE.
+      */
+    private val q87 = Q(
+      "q87_dataset_diff",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val a = docs.select($"doc_id", $"text")
+        val b = docs.filter($"doc_id" % 7 =!= 0)
+          .select($"doc_id",
+            when($"doc_id" % 5 === 0, concat($"text", lit(" v2"))).otherwise($"text").as("text"))
+          .unionAll(docs.filter($"doc_id" % 11 === 0)
+            .select(($"doc_id" + 100000).as("doc_id"), $"text"))
+        operators.DatasetDiff.diff(a, b, "doc_id", Seq("text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH av AS (
+             |  SELECT doc_id, md5(concat_ws(chr(1), CAST(text AS VARCHAR))) AS ha
+             |  FROM documents),
+             |b0 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+             |  FROM documents WHERE doc_id % 7 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0),
+             |bv AS (
+             |  SELECT doc_id, md5(concat_ws(chr(1), CAST(text AS VARCHAR))) AS hb
+             |  FROM b0)
+             |SELECT coalesce(av.doc_id, bv.doc_id) AS doc_id,
+             |  CASE WHEN av.doc_id IS NULL THEN 'added'
+             |       WHEN bv.doc_id IS NULL THEN 'removed'
+             |       WHEN ha = hb THEN 'unchanged' ELSE 'changed' END AS status
+             |FROM av FULL OUTER JOIN bv ON av.doc_id = bv.doc_id
+             |ORDER BY doc_id""".stripMargin))
+
+    /** IVF-SQ8 serving index ([[operators.IvfSq8Index]], r9): the
+      * middle rung of the ANN serving ladder (raw IVF 1x / SQ8 4x /
+      * PQ 32x), probed at nProbe=4. Full oracle: q43's frozen-centroid
+      * cell replay composed with q83's calibration + reconstruction +
+      * ADC folds — the same literals, the same float associations.
+      */
+    private val q88 = Q(
+      "q88_ivfsq8_index_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val (lo, hi) = Similarity.sq8Fit(e, "embedding")
+        val index = operators.IvfSq8Index.build(
+          e, "vec_id", "embedding", IvfCentroids.centroids, lo, hi)
+        val res = operators.IvfSq8Index.topKAgainst(
+            index, e.filter($"vec_id" < 5), "vec_id", "embedding", k = 5, nProbe = 4)
+          .select($"query_id", $"rank", $"neighbor_id", round($"adc_cos", 6).as("adc_cos"))
+          .orderBy("query_id", "rank")
+        index.unpersist()
+        res
+      },
+      Some(s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+             |           FROM embeddings),
+             |dims AS (
+             |  SELECT i, min(vec[i]) AS lo, max(vec[i]) AS hi
+             |  FROM v CROSS JOIN range(1, 65) r(i)
+             |  GROUP BY i),
+             |cal AS (SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his FROM dims),
+             |rec AS (
+             |  SELECT vec_id,
+             |    [los[i] + greatest(0, least(255,
+             |         CAST(floor((vec[i] - los[i]) * 255.0 / (his[i] - los[i]) + 0.5) AS BIGINT)))
+             |       * (his[i] - los[i]) / 255.0
+             |     FOR i IN range(1, 65)] AS rvec
+             |  FROM v CROSS JOIN cal),
+             |assigned AS (
+             |  SELECT vec_id AS neighbor_id,
+             |    ${sqlIvfCells("vec")}[1].cell AS cell
+             |  FROM v),
+             |probes AS (
+             |  SELECT vec_id AS query_id, vec AS qv,
+             |    sqrt(list_reduce(list_prepend(0.0, list_transform(vec, x -> x * x)),
+             |         (a, b) -> a + b)) AS qn,
+             |    unnest(list_transform(${sqlIvfCells("vec")}[1:4], s -> s.cell)) AS cell
+             |  FROM v WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT p.query_id, a.neighbor_id, p.qn,
+             |    list_reduce(list_prepend(0.0, list_transform(list_zip(p.qv, r.rvec),
+             |        z -> z[1] * z[2])), (x, y) -> x + y) AS ip,
+             |    sqrt(list_reduce(list_prepend(0.0, list_transform(r.rvec, x -> x * x)),
+             |        (x, y) -> x + y)) AS rn
+             |  FROM assigned a
+             |  JOIN probes p ON a.cell = p.cell AND a.neighbor_id != p.query_id
+             |  JOIN rec r ON r.vec_id = a.neighbor_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id,
+             |    CASE WHEN rn * qn > 0 THEN ip / (rn * qn) ELSE 0.0 END AS adc_cos,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY CASE WHEN rn * qn > 0 THEN ip / (rn * qn) ELSE 0.0 END DESC,
+             |               neighbor_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(adc_cos, 6) AS adc_cos
+             |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
+    /** Deterministic train/val/test split
+      * ([[operators.Sampling.assignSplit]], r9): 80/10/10 by the q52
+      * md5-bucket rule — membership pinned across runs/retries/
+      * engines where `randomSplit` re-draws. Full oracle: the CASE
+      * over the same bucket expression.
+      */
+    private val q89 = Q(
+      "q89_train_val_test",
+      (s, dir) => Sampling.assignSplit(
+          t(s, dir, "documents"), "doc_id", trainFrac = 0.8, valFrac = 0.1)
+        .select($"doc_id", $"split")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < 8000 THEN 'train'
+             |       WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < 9000 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM documents WHERE doc_id IS NOT NULL
+             |ORDER BY doc_id""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -2956,7 +3077,7 @@ object SparkEntry {
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
-      q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86)
+      q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.
