@@ -114,6 +114,50 @@ object Similarity {
       when(dot(v, hCol) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Johnson-Lindenstrauss random projection: `dim -> outDim` via the
+    * same seeded gaussian matrix family as the sign-LSH planes
+    * ([[hyperplaneParams]] exposes the exact constants for oracle
+    * replay), scaled by `1/sqrt(outDim)` so expected norms — and hence
+    * cosines and distances, within the JL distortion bound — are
+    * preserved. The cheap preprocessing step before any of the ANN
+    * paths when 64+ dims cost more than they buy: brute-force/IVF/SQ8
+    * distance loops all shrink by `dim/outDim`, and the projection
+    * composes with every one of them (it is just a new vector column).
+    *
+    * One per-row kernel (index-ordered accumulation per output dim —
+    * the oracle contract), no shuffle, no state; null vectors stay
+    * null, wrong-dimension vectors fail typed.
+    */
+  def randomProject(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      outDim: Int,
+      seed: Long = 42L,
+      outCol: String = "proj"): DataFrame = {
+    require(dim >= 1 && outDim >= 1, s"need dim, outDim >= 1: $dim/$outDim")
+    val planes = hyperplanes(dim, outDim, seed).map(_.toArray).toArray
+    val scale = math.sqrt(outDim.toDouble)
+    val projUdf = udf((v: Array[Double]) =>
+      if (v == null) null
+      else {
+        require(v.length == dim, s"vector has ${v.length} dims, projection expects $dim")
+        val out = new Array[Double](outDim)
+        var j = 0
+        while (j < outDim) {
+          val h = planes(j)
+          var t = 0.0
+          var i = 0
+          while (i < dim) { t += v(i) * h(i); i += 1 }
+          out(j) = t / scale
+          j += 1
+        }
+        out
+      })
+    df.select(col(idCol), projUdf(asDouble(col(vecCol))).as(outCol))
+  }
+
   /** Approximate top-k: candidates share the query's LSH bucket (plus all
     * buckets at Hamming distance 1 — standard multi-probe), then exact
     * cosine + window inside the candidate set.

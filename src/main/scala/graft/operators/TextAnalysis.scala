@@ -271,9 +271,12 @@ object TextAnalysis {
     * is batch-sized: distinct query terms join df by BROADCAST, and
     * the enriched term list broadcasts again into the tf scan — the
     * posting list is filtered scan-side to matching terms before
-    * anything shuffles toward the per-query window top-k. Persist
-    * `tf.join(dl)` once, probe many times, exactly like the index
-    * family.
+    * anything shuffles toward the per-query window top-k. The honest
+    * cost of the ONE-SHOT form (`.explain` audited): each posting
+    * statistic derives from its own corpus scan (~5 scans of the raw
+    * text per call) — fine for a one-off, wrong for a nightly probe;
+    * that is exactly what [[Bm25Index]] exists for (build the postings
+    * once, probe a pruned artifact slice).
     */
   def bm25TopK(
       docs: org.apache.spark.sql.DataFrame,

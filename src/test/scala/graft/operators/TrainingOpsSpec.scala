@@ -466,6 +466,50 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 12, s"recall too low: $hits of ${exact.size * 5} (random ~1)")
   }
 
+  test("randomProject: driver parity, JL distance preservation, null/dim contracts") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // driver parity against the published plane constants
+    val planes = Similarity.hyperplaneParams(64, 16, 42L).map(_.toArray)
+    val proj16 = Similarity.randomProject(e, "vec_id", "embedding", dim = 64, outDim = 16)
+      .as[(Long, Array[Double])].collect().toMap
+    val raw = e.select($"vec_id", Similarity.asDouble($"embedding"))
+      .as[(Long, Array[Double])].collect().toMap
+    raw.take(20).foreach { case (id, v) =>
+      val want = planes.map(h =>
+        v.indices.foldLeft(0.0)((t, i) => t + v(i) * h(i)) / math.sqrt(16.0))
+      assert(proj16(id).toSeq == want.toSeq, s"vec $id projection diverges")
+    }
+
+    // JL at full width: pairwise cosines survive within the distortion
+    // bound's neighborhood (gaussian 64 -> 64, per-pair error ~1/sqrt(64))
+    val proj64 = Similarity.randomProject(e, "vec_id", "embedding", dim = 64, outDim = 64,
+        seed = 5L)
+      .as[(Long, Array[Double])].collect().toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val ip = a.indices.map(i => a(i) * b(i)).sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na * nb > 0) ip / (na * nb) else 0.0
+    }
+    val ids = raw.keys.toSeq.sorted.take(30)
+    val errs = for (i <- ids.indices; j <- 0 until i) yield
+      math.abs(cos(raw(ids(i)), raw(ids(j))) - cos(proj64(ids(i)), proj64(ids(j))))
+    assert(errs.sum / errs.size < 0.2, s"mean cosine distortion too high: ${errs.sum / errs.size}")
+    // and norms are preserved in expectation (the 1/sqrt(outDim) scale)
+    val ratios = ids.map(id => math.sqrt(proj64(id).map(x => x * x).sum) /
+      math.sqrt(raw(id).map(x => x * x).sum))
+    assert(ratios.sum / ratios.size > 0.7 && ratios.sum / ratios.size < 1.3)
+
+    // nulls stay null; wrong dimensionality fails typed
+    val withNull = Seq((99L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    assert(Similarity.randomProject(withNull, "vec_id", "embedding", 64, 16)
+      .as[(Long, Option[Array[Double]])].head() == ((99L, None)))
+    val short = Seq((1L, Array(1f, 2f))).toDF("vec_id", "embedding")
+    val err = intercept[Exception] {
+      Similarity.randomProject(short, "vec_id", "embedding", 64, 16).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("sq8 encode/fit: driver-parity, half-step fidelity, clamping, degenerate dims, nulls") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val (lo, hi) = Similarity.sq8Fit(e, "embedding")
