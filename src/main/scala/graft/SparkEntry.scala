@@ -3070,6 +3070,30 @@ object SparkEntry {
              |FROM documents WHERE doc_id IS NOT NULL
              |ORDER BY doc_id""".stripMargin))
 
+    /** JL random projection ([[Similarity.randomProject]], r9):
+      * 64 -> 16 dims under the seeded gaussian family, the cheap
+      * preprocessing step before any ANN path. Full oracle: the 16x64
+      * plane matrix inlines as double literals (the q28 discipline) and
+      * every output dim replays as the same index-ordered fold divided
+      * by sqrt(16).
+      */
+    private val q90 = Q(
+      "q90_random_projection",
+      (s, dir) => Similarity.randomProject(
+          t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64, outDim = 16)
+        .select($"vec_id", transform($"proj", x => round(x, 6)).as("proj"))
+        .orderBy("vec_id"),
+      Some {
+        val planes = Similarity.hyperplaneParams(64, 16, 42L)
+        val elems = planes.map(p => s"round(${sqlDot("vec", p)} / sqrt(16.0), 6)")
+          .mkString(",\n    ")
+        s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+           |           FROM embeddings)
+           |SELECT vec_id,
+           |  [$elems] AS proj
+           |FROM v ORDER BY vec_id""".stripMargin
+      })
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -3077,7 +3101,7 @@ object SparkEntry {
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
-      q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
+      q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.
