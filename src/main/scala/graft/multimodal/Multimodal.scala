@@ -9,15 +9,18 @@ import org.apache.spark.sql.types._
   * extraction runs as a codegen-friendly column UDF with codec state
   * initialized once per executor, not per row.
   *
-  * IMAGE decode is REAL since round 8: [[ImageCodec]] uses the JDK's
-  * built-in `javax.imageio` (PNG/JPEG — zero new dependencies) for
-  * magic-byte mime sniffing, header-only dimension reads, and full
-  * pixel-stat decode; [[withImageMetadata]] / [[imageStats]] are the
-  * column surfaces. Audio/video decode stays STUBBED (the JDK ships no
-  * codec): [[StubCodec]] produces deterministic pseudo-features derived
-  * from the raw bytes, and the Spark-side contract — schema, binary
-  * transport, per-partition batching, feature vector shape — is real and
-  * tested, so swapping in a real codec changes no plumbing.
+  * IMAGE decode is REAL since round 8 ([[ImageCodec]], JDK
+  * `javax.imageio`: PNG/JPEG magic-byte sniff, header-only dimension
+  * reads, full pixel-stat decode) and AUDIO decode is REAL since round
+  * 9 ([[AudioCodec]], JDK `javax.sound.sampled`: WAV/AIFF/AU PCM —
+  * mime sniff, header-only format read, declared-size bomb guard,
+  * sample statistics); [[withImageMetadata]] / [[imageStats]] /
+  * [[withAudioMetadata]] / [[audioStats]] are the column surfaces.
+  * Only VIDEO decode stays STUBBED (the JDK genuinely ships no video
+  * codec): [[StubCodec]] produces deterministic pseudo-features from
+  * the raw bytes, and the Spark-side contract — schema, binary
+  * transport, per-partition batching, feature vector shape — is real
+  * and tested, so swapping in a real codec changes no plumbing.
   */
 object Multimodal {
 
@@ -88,8 +91,9 @@ object Multimodal {
 
   /** REAL image codec — the JDK's built-in `javax.imageio` (PNG + JPEG
     * decode ship with every JVM; zero new dependencies). Closes the
-    * "codec is the one environment stub" gap for images; audio/video
-    * have no JDK codec and stay on [[StubCodec]].
+    * "codec is the one environment stub" gap for images; [[AudioCodec]]
+    * closed the same gap for audio in r9, and only video (genuinely no
+    * JDK codec) stays on [[StubCodec]].
     *
     * All entry points return `Option`/null on undecodable bytes — a
     * corrupt payload row yields a null struct, never a task failure
@@ -193,6 +197,180 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
     }
+  }
+
+  /** REAL audio codec — the JDK's built-in `javax.sound.sampled`
+    * (WAV/AIFF/AU PCM decode ships with every JVM; zero new
+    * dependencies — r9, retiring the "the JDK ships no audio codec"
+    * claim the audio stub carried). Mirrors [[ImageCodec]]'s design:
+    * magic-byte mime sniff, HEADER-ONLY format read (sample rate /
+    * channels / declared frame count without touching samples), a
+    * declared-size decode guard (the decompression-bomb rule — a
+    * hand-crafted header can declare gigaframe lengths), and
+    * full-decode sample statistics. Every entry point returns
+    * `Option`/null on undecodable bytes — a corrupt payload yields a
+    * null struct, never a task failure.
+    */
+  object AudioCodec extends Serializable {
+
+    /** Magic-byte mime sniff (the JDK-decodable containers). */
+    def sniffMime(bytes: Array[Byte]): Option[String] =
+      if (bytes == null || bytes.length < 12) None
+      else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')
+        Some("audio/wav")
+      else if (bytes(0) == 'F' && bytes(1) == 'O' && bytes(2) == 'R' && bytes(3) == 'M' &&
+        bytes(8) == 'A' && bytes(9) == 'I' && bytes(10) == 'F' && bytes(11) == 'F')
+        Some("audio/aiff")
+      else if (bytes(0) == '.' && bytes(1) == 's' && bytes(2) == 'n' && bytes(3) == 'd')
+        Some("audio/basic")
+      else None
+
+    /** Header-only (sampleRate, channels, declared frames): parses the
+      * format records without reading sample data — the metadata-sniff
+      * path stays cheap on multi-MB payloads.
+      */
+    def format(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+      if (sniffMime(bytes).isEmpty) return None
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes))
+        val f = aff.getFormat
+        Some((f.getSampleRate.toInt, f.getChannels, aff.getFrameLength.toLong))
+      } catch { case _: Exception => None }
+    }
+
+    /** Sample-stat decode output (field names are the struct columns).
+      * `rms`/`peak` are over normalized samples in [-1, 1], all
+      * channels pooled.
+      */
+    final case class Stats(
+        sample_rate: Int, channels: Int, n_frames: Long,
+        duration_s: Double, rms: Double, peak: Double)
+
+    /** Declared sample count (frames x channels) above which [[stats]]
+      * refuses to decode — the [[ImageCodec.DefaultMaxPixels]] rule for
+      * audio: the header carries the declared length without decoding,
+      * so the guard is free and runs first. 100M 16-bit samples
+      * (~200 MB decoded) bounds a task the same way 100 MP does.
+      */
+    val DefaultMaxSamples: Long = 100000000L
+
+    def stats(bytes: Array[Byte]): Option[Stats] = stats(bytes, DefaultMaxSamples)
+
+    def stats(bytes: Array[Byte], maxSamples: Long): Option[Stats] = {
+      if (sniffMime(bytes).isEmpty) return None
+      val declared = format(bytes)
+      if (!declared.exists { case (_, ch, fr) => fr >= 0 && fr * ch <= maxSamples })
+        return None
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = ais.getFormat
+          val enc = f.getEncoding
+          val bits = f.getSampleSizeInBits
+          val ok = (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) &&
+            (bits == 8 || bits == 16)
+          if (!ok) return None
+          val channels = f.getChannels
+          val bytesPerSample = bits / 8
+          val buf = new Array[Byte](4096 * f.getFrameSize)
+          var sumSq = 0.0
+          var peak = 0.0
+          var nSamples = 0L
+          var read = ais.read(buf)
+          while (read > 0) {
+            var i = 0
+            while (i + bytesPerSample <= read) {
+              val x =
+                if (bits == 16) {
+                  val lo = buf(i) & 0xFF
+                  val hi = buf(i + 1) & 0xFF
+                  val s = if (f.isBigEndian) (buf(i) << 8) | (buf(i + 1) & 0xFF)
+                    else (buf(i + 1) << 8) | lo
+                  // PCM_UNSIGNED 16-bit is vanishingly rare; normalize
+                  // signed straight away
+                  s / 32768.0
+                } else {
+                  if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+                    ((buf(i) & 0xFF) - 128) / 128.0
+                  else buf(i) / 128.0
+                }
+              sumSq += x * x
+              val ax = math.abs(x)
+              if (ax > peak) peak = ax
+              nSamples += 1
+              i += bytesPerSample
+            }
+            read = ais.read(buf)
+          }
+          if (nSamples == 0) return None
+          val frames = nSamples / channels
+          Some(Stats(f.getSampleRate.toInt, channels, frames,
+            frames.toDouble / f.getSampleRate.toInt,
+            math.sqrt(sumSq / nSamples), peak))
+        } finally ais.close()
+      } catch { case _: Exception => None }
+    }
+
+    /** Deterministic alternating-sign square wave as 16-bit PCM mono
+      * WAV — the fixture/oracle generator (PCM is lossless and the
+      * square wave's statistics are EXACT dyadic arithmetic: rms ==
+      * peak == amplitude/32768, no transcendental, no sum-order
+      * noise — the [[ImageCodec.solidPng]] discipline for audio).
+      */
+    def squareWav(sampleRate: Int, nFrames: Int, amplitude: Int): Array[Byte] = {
+      require(amplitude >= 0 && amplitude < 32768, s"amplitude must fit 16-bit: $amplitude")
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      val data = new Array[Byte](nFrames * 2)
+      var i = 0
+      while (i < nFrames) {
+        val s = if (i % 2 == 0) amplitude else -amplitude
+        data(2 * i) = (s & 0xFF).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+
+  /** [[withAssetMetadata]]'s real-codec twin for audio columns:
+    * `audio_meta: struct<media_type, n_bytes, sample_rate, channels,
+    * n_frames>` from magic bytes + a header-only format read (nulls
+    * for bytes the JDK cannot decode).
+    */
+  def withAudioMetadata(df: DataFrame, contentCol: String): DataFrame = {
+    val fmt = udf((bytes: Array[Byte]) => AudioCodec.format(bytes))
+    val mime = udf((bytes: Array[Byte]) =>
+      AudioCodec.sniffMime(bytes).getOrElse("application/octet-stream"))
+      .asNonNullable()
+    val d = Iterator.from(0).map(i => s"__fmt$i")
+      .find(c => !df.columns.contains(c)).get
+    df.withColumn(d, fmt(col(contentCol)))
+      .withColumn("audio_meta", struct(
+        mime(col(contentCol)).as("media_type"),
+        octet_length(col(contentCol)).cast("long").as("n_bytes"),
+        col(s"$d._1").as("sample_rate"),
+        col(s"$d._2").as("channels"),
+        col(s"$d._3").as("n_frames")))
+      .drop(d)
+  }
+
+  /** Real sample statistics over a binary audio column: appends
+    * `audio_stats: struct<sample_rate, channels, n_frames, duration_s,
+    * rms, peak>` (null for undecodable payloads) — the
+    * [[imageStats]] twin.
+    */
+  def audioStats(df: DataFrame, contentCol: String): DataFrame = {
+    val f = udf((bytes: Array[Byte]) => AudioCodec.stats(bytes))
+    df.withColumn("audio_stats", f(col(contentCol)))
   }
 
   /** [[withAssetMetadata]]'s real-codec twin for image columns: mime from
