@@ -3094,6 +3094,40 @@ object SparkEntry {
            |FROM v ORDER BY vec_id""".stripMargin
       })
 
+    /** REAL audio decode ([[Multimodal.AudioCodec]], JDK
+      * `javax.sound.sampled` — r9, the q62 discipline for audio):
+      * synthetic square-wave WAVs with rate/length/amplitude arithmetic
+      * functions of doc_id, encoded then DECODED inside the query. The
+      * square wave's statistics are exact dyadic rationals
+      * (rms == peak == amplitude/32768; duration one exact division),
+      * so the oracle recomputes them arithmetically — a hash match
+      * proves real PCM sample decode, not byte bookkeeping.
+      */
+    private val q91 = Q(
+      "q91_audio_decode",
+      (s, dir) => {
+        val ids = t(s, dir, "documents").select($"doc_id").filter($"doc_id" < 500)
+        val wav = udf((i: Long) => Multimodal.AudioCodec.squareWav(
+          8000 + (i % 3).toInt * 4000,
+          100 + (i % 50).toInt,
+          (i * 37 % 32000).toInt))
+        Multimodal.audioStats(ids.withColumn("wav", wav($"doc_id")), "wav")
+          .select($"doc_id",
+            $"audio_stats.sample_rate".as("sample_rate"),
+            $"audio_stats.n_frames".as("n_frames"),
+            $"audio_stats.duration_s".as("duration_s"),
+            $"audio_stats.rms".as("rms"),
+            $"audio_stats.peak".as("peak"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+             |  CAST(100 + doc_id % 50 AS BIGINT) AS n_frames,
+             |  CAST(100 + doc_id % 50 AS DOUBLE) / (8000 + (doc_id % 3) * 4000) AS duration_s,
+             |  CAST((doc_id * 37) % 32000 AS DOUBLE) / 32768.0 AS rms,
+             |  CAST((doc_id * 37) % 32000 AS DOUBLE) / 32768.0 AS peak
+             |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -3101,7 +3135,7 @@ object SparkEntry {
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
-      q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
+      q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.
