@@ -420,4 +420,60 @@ object TextAnalysis {
     }
     udf(f).apply(c)
   }
+
+  /** Model-based language ID (the CCNet/fastText-langid shape,
+    * zero-dependency): one [[trainLm]] char-gram model per labeled
+    * language, a document classifies as the model under which its mean
+    * negative log-likelihood is LOWEST — the upgrade over the
+    * stopword-hit heuristic ([[langId]]) for short, stopword-poor, or
+    * mixed text. Scores are ROUNDED to 6 decimals BEFORE the argmin on
+    * both the kernel and the oracle side (raw ln/avg floats agree only
+    * to ~1e-13 across engines — q72's precedent — so an unrounded
+    * argmin could flip on sub-noise margins); residual ties break on
+    * language code ascending, making the prediction total-ordered and
+    * SQL-replayable. Docs shorter than one gram score 0 under EVERY
+    * model and fall to the tie rule (first language alphabetically) —
+    * callers should length-gate upstream, as every langid does.
+    *
+    * One compiled pass per (row, model), all models broadcast with the
+    * task closure — no explode, no shuffle, no join; model count is
+    * language-catalog-sized.
+    */
+  def langIdLm(models: Seq[(String, LmModel)], c: Column): Column = {
+    require(models.nonEmpty, "langIdLm needs at least one language model")
+    require(models.map(_._1).distinct.size == models.size,
+      "language labels must be unique")
+    val ms = models.sortBy(_._1).map { case (lang, m) =>
+      (lang, m.counts, (m.total + m.vocab + 1).toDouble, m.n)
+    }
+    val f = (text: String) => {
+      var bestLang = ms.head._1
+      var bestScore = Double.MaxValue
+      ms.foreach { case (lang, counts, denom, n) =>
+        val score =
+          if (text == null) 0.0
+          else {
+            val lc = text.toLowerCase(java.util.Locale.ROOT)
+            val total = lc.length - n + 1
+            if (total <= 0) 0.0
+            else {
+              var sum = 0.0
+              var i = 0
+              while (i < total) {
+                val g = lc.substring(i, i + n)
+                sum -= math.log((counts.getOrElse(g, 0L) + 1).toDouble / denom)
+                i += 1
+              }
+              sum / total
+            }
+          }
+        val rounded = BigDecimal(score)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        // strict < so ties keep the earlier (lang-asc) model
+        if (rounded < bestScore) { bestScore = rounded; bestLang = lang }
+      }
+      bestLang
+    }
+    udf(f).apply(c)
+  }
 }

@@ -1470,4 +1470,42 @@ class LmScoreSpec extends SparkSpec {
     assert(m.counts == Map("aaa" -> 2L))
     assert(m.total == 2L && m.vocab == 1L && m.n == 3)
   }
+
+  test("langIdLm: per-language LMs classify held-out text; scoreless docs fall to the tie rule") {
+    val en = Seq("the quick brown fox jumps over the lazy dog near the river",
+      "she walks through the quiet garden with her little brother",
+      "this is another simple english sentence about the weather today")
+    val de = Seq("der schnelle braune fuchs springt über den faulen hund am fluss",
+      "sie geht durch den stillen garten mit ihrem kleinen bruder",
+      "dies ist noch ein einfacher deutscher satz über das wetter heute")
+    val es = Seq("el rápido zorro marrón salta sobre el perro perezoso junto al río",
+      "ella camina por el jardín tranquilo con su hermano pequeño",
+      "esta es otra frase sencilla en español sobre el tiempo de hoy")
+    def model(texts: Seq[String]) = TextAnalysis.trainLm(texts.toDF("text"), "text", 3)
+    val models = Seq("de" -> model(de), "en" -> model(en), "es" -> model(es))
+
+    val holdout = Seq(
+      (1L, "the brown dog walks over the garden", "en"),
+      (2L, "der braune hund geht über den garten", "de"),
+      (3L, "el perro marrón camina sobre el jardín", "es"),
+      (4L, "", "de"),                             // scoreless -> lang-asc tie
+      (5L, null.asInstanceOf[String], "de"),
+      (6L, "ab", "de")).toDF("doc_id", "text", "want")
+    val got = holdout.select($"doc_id", $"want",
+        TextAnalysis.langIdLm(models, $"text").as("pred"))
+      .as[(Long, String, String)].collect()
+    got.foreach { case (id, want, pred) => assert(pred == want, s"doc $id: $pred != $want") }
+
+    // model order never matters: predictions are (rounded nats, lang)-
+    // total-ordered regardless of the Seq layout
+    val shuffled = holdout.select($"doc_id",
+        TextAnalysis.langIdLm(models.reverse, $"text").as("pred"))
+      .as[(Long, String)].collect().toMap
+    assert(got.map(r => r._1 -> r._3).toMap == shuffled)
+
+    // duplicate labels fail typed
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.langIdLm(models ++ models.headOption, lit("x"))
+    }.getMessage.contains("unique"))
+  }
 }
