@@ -3128,6 +3128,62 @@ object SparkEntry {
              |  CAST((doc_id * 37) % 32000 AS DOUBLE) / 32768.0 AS peak
              |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin))
 
+    /** Model-based language ID ([[operators.TextAnalysis.langIdLm]],
+      * r9): one char-trigram LM per language, trained on the
+      * doc_id%7 slice, every document classified by ROUNDED-argmin
+      * mean NLL with lang-asc tie-break. Full oracle: five q72-style
+      * model/stats/nats CTE triples, unioned, ranked by
+      * (nats, lang) — the argmin replays relationally because the
+      * round(6) happens BEFORE the comparison on both sides.
+      */
+    private val q92 = Q(
+      "q92_langid_lm",
+      (s, dir) => {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        val docs = t(s, dir, "documents")
+        val slice = docs.filter($"doc_id" % 7 === 0)
+        val models = langs.map(l =>
+          l -> operators.TextAnalysis.trainLm(slice.filter($"lang" === l), "text", n = 3))
+        docs.select($"doc_id", $"lang",
+            operators.TextAnalysis.langIdLm(models, $"text").as("pred_lang"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        val perLang = langs.map { l =>
+          s"""model_$l AS (
+             |  SELECT g, count(*) AS c FROM (
+             |    SELECT unnest([substr(lower(text), i, 3) FOR i IN range(1, greatest(length(text) - 2, 0) + 1)]) AS g
+             |    FROM documents WHERE doc_id % 7 = 0 AND lang = '$l' AND text IS NOT NULL)
+             |  GROUP BY g),
+             |stats_$l AS (SELECT CAST(sum(c) AS DOUBLE) + count(*) + 1 AS denom FROM model_$l),
+             |nats_$l AS (
+             |  SELECT dg.doc_id, round(avg(-ln((coalesce(m.c, 0) + 1.0) / s.denom)), 6) AS nats
+             |  FROM docg dg LEFT JOIN model_$l m USING (g) CROSS JOIN stats_$l s
+             |  GROUP BY dg.doc_id)""".stripMargin
+        }.mkString(",\n")
+        val unioned = langs.map(l =>
+          s"SELECT doc_id, '$l' AS cand, nats FROM nats_$l").mkString("\n  UNION ALL\n  ")
+        s"""WITH docg AS (
+           |  SELECT doc_id, unnest([substr(lower(text), i, 3) FOR i IN range(1, greatest(length(text) - 2, 0) + 1)]) AS g
+           |  FROM documents WHERE text IS NOT NULL),
+           |$perLang,
+           |all_nats AS (
+           |  $unioned),
+           |full_grid AS (
+           |  SELECT d.doc_id, l.cand, coalesce(a.nats, 0.0) AS nats
+           |  FROM documents d
+           |  CROSS JOIN (VALUES ('de'), ('en'), ('es'), ('fr'), ('zh')) l(cand)
+           |  LEFT JOIN all_nats a ON a.doc_id = d.doc_id AND a.cand = l.cand),
+           |ranked AS (
+           |  SELECT doc_id, cand,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY nats, cand) AS rn
+           |  FROM full_grid)
+           |SELECT d.doc_id, d.lang, r.cand AS pred_lang
+           |FROM documents d JOIN ranked r ON r.doc_id = d.doc_id AND r.rn = 1
+           |ORDER BY d.doc_id""".stripMargin
+      })
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -3135,7 +3191,7 @@ object SparkEntry {
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
-      q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
+      q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.
