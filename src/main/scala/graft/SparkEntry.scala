@@ -3135,6 +3135,14 @@ object SparkEntry {
       * model/stats/nats CTE triples, unioned, ranked by
       * (nats, lang) — the argmin replays relationally because the
       * round(6) happens BEFORE the comparison on both sides.
+      *
+      * Honest fixture note: the synthetic `documents.lang` is a random
+      * label over the SAME English-ish token distribution (verified:
+      * per-lang text samples are indistinguishable), so label accuracy
+      * here is prior-level BY CONSTRUCTION and is not what this query
+      * certifies — the hash match certifies the deterministic
+      * classification pipeline; linguistic separation is pinned by
+      * LmScoreSpec on genuinely distinct-language corpora.
       */
     private val q92 = Q(
       "q92_langid_lm",
