@@ -197,6 +197,146 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
     }
+
+    /** Deterministic grayscale PNG from an explicit pixel matrix
+      * (`pixels(y)(x)` in 0..255, r=g=b) — the [[dHash]] fixture/oracle
+      * generator: lossless, so the decoded grays ARE the matrix.
+      */
+    def grayPng(pixels: Array[Array[Int]]): Array[Byte] = {
+      val h = pixels.length
+      val w = pixels(0).length
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = pixels(y)(x) & 0xFF
+          px(y * w + x) = (g << 16) | (g << 8) | g
+          x += 1
+        }
+        y += 1
+      }
+      img.setRGB(0, 0, w, h, px, 0, w)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Difference hash (dHash) — the standard perceptual fingerprint for
+      * image near-dup dedup: decode, integer grayscale
+      * (`(r + g + b) / 3`), reduce to a 9x8 gray grid (exact block-sum
+      * integer averaging over each cell's pixel rectangle — no float
+      * resampling, so the hash is bit-deterministic across JVMs), then
+      * one bit per grid cell: bit `y*8 + x` set iff
+      * `gray(x+1, y) > gray(x, y)`. A 9x8 input skips reduction
+      * entirely — the fixture/oracle path. Same bomb guard and
+      * None-on-undecodable contract as [[stats]].
+      */
+    def dHash(bytes: Array[Byte]): Option[Long] = dHash(bytes, DefaultMaxPixels)
+
+    def dHash(bytes: Array[Byte], maxPixels: Long): Option[Long] = {
+      if (sniffMime(bytes).isEmpty) return None
+      val declared = dimensions(bytes)
+      if (!declared.exists { case (w, h) => w.toLong * h <= maxPixels }) return None
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) return None
+        val w = img.getWidth
+        val h = img.getHeight
+        if (w < 9 || h < 8) return None // too small to carry 8x8 gradients
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        // exact integer block averaging onto the 9x8 grid: cell (gx, gy)
+        // covers x in [gx*w/9, (gx+1)*w/9), y likewise over h/8
+        val grid = Array.ofDim[Int](8, 9)
+        var gy = 0
+        while (gy < 8) {
+          val y0 = gy * h / 8
+          val y1 = (gy + 1) * h / 8
+          var gx = 0
+          while (gx < 9) {
+            val x0 = gx * w / 9
+            val x1 = (gx + 1) * w / 9
+            var sum = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val p = px(y * w + x)
+                sum += (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
+                x += 1
+              }
+              y += 1
+            }
+            grid(gy)(gx) = (sum / ((y1 - y0).toLong * (x1 - x0))).toInt
+            gx += 1
+          }
+          gy += 1
+        }
+        var hash = 0L
+        var b = 0
+        while (b < 64) {
+          val x = b % 8
+          val y = b / 8
+          if (grid(y)(x + 1) > grid(y)(x)) hash |= 1L << b
+          b += 1
+        }
+        Some(hash)
+      } catch { case _: Exception => None }
+    }
+  }
+
+  /** Perceptual hash column over a binary image column: appends
+    * `dhash: long` ([[ImageCodec.dHash]]; null for undecodable or
+    * sub-9x8 payloads) — the content-identity signal image dedup keys
+    * on, robust to re-encoding and resizing where a byte-level md5 is
+    * not.
+    */
+  def imageDHash(df: DataFrame, contentCol: String): DataFrame = {
+    val f = udf((bytes: Array[Byte]) => ImageCodec.dHash(bytes))
+    df.withColumn("dhash", f(col(contentCol)))
+  }
+
+  /** Image near-duplicate pairs by dHash Hamming distance — the text
+    * near-dup family's pigeonhole discipline applied to the perceptual
+    * hash: 4 x 16-bit hash segments as blocking keys (two hashes within
+    * Hamming distance <= 3 MUST agree on at least one segment), a
+    * capped segment-bucket self-join, then the exact `bit_count(xor)`
+    * verify. Returns `(id_a, id_b, hamming)` with `id_a < id_b`;
+    * undecodable rows never pair. `maxBucketSize` bounds the one
+    * quadratic term exactly as [[graft.operators.TextDedup]]'s caps do.
+    */
+  def imageDupPairs(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      maxDistance: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(maxDistance >= 0 && maxDistance < 4,
+      s"pigeonhole blocking on 4 segments covers maxDistance <= 3, got $maxDistance")
+    val hashed = imageDHash(df, contentCol)
+      .select(col(idCol).as("__id"), col("dhash"))
+      .filter(col("dhash").isNotNull)
+    val seg = hashed.select(col("__id"), col("dhash"),
+      explode(array((0 until 4).map(s =>
+        struct(lit(s).as("seg"),
+          col("dhash").bitwiseAND(lit(0xFFFFL << (16 * s))).as("value"))): _*)).as("sv"))
+      .select(col("__id"), col("dhash"), col("sv.seg"), col("sv.value"))
+    val ok = seg.groupBy("seg", "value").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize)
+    val blocked = seg.join(ok.select("seg", "value"), Seq("seg", "value"))
+    val pairs = blocked.alias("a").join(blocked.alias("b"),
+        col("a.seg") === col("b.seg") && col("a.value") === col("b.value") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.dhash").as("__ha"), col("b.dhash").as("__hb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("int"))
+      .filter(col("hamming") <= maxDistance)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+    pairs
   }
 
   /** REAL audio codec — the JDK's built-in `javax.sound.sampled`

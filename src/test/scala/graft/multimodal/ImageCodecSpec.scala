@@ -105,4 +105,45 @@ class ImageCodecSpec extends SparkSpec {
     assert(got(0) == ((1L, Some(3), Some(255.0), Some(128.0), false)))
     assert(got(1)._5) // undecodable -> null struct
   }
+
+  test("dHash: exact 9x8 path, gradient geometry, block-average scale invariance") {
+    def img9x8(f: (Int, Int) => Int) =
+      ImageCodec.grayPng(Array.tabulate(8, 9)((y, x) => f(x, y)))
+    // monotone-increasing rows: every gradient bit fires -> all-ones hash
+    val rising = img9x8((x, _) => x * 20)
+    assert(ImageCodec.dHash(rising).contains(-1L))
+    // flat image: no gradient anywhere -> zero hash
+    assert(ImageCodec.dHash(img9x8((_, _) => 100)).contains(0L))
+    // one perturbed pixel flips exactly the bits its two gradients touch
+    val nearly = img9x8((x, y) => if (x == 4 && y == 2) 150 else x * 20)
+    val d = java.lang.Long.bitCount(
+      ImageCodec.dHash(nearly).get ^ ImageCodec.dHash(rising).get)
+    assert(d >= 1 && d <= 2, s"one-pixel edit must move 1-2 bits, moved $d")
+
+    // a 2x upscale block-averages back to the SAME grid -> identical hash
+    val big = ImageCodec.grayPng(Array.tabulate(16, 18)((y, x) => (x / 2) * 20))
+    assert(ImageCodec.dHash(big) == ImageCodec.dHash(rising))
+
+    // sub-grid images and non-images degrade to None
+    assert(ImageCodec.dHash(ImageCodec.solidPng(4, 4, 9, 9, 9)).isEmpty)
+    assert(ImageCodec.dHash("not an image".getBytes).isEmpty)
+  }
+
+  test("imageDupPairs: near-dups pair with exact Hamming, far images and corrupt rows never pair") {
+    def img9x8(f: (Int, Int) => Int) =
+      ImageCodec.grayPng(Array.tabulate(8, 9)((y, x) => f(x, y)))
+    val rows = Seq(
+      (1L, img9x8((x, _) => x * 20)),
+      (2L, img9x8((x, y) => if (x == 4 && y == 2) 150 else x * 20)), // ~1-2 bits off 1
+      (3L, img9x8((x, _) => x * 20)),                               // exact dup of 1
+      (4L, img9x8((_, _) => 100)),                                  // far (64 bits off)
+      (5L, "corrupt".getBytes)
+    ).toDF("id", "content")
+    val pairs = Multimodal.imageDupPairs(rows, "id", "content", maxDistance = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(byPair((1L, 3L)) == 0)
+    assert(byPair((1L, 2L)) >= 1 && byPair((1L, 2L)) <= 2)
+  }
 }
