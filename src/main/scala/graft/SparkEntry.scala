@@ -3192,6 +3192,33 @@ object SparkEntry {
            |ORDER BY d.doc_id""".stripMargin
       })
 
+    /** Perceptual image hash ([[Multimodal.ImageCodec.dHash]], r9):
+      * constructed 9x8 grayscale PNGs whose pixel grid is an arithmetic
+      * function of doc_id, encoded then dHashed inside the query; the
+      * hash is emitted as its 64-bit binary string. The oracle
+      * recomputes every gradient comparison arithmetically (PNG is
+      * lossless and the 9x8 input skips block averaging) — a hash match
+      * proves real pixel decode + the exact bit layout, the
+      * content-identity signal [[Multimodal.imageDupPairs]] dedups on.
+      */
+    private val q93 = Q(
+      "q93_image_dhash",
+      (s, dir) => {
+        val ids = t(s, dir, "documents").select($"doc_id").filter($"doc_id" < 500)
+        val png = udf((i: Long) => Multimodal.ImageCodec.grayPng(
+          Array.tabulate(8, 9)((y, x) => ((i * (x + 2) + y * 7) % 251).toInt)))
+        Multimodal.imageDHash(ids.withColumn("img", png($"doc_id")), "img")
+          .select($"doc_id", lpad(bin($"dhash"), 64, "0").as("dhash_bits"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  array_to_string([
+             |    CASE WHEN (doc_id * ((b % 8) + 3) + (b // 8) * 7) % 251
+             |            > (doc_id * ((b % 8) + 2) + (b // 8) * 7) % 251
+             |         THEN '1' ELSE '0' END
+             |    FOR b IN range(63, -1, -1)], '') AS dhash_bits
+             |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -3199,7 +3226,7 @@ object SparkEntry {
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
-      q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92)
+      q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.
