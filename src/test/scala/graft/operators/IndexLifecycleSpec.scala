@@ -93,4 +93,43 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(got._4 > LshIndex.readMeta(s2.read.parquet(s"$root/lsh"))._1.nDocs)
     assert(got._5.nonEmpty)                      // embedding survivors
   }
+
+  test("the r9 artifacts (BM25 postings, IVF-SQ8) join the fresh-session lifecycle") {
+    val sfDir = "/root/testdata/sf0.001"
+    def docsIn(s: SparkSession) = s.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def embIn(s: SparkSession) = s.read.parquet(s"$sfDir/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("lifecycle9").toString
+
+    // night 0: build + persist both artifacts (BM25 through its
+    // term-sorted writer, IVF-SQ8 cell-partitioned)
+    val bm25 = Bm25Index.build(docsIn(spark).filter($"doc_id" % 2 === 0), "doc_id", "text")
+    Bm25Index.writeSorted(bm25, s"$root/bm25")
+    val cal = Similarity.sq8Fit(embIn(spark), "embedding")
+    val sq8 = IvfSq8Index.build(embIn(spark).filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", IvfCentroids.centroids, cal._1, cal._2)
+    sq8.write.partitionBy("cell").parquet(s"$root/sq8")
+
+    def turn(s: SparkSession, bm: DataFrame, sq: DataFrame)
+        : (Seq[(Long, Int, Long, Double)], Seq[(Long, Int, Long, Double)]) = {
+      val queries = docsIn(s).filter(col("doc_id") < 3)
+      val retrieval = Bm25Index.topKAgainst(bm, queries, "doc_id", "text", k = 5)
+        .select(col("query_id"), col("rank"), col("doc_id"), round(col("bm25"), 9))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sortBy(r => (r._1, r._2))
+      val ann = IvfSq8Index.topKAgainst(sq,
+          embIn(s).filter(col("vec_id") < 3), "vec_id", "embedding", k = 5, nProbe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("adc_cos"), 9))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sortBy(r => (r._1, r._2))
+      (retrieval, ann)
+    }
+
+    val want = turn(spark, bm25, sq8)
+    bm25.unpersist(); sq8.unpersist()
+    val s2 = spark.newSession()
+    val got = turn(s2, s2.read.parquet(s"$root/bm25"), s2.read.parquet(s"$root/sq8"))
+    assert(got == want)
+    assert(got._1.nonEmpty && got._2.nonEmpty)
+  }
 }
