@@ -1,0 +1,239 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persistable Hamming index over a CALLER-SUPPLIED 64-bit fingerprint
+  * column — [[SimHashIndex]]'s pigeonhole machinery with the signing
+  * step factored out, so ANY fingerprint family gets the
+  * build-once/probe-many lifecycle: perceptual image hashes
+  * ([[graft.multimodal.Multimodal.imageDHash]] — the reason this
+  * exists: image near-dup at corpus scale needs a nightly artifact,
+  * not a per-run self-join), audio fingerprints, or externally
+  * computed simhashes. The index stores `(id, h)` doc rows plus one
+  * entry row per (segment, segment-value); a probe blocks the incoming
+  * batch on equal segments (two hashes within Hamming distance
+  * `maxDistance < segments` MUST agree on >= 1 of `segments` equal
+  * bit-ranges), joins candidates, and verifies with the exact
+  * `bit_count(xor)` — EXACT vs brute force modulo capped buckets, the
+  * [[SimHashIndex]] contract.
+  *
+  * Append stores batch-local bucket counts (the family's documented
+  * under-suppression — probes only ever verify MORE, never miss);
+  * [[compact]] recounts exactly; [[mergeMany]] = union + compact.
+  * Null-hash rows are DROPPED at build/append (no fingerprint, no
+  * identity — the family null rule). Ids must be unique.
+  */
+object HammingIndex {
+
+  /** `seg` value of the single metadata row. */
+  val MetaSeg: Int = -1
+  /** `seg` value of per-document `(id, h)` rows. */
+  val DocSeg: Int = -2
+
+  final case class Meta(segments: Int, maxBucketSize: Int, nDocs: Long)
+
+  private def metaString(m: Meta): String =
+    s"v1;segments=${m.segments};cap=${m.maxBucketSize};nDocs=${m.nDocs}"
+
+  def readMeta(index: DataFrame): Meta = {
+    require(index.columns.contains("seg") && index.columns.contains("params"),
+      "not a Hamming index: expected columns (id, seg, value, cnt, h, params)")
+    val rows = index.filter(col("seg") === MetaSeg).select(col("params")).collect()
+    require(rows.length == 1,
+      s"not a Hamming index: expected exactly one meta row (seg = $MetaSeg), found ${rows.length}")
+    val s = rows(0).getString(0)
+    require(s != null && s.startsWith("v1;"), s"unknown Hamming index version: $s")
+    val kv = s.split(";").drop(1)
+      .map { p => val i = p.indexOf('='); p.substring(0, i) -> p.substring(i + 1) }
+      .toMap
+    Meta(kv("segments").toInt, kv("cap").toInt, kv("nDocs").toLong)
+  }
+
+  /** One row per (doc, segment): segment s holds bits
+    * `[s*64/segments, (s+1)*64/segments)`, extracted with an unsigned
+    * shift so the sign bit never smears.
+    */
+  private def segRows(docs: DataFrame, idCol: String, segments: Int): DataFrame = {
+    val width = 64 / segments
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    docs.select(col(idCol),
+      explode(array((0 until segments).map(s =>
+        struct(lit(s).as("seg"),
+          shiftrightunsigned(col("h"), s * width).bitwiseAND(lit(mask)).as("value"))): _*)).as("sv"))
+      .select(col(idCol), col("sv.seg"), col("sv.value"))
+  }
+
+  private def indexRows(
+      template: DataFrame, idCol: String, m: Meta,
+      docs: DataFrame, entries: DataFrame): DataFrame = {
+    val idType = template.schema(idCol).dataType
+    val metaRow = template.sparkSession.range(1).select(
+      lit(null).cast(idType).as(idCol),
+      lit(MetaSeg).as("seg"),
+      lit(null).cast("long").as("value"),
+      lit(null).cast("long").as("cnt"),
+      lit(null).cast("long").as("h"),
+      lit(metaString(m)).as("params"))
+    metaRow
+      .unionAll(docs.select(
+        col(idCol), lit(DocSeg).as("seg"),
+        lit(null).cast("long").as("value"), lit(null).cast("long").as("cnt"),
+        col("h"), lit(null).cast("string").as("params")))
+      .unionAll(entries.select(
+        col(idCol), col("seg"), col("value"), col("cnt"),
+        lit(null).cast("long").as("h"), lit(null).cast("string").as("params")))
+  }
+
+  def build(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      segments: Int = 4,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(segments >= 1 && 64 % segments == 0,
+      s"segments must divide 64, got $segments")
+    require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
+    val docs = df.select(col(idCol), col(hashCol).cast("long").as("h"))
+      .filter(col("h").isNotNull).persist()
+    val nDocs = docs.count()
+    val entriesRaw = segRows(docs, idCol, segments)
+    val entries = entriesRaw.join(
+      entriesRaw.groupBy("seg", "value").agg(count(lit(1)).as("cnt")),
+      Seq("seg", "value"))
+    val index = indexRows(df, idCol, Meta(segments, maxBucketSize, nDocs),
+      docs, entries).persist()
+    index.count()
+    docs.unpersist()
+    index
+  }
+
+  final case class Probe(pairs: DataFrame, droppedBuckets: Long) {
+    def unpersist(): Unit = pairs.unpersist()
+  }
+
+  /** Cross-corpus near-dup pairs `(id_existing, id_incoming, hamming)`:
+    * only the incoming batch is segmented; the stored side is a
+    * columnar entry scan. A bucket is suppressed when its COMBINED
+    * (stored cnt + incoming) size exceeds the frozen cap.
+    */
+  def pairsAgainst(
+      index: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxDistance: Int): Probe = {
+    val m = readMeta(index)
+    require(maxDistance >= 0 && maxDistance < m.segments,
+      s"pigeonhole blocking on ${m.segments} segments covers maxDistance <= ${m.segments - 1}")
+    val inDocs = incoming.select(col(idCol).as("id_incoming"),
+        col(hashCol).cast("long").as("h"))
+      .filter(col("h").isNotNull).persist()
+    inDocs.count()
+    val inSeg = segRows(inDocs.withColumnRenamed("id_incoming", idCol), idCol, m.segments)
+      .withColumnRenamed(idCol, "id_incoming")
+    val inCnt = inSeg.groupBy("seg", "value").agg(count(lit(1)).as("cnt_i"))
+    val stored = index.filter(col("seg") >= 0)
+      .select(col(idCol).as("id_existing"), col("seg"), col("value"), col("cnt"))
+    val touched = stored.join(broadcast(inCnt), Seq("seg", "value"))
+    val dropped = touched.select(col("seg"), col("value"),
+        col("cnt"), col("cnt_i")).distinct()
+      .filter(col("cnt") + col("cnt_i") > m.maxBucketSize)
+      .select("seg", "value").distinct().count()
+    val cands = touched
+      .filter(col("cnt") + col("cnt_i") <= m.maxBucketSize)
+      .join(inSeg, Seq("seg", "value"))
+      .select("id_existing", "id_incoming").distinct()
+    val docsH = index.filter(col("seg") === DocSeg)
+      .select(col(idCol).as("id_existing"), col("h").as("__ha"))
+    val pairs = cands
+      .join(docsH, "id_existing")
+      .join(inDocs.withColumnRenamed("h", "__hb"), "id_incoming")
+      .withColumn("hamming",
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("int"))
+      .filter(col("hamming") <= maxDistance)
+      .select(col("id_existing"), col("id_incoming"), col("hamming"))
+      .persist()
+    pairs.count()
+    inDocs.unpersist()
+    Probe(pairs, dropped)
+  }
+
+  /** `incoming` minus rows within `maxDistance` of ANY indexed
+    * fingerprint, columns and order preserved. Null-hash incoming rows
+    * pass through (they cannot match — same as the one-shot operators).
+    */
+  def dedupAgainst(
+      index: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxDistance: Int): DataFrame = {
+    val probe = pairsAgainst(index, incoming, idCol, hashCol, maxDistance)
+    val dupIds = probe.pairs.select(col("id_incoming").as(idCol))
+      .distinct().localCheckpoint()
+    probe.unpersist()
+    incoming.join(dupIds, Seq(idCol), "left_anti")
+      .select(incoming.columns.map(col): _*)
+  }
+
+  /** Append survivors with batch-local bucket counts (run [[compact]]
+    * to restore exact counts). Ids must stay unique.
+    */
+  def append(
+      index: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      hashCol: String): DataFrame = {
+    val m = readMeta(index)
+    val docs = newDocs.select(col(idCol), col(hashCol).cast("long").as("h"))
+      .filter(col("h").isNotNull).persist()
+    val nNew = docs.count()
+    val entriesRaw = segRows(docs, idCol, m.segments)
+    val entries = entriesRaw.join(
+      entriesRaw.groupBy("seg", "value").agg(count(lit(1)).as("cnt")),
+      Seq("seg", "value"))
+    val appended = index.filter(col("seg") =!= MetaSeg)
+      .unionAll(indexRows(newDocs, idCol, m.copy(nDocs = m.nDocs + nNew), docs, entries))
+      .persist()
+    appended.count()
+    docs.unpersist()
+    appended
+  }
+
+  /** Exact-count repair from stored rows — no fingerprints recomputed;
+    * buckets grown past the frozen cap by appends are dropped, the
+    * family's compact contract (probes can no longer be dragged
+    * quadratic by them; their docs' OTHER segments still block).
+    */
+  def compact(index: DataFrame, idCol: String): DataFrame = {
+    val m = readMeta(index)
+    val docs = index.filter(col("seg") === DocSeg)
+      .select(col(idCol), col("h")).persist()
+    val nDocs = docs.count()
+    val entries = index.filter(col("seg") >= 0)
+      .select(col(idCol), col("seg"), col("value"))
+    val counts = entries.groupBy("seg", "value").agg(count(lit(1)).as("cnt"))
+    val entryRows = entries.join(
+      counts.filter(col("cnt") <= m.maxBucketSize), Seq("seg", "value"))
+    val compacted = indexRows(index, idCol, m.copy(nDocs = nDocs), docs, entryRows)
+      .persist()
+    compacted.count()
+    docs.unpersist()
+    compacted
+  }
+
+  /** Merge same-recipe generations: stored-row union + [[compact]].
+    * Ids must be unique across generations.
+    */
+  def mergeMany(indexes: Seq[DataFrame], idCol: String): DataFrame = {
+    require(indexes.nonEmpty, "need at least one index generation")
+    val metas = indexes.map(readMeta)
+    require(metas.forall(m => m.segments == metas.head.segments &&
+      m.maxBucketSize == metas.head.maxBucketSize),
+      "index generations disagree on build parameters (segments/cap) — " +
+        "rebuild with one recipe")
+    compact(indexes.head.filter(col("seg") === MetaSeg)
+      .unionAll(indexes.map(_.filter(col("seg") =!= MetaSeg)).reduce(_ unionAll _)), idCol)
+  }
+}
