@@ -3219,6 +3219,56 @@ object SparkEntry {
              |    FOR b IN range(63, -1, -1)], '') AS dhash_bits
              |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin))
 
+    /** Generic Hamming index over perceptual hashes
+      * ([[operators.HammingIndex]], r9): the q93 constructed images'
+      * dHashes, evens built as the index, odds probed at distance <= 3
+      * (the image-dedup serving path). Full oracle: per-doc hash bits
+      * from q93's arithmetic replay, 4x16-bit pigeonhole blocking as
+      * substring equality, and the Hamming verify as a
+      * differing-position count — the whole probe relationally, caps
+      * untouched (max bucket ~250 « 10000).
+      */
+    private val q94 = Q(
+      "q94_hamming_index_pairs",
+      (s, dir) => {
+        val ids = t(s, dir, "documents").select($"doc_id").filter($"doc_id" < 500)
+        val png = udf((i: Long) => Multimodal.ImageCodec.grayPng(
+          Array.tabulate(8, 9)((y, x) => ((i * (x + 2) + y * 7) % 251).toInt)))
+        val hashed = Multimodal.imageDHash(ids.withColumn("img", png($"doc_id")), "img")
+          .select($"doc_id", $"dhash")
+        val ix = operators.HammingIndex.build(
+          hashed.filter($"doc_id" % 2 === 0), "doc_id", "dhash")
+        val probe = operators.HammingIndex.pairsAgainst(
+          ix, hashed.filter($"doc_id" % 2 =!= 0), "doc_id", "dhash", maxDistance = 3)
+        val res = probe.pairs.orderBy("id_existing", "id_incoming")
+        ix.unpersist()
+        res
+      },
+      Some("""WITH bits AS (
+             |  SELECT doc_id,
+             |    array_to_string([
+             |      CASE WHEN (doc_id * ((b % 8) + 3) + (b // 8) * 7) % 251
+             |              > (doc_id * ((b % 8) + 2) + (b // 8) * 7) % 251
+             |           THEN '1' ELSE '0' END
+             |      FOR b IN range(63, -1, -1)], '') AS bs
+             |  FROM documents WHERE doc_id < 500),
+             |cand AS (
+             |  SELECT a.doc_id AS id_existing, b.doc_id AS id_incoming,
+             |         a.bs AS ba, b.bs AS bb
+             |  FROM bits a JOIN bits b
+             |    ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+             |   AND (substr(a.bs, 1, 16) = substr(b.bs, 1, 16)
+             |     OR substr(a.bs, 17, 16) = substr(b.bs, 17, 16)
+             |     OR substr(a.bs, 33, 16) = substr(b.bs, 33, 16)
+             |     OR substr(a.bs, 49, 16) = substr(b.bs, 49, 16))),
+             |h AS (
+             |  SELECT id_existing, id_incoming,
+             |    CAST(len([i FOR i IN range(1, 65) IF ba[i:i] != bb[i:i]]) AS INT) AS hamming
+             |  FROM cand)
+             |SELECT id_existing, id_incoming, hamming FROM h
+             |WHERE hamming <= 3
+             |ORDER BY id_existing, id_incoming""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -3226,7 +3276,7 @@ object SparkEntry {
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
-      q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93)
+      q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.
