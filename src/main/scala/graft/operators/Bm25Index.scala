@@ -169,6 +169,46 @@ object Bm25Index {
       .sortWithinPartitions(col("term"))
       .write.parquet(path)
 
+  /** The posting-skew monitor — the family's monitor-per-artifact
+    * symmetry applied to BM25 (r9): nothing in this artifact can go
+    * STALE (df recomputes per probe), so the one operational statistic
+    * worth watching is posting-list SKEW — a term whose list holds a
+    * large corpus fraction makes every probe mentioning it scan that
+    * fraction (the probe cost model), and is exactly the stop-word /
+    * boilerplate signal a curation pass should have caught upstream.
+    * One read-only groupBy over posting rows; `skew` is the largest
+    * list over the mean list. Remedies when it fires: stop-word the
+    * offenders at query time, or run the boilerplate passes
+    * ([[LineDedup]]/[[TextDedup]]) upstream and rebuild.
+    */
+  final case class PostingSkew(
+      nTerms: Long,
+      nPostings: Long,
+      maxPostings: Long,
+      meanPostings: Double,
+      skew: Double, // maxPostings / mean; 0 on an empty index
+      top: Seq[(String, Long)]) // (term, posting count), count desc
+
+  def postingSkewReport(index: DataFrame, topK: Int = 16): PostingSkew = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val idCol = index.columns.head
+    readMeta(index) // typed not-an-index guard
+    val counts = index.filter(col("kind") === PostKind)
+      .groupBy("term").agg(count(lit(1)).as("__n"))
+      .persist()
+    val agg = counts.agg(
+      count(lit(1)).as("__terms"),
+      coalesce(sum(col("__n")), lit(0L)).as("__posts"),
+      coalesce(max(col("__n")), lit(0L)).as("__max")).collect()(0)
+    val (nTerms, nPosts, maxP) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    val top = counts.orderBy(col("__n").desc, col("term"))
+      .limit(topK).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    counts.unpersist()
+    val mean = if (nTerms > 0) nPosts.toDouble / nTerms else 0.0
+    PostingSkew(nTerms, nPosts, maxP, mean,
+      if (mean > 0) maxP / mean else 0.0, top)
+  }
+
   /** Probe SEVERAL index generations with one query batch — the
     * monthly-artifact layout, and (like [[LineFreqIndex]]'s family,
     * unlike the LSH one) EXACT with no compatibility knobs: BM25's

@@ -98,6 +98,26 @@ class Bm25IndexSpec extends SparkSpec {
     ix.unpersist()
   }
 
+  test("postingSkewReport: boilerplate terms surface with honest skew; balanced corpora read low") {
+    val balanced = Seq(
+      (1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon zeta"))
+      .toDF("doc_id", "text")
+    val ixB = Bm25Index.build(balanced, "doc_id", "text")
+    val quiet = Bm25Index.postingSkewReport(ixB)
+    assert(quiet.nTerms == 6L && quiet.nPostings == 6L && quiet.skew == 1.0)
+
+    // every doc carries the same boilerplate token: its posting list is
+    // the whole corpus while content terms stay singleton
+    val boiler = (0L until 20L).map(i => (i, s"subscribe tok$i"))
+      .toDF("doc_id", "text")
+    val ixS = Bm25Index.build(boiler, "doc_id", "text")
+    val skewed = Bm25Index.postingSkewReport(ixS, topK = 3)
+    assert(skewed.top.head == (("subscribe", 20L)))
+    assert(skewed.maxPostings == 20L && skewed.skew > 10.0,
+      s"20-of-40 postings in one list must read as heavy skew: $skewed")
+    ixB.unpersist(); ixS.unpersist()
+  }
+
   test("not-an-index frames fail typed") {
     val junk = Seq((1L, 0)).toDF("doc_id", "kind")
     val e1 = intercept[IllegalArgumentException] { Bm25Index.readMeta(junk) }
