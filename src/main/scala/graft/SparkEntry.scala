@@ -3269,6 +3269,29 @@ object SparkEntry {
              |WHERE hamming <= 3
              |ORDER BY id_existing, id_incoming""".stripMargin))
 
+    /** BM25 posting-skew monitor
+      * ([[operators.Bm25Index.postingSkewReport]], r9): the top posting
+      * lists of the built artifact — per-term posting counts are the
+      * term document frequencies, so the oracle replays them straight
+      * from the q84 tokenizer recipe.
+      */
+    private val q95 = Q(
+      "q95_bm25_posting_skew",
+      (s, dir) => {
+        val ix = operators.Bm25Index.build(t(s, dir, "documents"), "doc_id", "text")
+        val r = operators.Bm25Index.postingSkewReport(ix, topK = 20)
+        ix.unpersist()
+        val out = { import s.implicits._; r.top.toDF("term", "n_postings") }
+        out.orderBy(col("n_postings").desc, col("term"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+             |  FROM documents WHERE text IS NOT NULL AND trim(text) != ''),
+             |tf AS (SELECT doc_id, term FROM toks GROUP BY doc_id, term)
+             |SELECT term, CAST(count(*) AS BIGINT) AS n_postings
+             |FROM tf GROUP BY term
+             |ORDER BY n_postings DESC, term LIMIT 20""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -3276,7 +3299,7 @@ object SparkEntry {
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
-      q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94)
+      q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.
