@@ -408,6 +408,44 @@ object ProfileScale {
         println(f"PROFILE merge_lifecycle factor=$f kept=$keptN pairs=$nPairs " +
           f"build2=$buildSecs%.1f merge=$mergeSecs%.1f probe_cold=$probeCold%.1f probe_warm=$probeWarm%.1f")
       }
+      if (only.forall(_ == "hamming")) {
+        // The T66 claim: the generic fingerprint index probes
+        // O(incoming) — the kept side is a stored-row entry scan, and
+        // the only per-row probe CPU is segment extraction (no text, no
+        // decode). Kept fingerprints scale with f (synthetic longs with
+        // planted near-dup structure — the fingerprints themselves are
+        // the input, matching the dHash production shape where decode
+        // happened at ingest); the incoming batch stays fixed.
+        def hashOf(i: Long): Long =
+          ((i / 4) * 0x0101010101010101L) ^ (i % 4)
+        val s = root.newSession()
+        import s.implicits._
+        val keptN = 50000L * f
+        val kept = s.range(keptN).select(col("id"),
+          udf(hashOf _).apply(col("id")).as("h"))
+        val incoming = s.range(1000000L, 1002000L).select(col("id"),
+          udf(hashOf _).apply(col("id") % 900000L).as("h"))
+        val dir = java.nio.file.Files.createTempDirectory("hamming_profile").toString
+        val tb0 = System.nanoTime()
+        val built = graft.operators.HammingIndex.build(kept, "id", "h")
+        built.write.mode("overwrite").parquet(s"$dir/index")
+        val buildSecs = (System.nanoTime() - tb0) / 1e9
+        built.unpersist()
+        val index = s.read.parquet(s"$dir/index")
+        def probeOnce(): (Long, Double) = {
+          val t = System.nanoTime()
+          val p = graft.operators.HammingIndex.pairsAgainst(
+            index, incoming, "id", "h", maxDistance = 1)
+          val n = p.pairs.count()
+          val secs = (System.nanoTime() - t) / 1e9
+          p.unpersist(); s.catalog.clearCache(); System.gc()
+          (n, secs)
+        }
+        val (nPairs, probeCold) = probeOnce()
+        val (_, probeWarm) = probeOnce()
+        println(f"PROFILE hamming factor=$f kept=$keptN pairs=$nPairs " +
+          f"build=$buildSecs%.1f probe_cold=$probeCold%.1f probe_warm=$probeWarm%.1f")
+      }
       if (only.forall(_ == "bm25")) {
         // The T56 claim: Bm25Index moves the corpus-sized tokenize +
         // count work to build time; a probe pays the matched-posting
