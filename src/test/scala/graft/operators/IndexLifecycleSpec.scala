@@ -131,5 +131,30 @@ class IndexLifecycleSpec extends SparkSpec {
     val got = turn(s2, s2.read.parquet(s"$root/bm25"), s2.read.parquet(s"$root/sq8"))
     assert(got == want)
     assert(got._1.nonEmpty && got._2.nonEmpty)
+
+    // ... and the generic Hamming index: dHash fingerprints of the doc
+    // ids' constructed images, built + persisted, probed tomorrow
+    import graft.multimodal.Multimodal
+    def hashed(s: SparkSession) = {
+      val png = udf((i: Long) => Multimodal.ImageCodec.grayPng(
+        Array.tabulate(8, 9)((y, x) => ((i * (x + 2) + y * 7) % 251).toInt)))
+      Multimodal.imageDHash(
+        docsIn(s).select(col("doc_id")).filter(col("doc_id") < 400)
+          .withColumn("img", png(col("doc_id"))), "img")
+        .select(col("doc_id"), col("dhash"))
+    }
+    val hix = HammingIndex.build(hashed(spark).filter(col("doc_id") % 2 === 0),
+      "doc_id", "dhash")
+    hix.write.parquet(s"$root/hamming")
+    def probePairs(s: SparkSession, ix: DataFrame): Set[(Long, Long, Int)] = {
+      val p = HammingIndex.pairsAgainst(ix,
+        hashed(s).filter(col("doc_id") % 2 =!= 0), "doc_id", "dhash", maxDistance = 2)
+      val out = p.pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      p.unpersist(); out
+    }
+    val wantPairs = probePairs(spark, hix)
+    hix.unpersist()
+    val gotPairs = probePairs(s2, s2.read.parquet(s"$root/hamming"))
+    assert(gotPairs == wantPairs && gotPairs.nonEmpty)
   }
 }
