@@ -455,6 +455,110 @@ object Multimodal {
       } catch { case _: Exception => None }
     }
 
+    /** Energy-envelope hash ("eHash") — [[ImageCodec.dHash]]'s
+      * gradient-bit idea applied to audio: decode PCM, pool channels,
+      * split the sample stream into 65 equal windows, one bit per
+      * adjacent-window pair: bit `w` set iff `energy(w+1) > energy(w)`
+      * (energy = sum of squared normalized samples, accumulated in
+      * sample order). Amplitude-INVARIANT by construction (uniform
+      * gain scales every window energy by the same factor — the
+      * comparisons, and therefore the hash, are unchanged), which is
+      * what an audio near-dup signal needs: a re-normalized copy of a
+      * clip hashes identically, while a byte-level md5 sees a
+      * different file. Composes with [[graft.operators.HammingIndex]]
+      * / [[graft.streaming.FingerprintDupGate]] for the serving path.
+      * Streams shorter than 65 samples (or undecodable/over-budget
+      * payloads) return None — the [[stats]] contract.
+      */
+    def eHash(bytes: Array[Byte]): Option[Long] = eHash(bytes, DefaultMaxSamples)
+
+    def eHash(bytes: Array[Byte], maxSamples: Long): Option[Long] = {
+      if (sniffMime(bytes).isEmpty) return None
+      val declared = format(bytes)
+      if (!declared.exists { case (_, ch, fr) => fr >= 0 && fr * ch <= maxSamples })
+        return None
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = ais.getFormat
+          val enc = f.getEncoding
+          val bits = f.getSampleSizeInBits
+          val ok = (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) &&
+            (bits == 8 || bits == 16)
+          if (!ok) return None
+          val bytesPerSample = bits / 8
+          // one decoded pass: samples into a growable buffer (bounded by
+          // the declared-size guard above)
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var read = ais.read(buf)
+          while (read > 0) { out.write(buf, 0, read); read = ais.read(buf) }
+          val data = out.toByteArray
+          val n = data.length / bytesPerSample
+          if (n < 65) return None
+          def sampleAt(k: Int): Double = {
+            val i = k * bytesPerSample
+            if (bits == 16) {
+              val s = if (f.isBigEndian) (data(i) << 8) | (data(i + 1) & 0xFF)
+                else (data(i + 1) << 8) | (data(i) & 0xFF)
+              s / 32768.0
+            } else {
+              if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+                ((data(i) & 0xFF) - 128) / 128.0
+              else data(i) / 128.0
+            }
+          }
+          val energies = new Array[Double](65)
+          var w = 0
+          while (w < 65) {
+            val k0 = w * n / 65
+            val k1 = (w + 1) * n / 65
+            var e = 0.0
+            var k = k0
+            while (k < k1) { val x = sampleAt(k); e += x * x; k += 1 }
+            energies(w) = e
+            w += 1
+          }
+          var hash = 0L
+          var b = 0
+          while (b < 64) {
+            if (energies(b + 1) > energies(b)) hash |= 1L << b
+            b += 1
+          }
+          Some(hash)
+        } finally ais.close()
+      } catch { case _: Exception => None }
+    }
+
+    /** Deterministic per-block square-wave WAV (65 blocks of
+      * `framesPerBlock` frames, block b at `amps(b)`) — the [[eHash]]
+      * fixture/oracle generator: block energies are exact dyadic
+      * (`framesPerBlock * (amp/32768)^2`), so every gradient bit is a
+      * pure integer comparison.
+      */
+    def blockWav(sampleRate: Int, framesPerBlock: Int, amps: Seq[Int]): Array[Byte] = {
+      require(amps.forall(a => a >= 0 && a < 32768), "amplitudes must fit 16-bit")
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      val nFrames = amps.length * framesPerBlock
+      val data = new Array[Byte](nFrames * 2)
+      var i = 0
+      while (i < nFrames) {
+        val amp = amps(i / framesPerBlock)
+        val s = if (i % 2 == 0) amp else -amp
+        data(2 * i) = (s & 0xFF).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
     /** Deterministic alternating-sign square wave as 16-bit PCM mono
       * WAV — the fixture/oracle generator (PCM is lossless and the
       * square wave's statistics are EXACT dyadic arithmetic: rms ==
@@ -501,6 +605,17 @@ object Multimodal {
         col(s"$d._2").as("channels"),
         col(s"$d._3").as("n_frames")))
       .drop(d)
+  }
+
+  /** Energy-envelope hash column over a binary audio column: appends
+    * `ehash: long` ([[AudioCodec.eHash]]; null for undecodable or
+    * sub-65-sample payloads) — the [[imageDHash]] twin for audio;
+    * feed it to [[graft.operators.HammingIndex]] /
+    * [[graft.streaming.FingerprintDupGate]] for near-dup serving.
+    */
+  def audioEHash(df: DataFrame, contentCol: String): DataFrame = {
+    val f = udf((bytes: Array[Byte]) => AudioCodec.eHash(bytes))
+    df.withColumn("ehash", f(col(contentCol)))
   }
 
   /** Real sample statistics over a binary audio column: appends

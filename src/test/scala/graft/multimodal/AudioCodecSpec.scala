@@ -41,6 +41,49 @@ class AudioCodecSpec extends SparkSpec {
     assert(AudioCodec.stats(truncated).isEmpty)
   }
 
+  test("eHash: exact block geometry, gain invariance, near/far distances, contracts") {
+    def wav(amps: Seq[Int]) = AudioCodec.blockWav(8000, framesPerBlock = 4, amps)
+    // strictly rising envelope: every gradient bit fires
+    val rising = wav((0 until 65).map(b => 100 + b * 50))
+    assert(AudioCodec.eHash(rising).contains(-1L))
+    // flat envelope: zero hash
+    assert(AudioCodec.eHash(wav(Seq.fill(65)(500))).contains(0L))
+
+    // uniform gain does not move the hash (every window energy scales
+    // alike — the re-normalized-copy robustness a byte hash lacks)
+    val doubled = wav((0 until 65).map(b => (100 + b * 50) * 2))
+    assert(AudioCodec.eHash(doubled) == AudioCodec.eHash(rising))
+
+    // one flattened block flips only its two adjacent comparisons
+    val amps = (0 until 65).map(b => 100 + b * 50)
+    val dent = amps.updated(30, amps(32) + 100)
+    val d = java.lang.Long.bitCount(
+      AudioCodec.eHash(wav(dent)).get ^ AudioCodec.eHash(rising).get)
+    assert(d >= 1 && d <= 2, s"one-block edit must move 1-2 bits, moved $d")
+    // an unrelated sawtooth envelope sits far away
+    val saw = wav((0 until 65).map(b => if (b % 2 == 0) 2000 else 100))
+    val far = java.lang.Long.bitCount(
+      AudioCodec.eHash(saw).get ^ AudioCodec.eHash(rising).get)
+    assert(far > 20, s"alternating vs rising envelopes must differ widely: $far")
+
+    // too-short and undecodable payloads degrade to None
+    assert(AudioCodec.eHash(AudioCodec.squareWav(8000, 40, 1000)).isEmpty)
+    assert(AudioCodec.eHash("not audio".getBytes).isEmpty)
+
+    // column surface + HammingIndex composition: the audio serving path
+    val rows = Seq((1L, rising), (2L, doubled), (3L, saw),
+      (4L, "junk".getBytes)).toDF("id", "content")
+    val hashed = Multimodal.audioEHash(rows, "content")
+    val ix = graft.operators.HammingIndex.build(
+      hashed.filter($"id" === 1L), "id", "ehash")
+    val probe = graft.operators.HammingIndex.pairsAgainst(ix,
+      hashed.filter($"id" =!= 1L), "id", "ehash", maxDistance = 3)
+    val pairs = probe.pairs.select("id_existing", "id_incoming")
+      .as[(Long, Long)].collect().toSet
+    probe.unpersist(); ix.unpersist()
+    assert(pairs == Set((1L, 2L)), "the gain-scaled copy pairs; saw and junk do not")
+  }
+
   test("column surfaces: audio_meta header struct and audio_stats decode struct, null-safe") {
     val rows = Seq(
       (1L, AudioCodec.squareWav(8000, 400, 16384)),
