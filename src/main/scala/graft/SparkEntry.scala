@@ -3292,6 +3292,34 @@ object SparkEntry {
              |FROM tf GROUP BY term
              |ORDER BY n_postings DESC, term LIMIT 20""".stripMargin))
 
+    /** Audio energy-envelope hash ([[Multimodal.AudioCodec.eHash]],
+      * r9 — the q93 discipline for audio): 65-block square-wave WAVs
+      * with per-block amplitudes arithmetic in doc_id, encoded then
+      * eHashed inside the query; block energies are exact dyadic
+      * (`framesPerBlock * (amp/32768)^2`), so every envelope-gradient
+      * bit replays as a pure integer comparison. A hash match proves
+      * real PCM decode + the exact window/bit layout — the signal
+      * audio near-dup dedup keys on (gain-invariant where byte md5 is
+      * not).
+      */
+    private val q96 = Q(
+      "q96_audio_ehash",
+      (s, dir) => {
+        val ids = t(s, dir, "documents").select($"doc_id").filter($"doc_id" < 500)
+        val wav = udf((i: Long) => Multimodal.AudioCodec.blockWav(
+          8000, framesPerBlock = 4,
+          (0 until 65).map(b => ((i * (b + 2)) % 97).toInt)))
+        Multimodal.audioEHash(ids.withColumn("wav", wav($"doc_id")), "wav")
+          .select($"doc_id", lpad(bin($"ehash"), 64, "0").as("ehash_bits"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  array_to_string([
+             |    CASE WHEN (doc_id * (b + 3)) % 97 > (doc_id * (b + 2)) % 97
+             |         THEN '1' ELSE '0' END
+             |    FOR b IN range(63, -1, -1)], '') AS ehash_bits
+             |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -3299,7 +3327,7 @@ object SparkEntry {
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
-      q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95)
+      q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.
