@@ -145,5 +145,15 @@ class ImageCodecSpec extends SparkSpec {
     assert(byPair.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
     assert(byPair((1L, 3L)) == 0)
     assert(byPair((1L, 2L)) >= 1 && byPair((1L, 2L)) <= 2)
+
+    // cross-modality composition: the TEXT dedup machinery canonicalizes
+    // image clusters unchanged — {1,2,3} collapse to canonical 1, the
+    // flat image and the corrupt row stay their own singletons
+    val canon = graft.operators.ConnectedComponents.canonicalize(
+        rows.select($"id"), Multimodal.imageDupPairs(rows, "id", "content", 3), "id")
+      .select($"id", $"cluster_id", $"is_canonical")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(canon == Set((1L, 1L, 1), (2L, 1L, 0), (3L, 1L, 0),
+      (4L, 4L, 1), (5L, 5L, 1)))
   }
 }
