@@ -128,6 +128,14 @@ object Bm25Index {
     * bit-level scores identical to [[TextAnalysis.bm25TopK]] over the
     * same corpus (one shared scoring expression; pinned by spec).
     */
+  /** `stopTerms` is [[postingSkewReport]]'s query-time remedy: terms
+    * listed there never enter the probe — not the candidate join, not
+    * the pruned posting scan — exactly as if the query text had
+    * arrived without them (spec-pinned equivalence). The artifact is
+    * untouched (no rebuild to retune a stop list), and UNLIKE the LSH
+    * family's frozen stop set this one cannot go stale: it is a probe
+    * argument.
+    */
   def topKAgainst(
       index: DataFrame,
       queries: DataFrame,
@@ -136,11 +144,22 @@ object Bm25Index {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75,
-      maxStaticProbeTerms: Int = DefaultMaxStaticProbeTerms): DataFrame = {
+      maxStaticProbeTerms: Int = DefaultMaxStaticProbeTerms,
+      stopTerms: Seq[String] = Nil): DataFrame = {
     val m = readMeta(index)
     val idCol = index.columns.head
-    val qTerms = queries
-      .select(explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("t"))
+    // stop terms compare against the tokenizer's (lowercased) terms
+    val stopped = stopTerms.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val fresh = Iterator.from(0).map(i => s"__qtext$i")
+      .find(c => !queries.columns.contains(c)).get
+    val strippedQueries =
+      if (stopped.isEmpty) queries
+      else queries.withColumn(fresh,
+        array_join(filter(TextAnalysis.tokens(col(queryTextCol)),
+          t => !t.isInCollection(stopped)), " "))
+    val qTextCol = if (stopped.isEmpty) queryTextCol else fresh
+    val qTerms = strippedQueries
+      .select(explode(array_distinct(TextAnalysis.tokens(col(qTextCol)))).as("t"))
       .distinct().limit(math.max(maxStaticProbeTerms, 0) + 1)
       .collect().map(_.getString(0)).toSeq
     val posts = index.filter(col("kind") === PostKind)
@@ -153,7 +172,7 @@ object Bm25Index {
       .select(col(idCol).as("__doc"), col("dl").cast("double").as("__dl"))
     val stats = index.sparkSession.range(1).select(
       lit(m.nDocs.toDouble).as("__nd"), lit(m.totTokens.toDouble).as("__tot"))
-    TextAnalysis.bm25ScoreTopK(tf, dl, stats, queries, queryIdCol, queryTextCol,
+    TextAnalysis.bm25ScoreTopK(tf, dl, stats, strippedQueries, queryIdCol, qTextCol,
       k, k1, b, idCol)
   }
 

@@ -118,6 +118,23 @@ class Bm25IndexSpec extends SparkSpec {
     ixB.unpersist(); ixS.unpersist()
   }
 
+  test("stopTerms: probing with a stop list == probing queries with those terms removed") {
+    val ix = Bm25Index.build(docs, "doc_id", "text")
+    // pick the hottest term from the monitor — the intended loop
+    val offender = Bm25Index.postingSkewReport(ix, topK = 1).top.head._1
+    val withStop = collectTopK(Bm25Index.topKAgainst(
+      ix, queries, "doc_id", "text", k = 10, stopTerms = Seq(offender)))
+    // reference: strip the term from the query text upstream
+    val stripped = queries.select($"doc_id",
+      array_join(filter(TextAnalysis.tokens($"text"), t => t =!= offender), " ").as("text"))
+    val want = collectTopK(Bm25Index.topKAgainst(
+      ix, stripped, "doc_id", "text", k = 10))
+    assert(withStop == want && withStop.nonEmpty)
+    // and stopping changes something, or the offender wasn't hot
+    assert(withStop != collectTopK(Bm25Index.topKAgainst(ix, queries, "doc_id", "text", k = 10)))
+    ix.unpersist()
+  }
+
   test("not-an-index frames fail typed") {
     val junk = Seq((1L, 0)).toDF("doc_id", "kind")
     val e1 = intercept[IllegalArgumentException] { Bm25Index.readMeta(junk) }
