@@ -3070,28 +3070,39 @@ object SparkEntry {
              |FROM documents WHERE doc_id IS NOT NULL
              |ORDER BY doc_id""".stripMargin))
 
-    /** JL random projection ([[Similarity.randomProject]], r9):
-      * 64 -> 16 dims under the seeded gaussian family, the cheap
-      * preprocessing step before any ANN path. Full oracle: the 16x64
-      * plane matrix inlines as double literals (the q28 discipline) and
-      * every output dim replays as the same index-ordered fold divided
-      * by sqrt(16).
+    /** JL random projection ([[Similarity.randomProject]], r9; output
+      * reshaped r10): 64 -> 16 dims under the seeded gaussian family,
+      * the cheap preprocessing step before any ANN path. The query
+      * emits scalar `(vec_id, dim_idx, value)` rows — posexplode of the
+      * projected vector — because the driver's oracle harness cannot
+      * sort/hash an ArrayType cell (CORRECTNESS_r09: unhashable
+      * ndarray). Full oracle: the 16x64 plane matrix inlines as double
+      * literals (the q28 discipline) and every output dim replays as
+      * the same index-ordered fold divided by sqrt(16), unnested via a
+      * `range(0,16)` cross join to mirror the exploded shape.
       */
     private val q90 = Q(
       "q90_random_projection",
       (s, dir) => Similarity.randomProject(
           t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64, outDim = 16)
-        .select($"vec_id", transform($"proj", x => round(x, 6)).as("proj"))
-        .orderBy("vec_id"),
+        .select($"vec_id",
+          // `+ 0.0` normalizes IEEE negative zero: DuckDB's round keeps
+          // the sign on a tiny negative rounding to zero, Spark's does
+          // not — (-0.0 + 0.0) == +0.0 in both engines
+          posexplode(transform($"proj", x => round(x, 6) + lit(0.0)))
+            .as(Seq("dim_idx", "value")))
+        .orderBy("vec_id", "dim_idx"),
       Some {
         val planes = Similarity.hyperplaneParams(64, 16, 42L)
-        val elems = planes.map(p => s"round(${sqlDot("vec", p)} / sqrt(16.0), 6)")
+        val elems = planes.map(p => s"round(${sqlDot("vec", p)} / sqrt(16.0), 6) + 0.0")
           .mkString(",\n    ")
         s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-           |           FROM embeddings)
-           |SELECT vec_id,
-           |  [$elems] AS proj
-           |FROM v ORDER BY vec_id""".stripMargin
+           |           FROM embeddings),
+           |p AS (SELECT vec_id, [$elems] AS proj FROM v)
+           |SELECT vec_id, CAST(d.dim_idx AS INT) AS dim_idx,
+           |  proj[CAST(d.dim_idx AS INT) + 1] AS value
+           |FROM p, range(0, 16) d(dim_idx)
+           |ORDER BY vec_id, dim_idx""".stripMargin
       })
 
     /** REAL audio decode ([[Multimodal.AudioCodec]], JDK

@@ -236,7 +236,12 @@ object Bm25Index {
     * `topKAgainst(mergeMany(generations))` bit-for-bit WITHOUT
     * materializing the merge — pinned by Bm25IndexSpec. Ids must be
     * unique across generations; the tokenizer is the family constant,
-    * so no recipe can disagree.
+    * so no recipe can disagree. `stopTerms` is the same query-time
+    * posting-skew remedy as [[topKAgainst]]'s (r10 — the remedy must
+    * be applicable on the monthly-artifact probe path too): listed
+    * terms are stripped from the query text before term extraction, so
+    * they reach neither the pruned posting scans nor the candidate
+    * join, exactly as if never typed.
     */
   def topKAgainstMany(
       indexes: Seq[DataFrame],
@@ -246,12 +251,22 @@ object Bm25Index {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75,
-      maxStaticProbeTerms: Int = DefaultMaxStaticProbeTerms): DataFrame = {
+      maxStaticProbeTerms: Int = DefaultMaxStaticProbeTerms,
+      stopTerms: Seq[String] = Nil): DataFrame = {
     require(indexes.nonEmpty, "need at least one index generation")
     val metas = indexes.map(readMeta)
     val idCol = indexes.head.columns.head
-    val qTerms = queries
-      .select(explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("t"))
+    val stopped = stopTerms.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val fresh = Iterator.from(0).map(i => s"__qtext$i")
+      .find(c => !queries.columns.contains(c)).get
+    val strippedQueries =
+      if (stopped.isEmpty) queries
+      else queries.withColumn(fresh,
+        array_join(filter(TextAnalysis.tokens(col(queryTextCol)),
+          t => !t.isInCollection(stopped)), " "))
+    val qTextCol = if (stopped.isEmpty) queryTextCol else fresh
+    val qTerms = strippedQueries
+      .select(explode(array_distinct(TextAnalysis.tokens(col(qTextCol)))).as("t"))
       .distinct().limit(math.max(maxStaticProbeTerms, 0) + 1)
       .collect().map(_.getString(0)).toSeq
     def posts(ix: DataFrame) = {
@@ -267,7 +282,7 @@ object Bm25Index {
     val stats = indexes.head.sparkSession.range(1).select(
       lit(metas.map(_.nDocs).sum.toDouble).as("__nd"),
       lit(metas.map(_.totTokens).sum.toDouble).as("__tot"))
-    TextAnalysis.bm25ScoreTopK(tf, dl, stats, queries, queryIdCol, queryTextCol,
+    TextAnalysis.bm25ScoreTopK(tf, dl, stats, strippedQueries, queryIdCol, qTextCol,
       k, k1, b, idCol)
   }
 

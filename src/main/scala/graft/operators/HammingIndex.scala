@@ -31,10 +31,22 @@ object HammingIndex {
   /** `seg` value of per-document `(id, h)` rows. */
   val DocSeg: Int = -2
 
-  final case class Meta(segments: Int, maxBucketSize: Int, nDocs: Long)
+  /** `builtDroppedBuckets` follows the [[SimHashIndex]] precedent: the
+    * number of over-cap buckets DELETED from the stored entry rows by
+    * the most recent [[compact]]/[[mergeMany]] (build/append never
+    * delete — they retain over-cap buckets and let the probe suppress
+    * them, reporting `droppedBuckets` per probe). Without this field a
+    * compact would silently erase the missing-pair signal: the same
+    * pairs stay unverified while every later probe reads
+    * `droppedBuckets == 0`.
+    */
+  final case class Meta(
+      segments: Int, maxBucketSize: Int,
+      builtDroppedBuckets: Long, nDocs: Long)
 
   private def metaString(m: Meta): String =
-    s"v1;segments=${m.segments};cap=${m.maxBucketSize};nDocs=${m.nDocs}"
+    s"v1;segments=${m.segments};cap=${m.maxBucketSize};" +
+      s"builtDropped=${m.builtDroppedBuckets};nDocs=${m.nDocs}"
 
   def readMeta(index: DataFrame): Meta = {
     require(index.columns.contains("seg") && index.columns.contains("params"),
@@ -47,7 +59,8 @@ object HammingIndex {
     val kv = s.split(";").drop(1)
       .map { p => val i = p.indexOf('='); p.substring(0, i) -> p.substring(i + 1) }
       .toMap
-    Meta(kv("segments").toInt, kv("cap").toInt, kv("nDocs").toLong)
+    Meta(kv("segments").toInt, kv("cap").toInt,
+      kv.getOrElse("builtDropped", "0").toLong, kv("nDocs").toLong)
   }
 
   /** One row per (doc, segment): segment s holds bits
@@ -101,7 +114,8 @@ object HammingIndex {
     val entries = entriesRaw.join(
       entriesRaw.groupBy("seg", "value").agg(count(lit(1)).as("cnt")),
       Seq("seg", "value"))
-    val index = indexRows(df, idCol, Meta(segments, maxBucketSize, nDocs),
+    val index = indexRows(df, idCol,
+      Meta(segments, maxBucketSize, builtDroppedBuckets = 0L, nDocs),
       docs, entries).persist()
     index.count()
     docs.unpersist()
@@ -204,7 +218,12 @@ object HammingIndex {
   /** Exact-count repair from stored rows — no fingerprints recomputed;
     * buckets grown past the frozen cap by appends are dropped, the
     * family's compact contract (probes can no longer be dragged
-    * quadratic by them; their docs' OTHER segments still block).
+    * quadratic by them; their docs' OTHER segments still block). The
+    * number of deleted buckets is recorded as
+    * `Meta.builtDroppedBuckets` (r10, the [[SimHashIndex]] precedent)
+    * so the suppression stays visible after the rows are gone —
+    * otherwise probe-time `droppedBuckets` would read 0 while the same
+    * pairs remain unverified.
     */
   def compact(index: DataFrame, idCol: String): DataFrame = {
     val m = readMeta(index)
@@ -214,17 +233,26 @@ object HammingIndex {
     val entries = index.filter(col("seg") >= 0)
       .select(col(idCol), col("seg"), col("value"))
     val counts = entries.groupBy("seg", "value").agg(count(lit(1)).as("cnt"))
+      .persist()
+    val dropped = counts.filter(col("cnt") > m.maxBucketSize).count()
     val entryRows = entries.join(
       counts.filter(col("cnt") <= m.maxBucketSize), Seq("seg", "value"))
-    val compacted = indexRows(index, idCol, m.copy(nDocs = nDocs), docs, entryRows)
+    val compacted = indexRows(index, idCol,
+      m.copy(nDocs = nDocs,
+        builtDroppedBuckets = m.builtDroppedBuckets + dropped),
+      docs, entryRows)
       .persist()
     compacted.count()
+    counts.unpersist()
     docs.unpersist()
     compacted
   }
 
   /** Merge same-recipe generations: stored-row union + [[compact]].
-    * Ids must be unique across generations.
+    * Ids must be unique across generations. The merged meta row's
+    * `builtDroppedBuckets` carries the SUM of the generations' records
+    * before compact adds its own newly-deleted buckets — per-
+    * generation suppression history survives the merge (r10).
     */
   def mergeMany(indexes: Seq[DataFrame], idCol: String): DataFrame = {
     require(indexes.nonEmpty, "need at least one index generation")
@@ -233,7 +261,17 @@ object HammingIndex {
       m.maxBucketSize == metas.head.maxBucketSize),
       "index generations disagree on build parameters (segments/cap) — " +
         "rebuild with one recipe")
-    compact(indexes.head.filter(col("seg") === MetaSeg)
+    val head = indexes.head
+    val carried = metas.head.copy(
+      builtDroppedBuckets = metas.map(_.builtDroppedBuckets).sum)
+    val metaRow = head.sparkSession.range(1).select(
+      lit(null).cast(head.schema(idCol).dataType).as(idCol),
+      lit(MetaSeg).as("seg"),
+      lit(null).cast("long").as("value"),
+      lit(null).cast("long").as("cnt"),
+      lit(null).cast("long").as("h"),
+      lit(metaString(carried)).as("params"))
+    compact(metaRow.select(head.columns.map(col): _*)
       .unionAll(indexes.map(_.filter(col("seg") =!= MetaSeg)).reduce(_ unionAll _)), idCol)
   }
 }

@@ -641,6 +641,10 @@ object Similarity {
   private[operators] def sq8AdcCosUdf(lo: Array[Double], hi: Array[Double])
       : org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((q: Array[Double], qn: Double, code: Array[Byte]) => {
+      require(code.length == lo.length,
+        s"sq_code has ${code.length} bytes, calibration has ${lo.length} dims: " +
+          "the probed artifact was encoded under a different dimensionality " +
+          "than the supplied (lo, hi) calibration")
       var ip = 0.0
       var rn2 = 0.0
       var i = 0

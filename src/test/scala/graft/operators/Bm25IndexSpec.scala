@@ -135,6 +135,25 @@ class Bm25IndexSpec extends SparkSpec {
     ix.unpersist()
   }
 
+  test("stopTerms on the multi-generation path == single-artifact stop == stripped queries (r9 ADVICE)") {
+    val gens = Seq(0, 1, 2).map(m =>
+      Bm25Index.build(docs.filter($"doc_id" % 3 === m), "doc_id", "text"))
+    val whole = Bm25Index.build(docs, "doc_id", "text")
+    val offender = Bm25Index.postingSkewReport(whole, topK = 1).top.head._1
+    val manyStopped = collectTopK(Bm25Index.topKAgainstMany(
+      gens, queries, "doc_id", "text", k = 10, stopTerms = Seq(offender)))
+    val singleStopped = collectTopK(Bm25Index.topKAgainst(
+      whole, queries, "doc_id", "text", k = 10, stopTerms = Seq(offender)))
+    assert(manyStopped == singleStopped && manyStopped.nonEmpty)
+    // as-if-never-typed: strip upstream and probe the generations plain
+    val stripped = queries.select($"doc_id",
+      array_join(filter(TextAnalysis.tokens($"text"), t => t =!= offender), " ").as("text"))
+    val want = collectTopK(Bm25Index.topKAgainstMany(
+      gens, stripped, "doc_id", "text", k = 10))
+    assert(manyStopped == want)
+    gens.foreach(_.unpersist()); whole.unpersist()
+  }
+
   test("not-an-index frames fail typed") {
     val junk = Seq((1L, 0)).toDF("doc_id", "kind")
     val e1 = intercept[IllegalArgumentException] { Bm25Index.readMeta(junk) }

@@ -115,4 +115,36 @@ class HammingIndexSpec extends SparkSpec {
       HammingIndex.build(kept, "id", "h", segments = 5)
     }.getMessage.contains("divide 64"))
   }
+
+  test("compact records deleted over-cap buckets in meta; mergeMany sums the records") {
+    // 30 identical fingerprints under cap 8: 4 saturated buckets that
+    // build retains (probe suppresses + reports) but compact DELETES —
+    // the deletion must stay visible as meta.builtDroppedBuckets, else
+    // the missing-pair signal silently disappears (r9 ADVICE).
+    val kept = (0 until 30).map(i => (i.toLong, 42L)).toDF("id", "h")
+    val ix = HammingIndex.build(kept, "id", "h", maxBucketSize = 8)
+    assert(HammingIndex.readMeta(ix).builtDroppedBuckets == 0L)
+    val compacted = HammingIndex.compact(ix, "id")
+    assert(HammingIndex.readMeta(compacted).builtDroppedBuckets == 4L)
+    // the probe now sees no saturated rows, so droppedBuckets reads 0 —
+    // exactly the blind spot the meta record closes
+    val probe = HammingIndex.pairsAgainst(compacted,
+      Seq((100L, 42L)).toDF("id", "h"), "id", "h", maxDistance = 2)
+    assert(probe.pairs.isEmpty && probe.droppedBuckets == 0L)
+    probe.unpersist()
+    // a second compact deletes nothing new; the record is monotone
+    val again = HammingIndex.compact(compacted, "id")
+    assert(HammingIndex.readMeta(again).builtDroppedBuckets == 4L)
+    // mergeMany carries the SUM of generation records before adding its
+    // own compaction drops (disjoint ids, no new saturation here)
+    val other = (100 until 130).map(i => (i.toLong, 0x5555L)).toDF("id", "h")
+    val ix2 = HammingIndex.compact(
+      HammingIndex.build(other, "id", "h", maxBucketSize = 8), "id")
+    assert(HammingIndex.readMeta(ix2).builtDroppedBuckets == 4L)
+    val merged = HammingIndex.mergeMany(Seq(compacted, ix2), "id")
+    assert(HammingIndex.readMeta(merged).builtDroppedBuckets == 8L)
+    assert(HammingIndex.readMeta(merged).nDocs == 60L)
+    ix.unpersist(); compacted.unpersist(); again.unpersist()
+    ix2.unpersist(); merged.unpersist()
+  }
 }

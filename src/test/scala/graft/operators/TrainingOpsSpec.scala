@@ -571,6 +571,26 @@ class SimilaritySpec extends SparkSpec {
     assert(top1 >= 8, s"SQ8 top-1 agreement too low: $top1 of 10")
   }
 
+  test("sq8 probe rejects codes encoded under a different dimensionality (typed, not AIOOBE)") {
+    // r9 ADVICE: a 64-dim artifact probed with a 16-dim calibration
+    // must fail with the family's dimension message, not an
+    // ArrayIndexOutOfBoundsException task failure
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (lo, hi) = Similarity.sq8Fit(e, "embedding")
+    val codes = Similarity.sq8Encode(e, "vec_id", "embedding", lo, hi)
+    val queries16 = e.filter($"vec_id" < 2)
+      .select($"vec_id", slice($"embedding", 1, 16).as("embedding"))
+    val err = intercept[Exception] {
+      Similarity.sq8TopKAgainst(codes, queries16, "vec_id", "embedding",
+        k = 3, lo.take(16), hi.take(16)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(messages(err).exists(_.contains("calibration")),
+      s"expected the typed calibration-dimension error, got: ${err.getMessage}")
+  }
+
   test("embeddingDupPairsLsh finds near-identical vectors without a block key") {
     val rnd = new scala.util.Random(13)
     val base = Array.fill(64)(rnd.nextGaussian().toFloat)
