@@ -65,6 +65,36 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Parallel calibration probe — the r9 sentinel blind spot closed:
+    * BENCH_r09 recorded pipeline_1m 62 s (quiet truth ~10 s) while BOTH
+    * single-thread calibrations read quiet, because foreign load that
+    * leaves one core idle starves a `local[n]` job without slowing a
+    * 1-thread probe, and edge-only probes miss a mid-run ramp entirely.
+    * This probe runs `threads` copies of the same dependent-xorshift
+    * loop (200M steps each) and reports WALL time: on a quiet machine
+    * every thread gets its own core and wall ~= the single-thread cost
+    * of 200M (~0.41 s here); under partial contention the threads
+    * queue and wall inflates roughly with the oversubscription — the
+    * exact signal that predicts a degraded Spark segment. It is run
+    * BETWEEN bench segments (see `main`), so a ramp is localized to
+    * the entries it actually contaminated.
+    */
+  private def calibrateParallel(threads: Int): Double = {
+    val t0 = System.nanoTime()
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + t
+        var i = 0
+        while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+        sink.addAndGet(x) // keep the loop observable
+      })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val loadBefore = loadavg()
     val calFirst = calibrate()
@@ -111,23 +141,23 @@ object Bench {
       (secs, err)
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(q => wanted(q._1))
-      .map { case (name, fn) =>
-        val (cold, coldErr) = timed(fn)
-        val (warm1, warmErr) = timed(fn)
-        // Heavyweights get a third run and report the better warm: a
-        // single warm sample 40+ queries into a shared JVM absorbs
-        // whatever GC/heap state the run accumulated (measured ~1-2 s
-        // on q56/q57 against their isolated BenchOne warm), and one
-        // retry recovers most of it for ~30 s of extra bench time.
-        val (warm, warm2Err) =
-          if (warmErr.isEmpty && warm1 > 1.0) {
-            val (warm2, e2) = timed(fn)
-            (math.min(warm1, warm2), e2)
-          } else (warm1, None)
-        (name, cold, warm, coldErr.orElse(warmErr).orElse(warm2Err))
-      }
+    final case class Entry(name: String, cold: Double, warm: Double, err: Option[String])
+
+    def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Entry = {
+      val (cold, coldErr) = timed(fn)
+      val (warm1, warmErr) = timed(fn)
+      // Heavyweights get a third run and report the better warm: a
+      // single warm sample 40+ queries into a shared JVM absorbs
+      // whatever GC/heap state the run accumulated (measured ~1-2 s
+      // on q56/q57 against their isolated BenchOne warm), and one
+      // retry recovers most of it for ~30 s of extra bench time.
+      val (warm, warm2Err) =
+        if (warmErr.isEmpty && warm1 > 1.0) {
+          val (warm2, e2) = timed(fn)
+          (math.min(warm1, warm2), e2)
+        } else (warm1, None)
+      Entry(name, cold, warm, coldErr.orElse(warmErr).orElse(warm2Err))
+    }
 
     // Run the 1M pipeline under BOTH id strategies so bench history stays
     // comparable: rounds <=4 recorded the DenseIds default (now
@@ -161,17 +191,11 @@ object Bench {
     // loader's one-time codegen, which would otherwise bill whichever
     // strategy happens to run first (measured 15.6 vs 11.0 s for
     // identical work when only the scalable run was cold).
-    def warmPipeline1m(s: graft.etl.StarLoader.IdStrategy): (Double, Option[String]) = {
-      val (_, coldErr) = runPipeline1m(s)
+    def pipelineEntry(name: String, s: graft.etl.StarLoader.IdStrategy): Entry = {
+      val (cold, coldErr) = runPipeline1m(s)
       val (warmSecs, warmErr) = runPipeline1m(s)
-      (warmSecs, coldErr.orElse(warmErr))
+      Entry(name, cold, warmSecs, coldErr.orElse(warmErr))
     }
-    val (pipeline1m, pipelineErr) =
-      if (wanted("pipeline_1m")) warmPipeline1m(graft.etl.StarLoader.ScalableIds)
-      else (0.0, None)
-    val (pipeline1mDense, pipelineDenseErr) =
-      if (wanted("pipeline_1m_dense")) warmPipeline1m(graft.etl.StarLoader.DenseIds)
-      else (0.0, None)
 
     // curate_docs: the composed training-data pipeline (annotate ->
     // exact dedup -> LSH near-dup canonicalize -> decontaminate ->
@@ -204,12 +228,82 @@ object Bench {
       System.gc()
       (secs, err)
     }
-    val (curateDocs, curateErr) =
-      if (wanted("curate_docs")) {
-        val (_, coldErr) = runCurate(root.newSession())
-        val (warmSecs, warmErr) = runCurate(root.newSession())
-        (warmSecs, coldErr.orElse(warmErr))
-      } else (0.0, None)
+    def curateEntry(): Entry = {
+      val (cold, coldErr) = runCurate(root.newSession())
+      val (warmSecs, warmErr) = runCurate(root.newSession())
+      Entry("curate_docs", cold, warmSecs, coldErr.orElse(warmErr))
+    }
+
+    // ---- Segmented run with inter-segment parallel probes (r10) ----
+    // The run is cut into replayable SEGMENTS — query chunks of 16 plus
+    // one segment per composite — each bracketed by calibrateParallel.
+    // After the full pass, a segment whose bracketing probes exceed the
+    // run's best probe by DegradeFactor is re-run ONCE (self-heal); if
+    // its re-run probes are degraded too, the first-pass numbers are
+    // kept and the segment's entries are stamped into
+    // `degraded_entries` + a top-level `"degraded": true` so a consumer
+    // can discard them machine-readably (the r9 BENCH artifact passed
+    // its own sentinels while recording a 6x-inflated pipeline_1m).
+    val probeThreads = math.min(cpus.toInt, Runtime.getRuntime.availableProcessors)
+    val queryChunks: Seq[(String, () => Seq[Entry])] =
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(q => wanted(q._1))
+        .grouped(16).zipWithIndex
+        .map { case (chunk, i) =>
+          (s"queries_$i", () => chunk.map { case (n, fn) => timeQuery(n, fn) })
+        }.toSeq
+    val composites: Seq[(String, () => Seq[Entry])] =
+      (if (wanted("pipeline_1m"))
+        Seq("pipeline_1m" -> (() =>
+          Seq(pipelineEntry("pipeline_1m", graft.etl.StarLoader.ScalableIds)))) else Nil) ++
+      (if (wanted("pipeline_1m_dense"))
+        Seq("pipeline_1m_dense" -> (() =>
+          Seq(pipelineEntry("pipeline_1m_dense", graft.etl.StarLoader.DenseIds)))) else Nil) ++
+      (if (wanted("curate_docs"))
+        Seq("curate_docs" -> (() => Seq(curateEntry()))) else Nil)
+    val segments = queryChunks ++ composites
+
+    var probes = Vector(calibrateParallel(probeThreads))
+    val firstPass = segments.map { case (segName, fn) =>
+      val before = probes.last
+      val entries = fn()
+      val after = calibrateParallel(probeThreads)
+      probes :+= after
+      (segName, fn, entries, before, after)
+    }
+    var minPar = probes.min
+    val DegradeFactor = 1.3
+    val DegradeSlackSec = 0.15 // absolute slack so tiny minima don't flap
+    def probesDegraded(b: Double, a: Double): Boolean = {
+      val worst = math.max(b, a)
+      worst > minPar * DegradeFactor && worst - minPar > DegradeSlackSec
+    }
+    val healed = firstPass.map { case (segName, fn, entries, b, a) =>
+      if (!probesDegraded(b, a)) (segName, entries, false)
+      else {
+        val b2 = calibrateParallel(probeThreads)
+        val entries2 = fn()
+        val a2 = calibrateParallel(probeThreads)
+        probes ++= Seq(b2, a2)
+        minPar = math.min(minPar, math.min(b2, a2))
+        if (!probesDegraded(b2, a2)) (segName, entries2, false)
+        else (segName, entries, true)
+      }
+    }
+    val allEntries: Seq[Entry] = healed.flatMap(_._2)
+    val degradedEntries: Seq[String] =
+      healed.filter(_._3).flatMap(_._2.map(_.name))
+
+    val queryNames = SparkEntry.queries.keySet
+    val results = allEntries.filter(e => queryNames.contains(e.name))
+      .map(e => (e.name, e.cold, e.warm, e.err))
+    def compositeOf(name: String): Option[Entry] = allEntries.find(_.name == name)
+    val pipeline1m = compositeOf("pipeline_1m").map(_.warm).getOrElse(0.0)
+    val pipelineErr = compositeOf("pipeline_1m").flatMap(_.err)
+    val pipeline1mDense = compositeOf("pipeline_1m_dense").map(_.warm).getOrElse(0.0)
+    val pipelineDenseErr = compositeOf("pipeline_1m_dense").flatMap(_.err)
+    val curateDocs = compositeOf("curate_docs").map(_.warm).getOrElse(0.0)
+    val curateErr = compositeOf("curate_docs").flatMap(_.err)
     // --shared-session: the composed ~40-stage curate plan pays ~11 s of
     // one-time JVM/codegen warmup; production runs it inside a
     // long-lived session where that cost is already sunk. This mode
@@ -285,9 +379,20 @@ object Bench {
     val loadAfter = loadavg()
     val calLast = calibrate()
     def jsonArr(xs: Seq[Double]): String = xs.map(ms).mkString("[", ",", "]")
+    // r10: the parallel probe series + the degraded verdict make a
+    // contaminated artifact self-describing — `degraded: true` means
+    // the listed entries were timed under mid-run contention that one
+    // automatic re-run did not escape; discard those numbers, trust
+    // the rest. The full probe series goes to the detail side channel
+    // conceptually; min/max inline are enough for the discard rule.
     val sentinel =
       s""","loadavg":{"before":${jsonArr(loadBefore)},"after":${jsonArr(loadAfter)}}""" +
-        s""","calibration":{"first":${ms(calFirst)},"last":${ms(calLast)}}"""
+        s""","calibration":{"first":${ms(calFirst)},"last":${ms(calLast)},""" +
+        s""""parallel":{"threads":$probeThreads,"min":${ms(probes.min)},"max":${ms(probes.max)},"n":${probes.length}}}""" +
+        s""","degraded":${degradedEntries.nonEmpty}""" +
+        (if (degradedEntries.nonEmpty)
+          s""","degraded_entries":${degradedEntries.map(jsonStr).mkString("[", ",", "]")}"""
+        else "")
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","billing":"warm","queries":${jsonNumMap(warm)}$pipelineField$pipelineDenseField$curateField$steadyField,"detail":${jsonStr(detailFile)}$sentinel,"errors":$errJson,"sf":${jsonStr(sfDir)}}""")
     root.stop()
     if (errors.nonEmpty) sys.exit(1)
