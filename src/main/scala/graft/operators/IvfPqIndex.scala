@@ -202,4 +202,64 @@ object IvfPqIndex {
     newDocs.unpersist()
     appended
   }
+
+  /** Cell-balance report over this index's doc rows — the same
+    * statistic and remedy trigger as [[IvfIndex.cellOccupancyReport]]
+    * (the layouts share the cell-discriminated scheme, not the meta
+    * schema — the [[IvfSq8Index.occupancyReport]] thin-twin pattern).
+    * The coarse quantizer here skews exactly like IvfIndex's: appends
+    * drift the corpus away from the frozen centroids, over-full cells
+    * make probes scan their fraction in full, and this one stored-row
+    * groupBy is the measured trigger for [[rebuildIfSkewed]] (r10 —
+    * this was the only persistable index family without a monitor).
+    */
+  def occupancyReport(index: DataFrame, topK: Int = 16): IvfIndex.CellOccupancy = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val (m, _, _) = readMeta(index)
+    val occ = index.filter(col("cell") >= 0)
+      .groupBy("cell").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("cell"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val nDocs = occ.map(_._2).sum
+    val maxCell = occ.headOption.map(_._2).getOrElse(0L)
+    val mean = if (m.nCentroids > 0) nDocs.toDouble / m.nCentroids else 0.0
+    IvfIndex.CellOccupancy(nDocs, m.nCentroids, occ.size, maxCell, mean,
+      if (mean > 0) maxCell / mean else 0.0, occ.take(topK))
+  }
+
+  /** The monitor-then-remedy loop for the IVF-PQ family. Unlike
+    * [[IvfIndex.refitIfSkewed]] the artifact CANNOT heal from itself —
+    * it stores lossy PQ residuals, not vectors, so re-fitting a
+    * quantizer from reconstructions would chase quantization noise.
+    * The remedy is therefore the [[LshIndex.rebuildIfStale]] shape: a
+    * typed rebuild-from-corpus recipe — the caller supplies the exact
+    * corpus the index covers (guarded by doc count), a fresh seeded
+    * k-means is fitted over the REAL vectors (same centroid count),
+    * and the index rebuilds under the frozen PQ codebooks from the
+    * meta row (scoring fidelity is not the drifting statistic; only
+    * the coarse partitioner is). Below `maxSkew` the index comes back
+    * untouched; the returned report is the evidence either way.
+    */
+  def rebuildIfSkewed(
+      index: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      maxSkew: Double = 8.0,
+      seed: Long = 42L): (DataFrame, IvfIndex.CellOccupancy) = {
+    require(maxSkew >= 1.0, s"maxSkew below 1 would always fire; got $maxSkew")
+    val report = occupancyReport(index)
+    if (report.skew <= maxSkew) (index, report)
+    else {
+      val (m, _, cbs) = readMeta(index)
+      val n = corpus.count()
+      require(n == m.nDocs,
+        s"corpus has $n docs but the index covers ${m.nDocs} — rebuildIfSkewed " +
+          "needs the exact corpus the index was built over (PQ codes are lossy; " +
+          "the artifact cannot re-fit from itself)")
+      (build(corpus, idCol, vecCol,
+        IvfIndex.fitCentroids(corpus, vecCol, m.nCentroids, seed),
+        cbs.map(_.map(_.toSeq).toSeq).toSeq), report)
+    }
+  }
 }

@@ -144,4 +144,53 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(e2.getMessage.contains("exactly one meta row"))
     index.unpersist()
   }
+
+  test("rebuildIfSkewed: no-op when balanced; typed rebuild-from-corpus when drifted (r9 VERDICT #4)") {
+    val rnd = new scala.util.Random(11)
+    def around(cx: Double, cy: Double, s: Double) =
+      Array(cx + rnd.nextGaussian() * s, cy + rnd.nextGaussian() * s)
+    val ctrs = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0), Seq(0.0, -1.0))
+    // dim 2 -> 2 subspaces of 1 dim, 4 centroids each (valid PQ shape)
+    val cbs = Seq(
+      Seq(Seq(-1.0), Seq(0.0), Seq(1.0), Seq(10.0)),
+      Seq(Seq(-1.0), Seq(0.0), Seq(1.0), Seq(10.0)))
+
+    val balanced = (0 until 60).map { i =>
+      val c = ctrs(i % 4)
+      (i.toLong, around(c.head, c(1), 0.05))
+    }.toDF("vec_id", "embedding")
+    val ok = IvfPqIndex.build(balanced, "vec_id", "embedding", ctrs, cbs)
+    val (same, quiet) = IvfPqIndex.rebuildIfSkewed(ok, balanced, "vec_id", "embedding",
+      maxSkew = 3.0)
+    assert((same eq ok) && quiet.skew <= 3.0)
+
+    // the embedding distribution moved wholesale to a region the frozen
+    // quantizer never saw — everything piles into one cell
+    val drifted = (100 until 160)
+      .map(i => (i.toLong, around(10.0, 0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val bad = IvfPqIndex.build(drifted, "vec_id", "embedding", ctrs, cbs)
+    assert(IvfPqIndex.occupancyReport(bad).nonEmptyCells == 1)
+    // PQ codes are lossy, so the remedy demands the REAL corpus — and
+    // guards it: a wrong corpus fails typed instead of rebuilding junk
+    assert(intercept[IllegalArgumentException] {
+      IvfPqIndex.rebuildIfSkewed(bad, drifted.limit(10), "vec_id", "embedding",
+        maxSkew = 3.0)
+    }.getMessage.contains("exact corpus"))
+    val (fresh, fired) = IvfPqIndex.rebuildIfSkewed(bad, drifted, "vec_id", "embedding",
+      maxSkew = 3.0)
+    assert(fired.skew > 3.0 && fired.nonEmptyCells == 1,
+      s"drifted corpus must degenerate to one cell: $fired")
+    val healed = IvfPqIndex.occupancyReport(fresh)
+    assert(healed.skew <= 3.0 && healed.nonEmptyCells > 1, s"rebuild must rebalance: $healed")
+    // codebooks survive the rebuild frozen; doc count preserved; probes work
+    val (m2, _, cbs2) = IvfPqIndex.readMeta(fresh)
+    assert(m2.nDocs == 60L)
+    assert(cbs2.map(_.map(_.toSeq).toSeq).toSeq == cbs)
+    val probed = IvfPqIndex.topKAgainst(fresh,
+      drifted.filter($"vec_id" === 100L), "vec_id", "embedding", k = 3,
+      nProbe = m2.nCentroids)
+    assert(probed.count() == 3L)
+    ok.unpersist(); bad.unpersist(); fresh.unpersist()
+  }
 }
