@@ -3365,6 +3365,48 @@ object SparkEntry {
              |    FOR b IN range(63, -1, -1)], '') AS ehash_bits
              |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin))
 
+    /** Header-only MP4 video metadata ([[Multimodal.VideoCodec]], r10 —
+      * the q91 discipline for video): minimal valid MP4 headers whose
+      * dimensions/timescale/duration are arithmetic functions of
+      * doc_id, constructed then PARSED inside the query via real
+      * ISO-BMFF box walking (`ftyp` sniff, `moov/mvhd` timescale +
+      * duration, `moov/trak/tkhd` 16.16 fixed-point dims). The oracle
+      * recomputes every field arithmetically — a hash match proves the
+      * byte-level box parse, the metadata half of the one remaining
+      * video stub. duration_s is the same IEEE double division on both
+      * sides.
+      */
+    private val q97 = Q(
+      "q97_video_meta",
+      (s, dir) => {
+        val ids = t(s, dir, "documents").select($"doc_id").filter($"doc_id" < 500)
+        val mp4 = udf((i: Long) => Multimodal.VideoCodec.minimalMp4(
+          (i % 600).toInt + 16,
+          (i % 400).toInt + 16,
+          600 + (i % 3).toInt * 400,
+          (i * 13 % 90000).toInt + 1000))
+        Multimodal.withVideoMetadata(ids.withColumn("mp4", mp4($"doc_id")), "mp4")
+          .select($"doc_id",
+            $"video_meta.media_type".as("media_type"),
+            $"video_meta.width".as("width"),
+            $"video_meta.height".as("height"),
+            $"video_meta.timescale".as("timescale"),
+            $"video_meta.duration".as("duration"),
+            $"video_meta.duration_s".as("duration_s"),
+            $"video_meta.n_tracks".as("n_tracks"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  'video/mp4' AS media_type,
+             |  CAST(doc_id % 600 + 16 AS INT) AS width,
+             |  CAST(doc_id % 400 + 16 AS INT) AS height,
+             |  CAST(600 + (doc_id % 3) * 400 AS BIGINT) AS timescale,
+             |  CAST((doc_id * 13) % 90000 + 1000 AS BIGINT) AS duration,
+             |  CAST((doc_id * 13) % 90000 + 1000 AS DOUBLE)
+             |    / (600 + (doc_id % 3) * 400) AS duration_s,
+             |  CAST(1 AS INT) AS n_tracks
+             |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -3372,7 +3414,8 @@ object SparkEntry {
       q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
-      q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96)
+      q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
+      q97)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.
