@@ -202,7 +202,10 @@ object Bench {
     // sample -> pack) end-to-end over the SF documents table. Same
     // cold+warm policy as the queries: the warm second run is reported
     // (the ~40-stage composite pays substantial one-time codegen).
-    def runCurate(s: SparkSession): (Double, Option[String]) = {
+    def runCurate(
+        s: SparkSession,
+        model: Option[graft.operators.QualityClassifier.Model] = None)
+        : (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err =
         try {
@@ -215,7 +218,8 @@ object Bench {
           val res = graft.operators.Curation.curate(
             train, bench, "doc_id", "text", "lang",
             graft.operators.Curation.CurationParams(
-              minQuality = 0.0, maxRepetition = 1.0, maxContamination = 0.5))
+              minQuality = 0.0, maxRepetition = 1.0, maxContamination = 0.5,
+              qualityModel = model, minModelScore = 0.3))
           res.docs.count()
           res.unpersist()
           None
@@ -232,6 +236,30 @@ object Bench {
       val (cold, coldErr) = runCurate(root.newSession())
       val (warmSecs, warmErr) = runCurate(root.newSession())
       Entry("curate_docs", cold, warmSecs, coldErr.orElse(warmErr))
+    }
+    // curate_learned: the same composed pipeline with the trained
+    // quality-classifier gate on (VERDICT r9 #6). The model trains
+    // OUTSIDE the timed region — in production it is an offline
+    // artifact loaded once — so curate_learned - curate_docs IS the
+    // gate's marginal cost: one per-row scoring kernel (tokenize,
+    // hash, dot over closure-broadcast weights) fused into the
+    // stage-1 scan. Threshold 0.3 keeps the word-salad corpus while
+    // rejecting spam-shaped docs (the CurationSpec fixture rationale).
+    lazy val learnedGateModel: graft.operators.QualityClassifier.Model = {
+      val s = root.newSession()
+      import s.implicits._
+      val labeled = ((0 until 80).map(i =>
+        (s"the quick brown fox number $i jumps over the lazy dog and runs to the old stone bridge", 1.0)) ++
+        (0 until 80).map(i =>
+          (s"$$$$$$ ### @@@@ zx$i qq%% ||| ~~~ ++++ ::: buy now click here free $i$i$i win", 0.0)))
+        .toDF("text", "label")
+      graft.operators.QualityClassifier.train(labeled, "text", "label", numFeatures = 1 << 12)
+    }
+    def curateLearnedEntry(): Entry = {
+      val m = Some(learnedGateModel) // force training before the clock
+      val (cold, coldErr) = runCurate(root.newSession(), m)
+      val (warmSecs, warmErr) = runCurate(root.newSession(), m)
+      Entry("curate_learned", cold, warmSecs, coldErr.orElse(warmErr))
     }
 
     // ---- Segmented run with inter-segment parallel probes (r10) ----
@@ -260,7 +288,9 @@ object Bench {
         Seq("pipeline_1m_dense" -> (() =>
           Seq(pipelineEntry("pipeline_1m_dense", graft.etl.StarLoader.DenseIds)))) else Nil) ++
       (if (wanted("curate_docs"))
-        Seq("curate_docs" -> (() => Seq(curateEntry()))) else Nil)
+        Seq("curate_docs" -> (() => Seq(curateEntry()))) else Nil) ++
+      (if (wanted("curate_learned"))
+        Seq("curate_learned" -> (() => Seq(curateLearnedEntry()))) else Nil)
     val segments = queryChunks ++ composites
 
     var probes = Vector(calibrateParallel(probeThreads))
@@ -304,6 +334,8 @@ object Bench {
     val pipelineDenseErr = compositeOf("pipeline_1m_dense").flatMap(_.err)
     val curateDocs = compositeOf("curate_docs").map(_.warm).getOrElse(0.0)
     val curateErr = compositeOf("curate_docs").flatMap(_.err)
+    val curateLearned = compositeOf("curate_learned").map(_.warm).getOrElse(0.0)
+    val curateLearnedErr = compositeOf("curate_learned").flatMap(_.err)
     // --shared-session: the composed ~40-stage curate plan pays ~11 s of
     // one-time JVM/codegen warmup; production runs it inside a
     // long-lived session where that cost is already sunk. This mode
@@ -339,6 +371,7 @@ object Bench {
         pipelineErr.map("pipeline_1m" -> _) ++
         pipelineDenseErr.map("pipeline_1m_dense" -> _) ++
         curateErr.map("curate_docs" -> _) ++
+        curateLearnedErr.map("curate_learned" -> _) ++
         steadyErr.map("curate_docs_steady" -> _)
     val ok = results.filter(_._4.isEmpty)
     val warm = ok.map { case (n, _, w, _) => n -> w }
@@ -372,6 +405,8 @@ object Bench {
       if (wanted("pipeline_1m_dense")) s""","pipeline_1m_dense":${ms(pipeline1mDense)}""" else ""
     val curateField =
       if (wanted("curate_docs")) s""","curate_docs":${ms(curateDocs)}""" else ""
+    val curateLearnedField =
+      if (wanted("curate_learned")) s""","curate_learned":${ms(curateLearned)}""" else ""
     val steadyField = curateSteady.map(v => s""","curate_docs_steady":${ms(v)}""").getOrElse("")
     // Load sentinel (VERDICT r7 ask #2): loadavg around the run plus the
     // fixed CPU calibration probe first-and-last. Discard rule lives in
@@ -393,7 +428,7 @@ object Bench {
         (if (degradedEntries.nonEmpty)
           s""","degraded_entries":${degradedEntries.map(jsonStr).mkString("[", ",", "]")}"""
         else "")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","billing":"warm","queries":${jsonNumMap(warm)}$pipelineField$pipelineDenseField$curateField$steadyField,"detail":${jsonStr(detailFile)}$sentinel,"errors":$errJson,"sf":${jsonStr(sfDir)}}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","billing":"warm","queries":${jsonNumMap(warm)}$pipelineField$pipelineDenseField$curateField$curateLearnedField$steadyField,"detail":${jsonStr(detailFile)}$sentinel,"errors":$errJson,"sf":${jsonStr(sfDir)}}""")
     root.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -52,7 +52,17 @@ object Curation {
       // ([[CorpusFilters.heuristicSignals]] composite keep) as part of
       // the stage-2 gate — one more kernel on the same scan, no extra
       // pass. Off by default: the q57 replay oracle predates it.
-      useHeuristicGate: Boolean = false)
+      useHeuristicGate: Boolean = false,
+      // learned quality gate: score with a trained
+      // [[QualityClassifier.Model]] (keep-probability >= minModelScore)
+      // as one more per-row kernel on the SAME stage-1/2 scan — the
+      // GPT-3/LLaMA-style fastText filter next to the heuristic rule
+      // battery. The weights (~2 MB at the 2^18 default) broadcast with
+      // the task closure; no shuffle, no join — the gate is free at
+      // 100 TB relative to the scan it rides. None = off (the q57
+      // replay oracle and all bench history predate it).
+      qualityModel: Option[QualityClassifier.Model] = None,
+      minModelScore: Double = 0.5)
 
   /** Curated corpus (`docs`: one row per surviving doc with annotations
     * and packed span) plus the stage caches backing it — call
@@ -61,6 +71,35 @@ object Curation {
   final case class CurationResult(docs: DataFrame, cached: Seq[DataFrame]) {
     def unpersist(): Unit = cached.foreach(_.unpersist())
   }
+
+  /** Stages 1-2 shared by both pipelines: annotate with the quality /
+    * repetition kernels, gate on the thresholds, then the optional
+    * heuristic rule battery and the optional learned-classifier gate —
+    * all per-row kernels fused into the one corpus scan. A doc passing
+    * the learned gate keeps its `learned_quality` score as an
+    * annotation (the downstream keep-best election still uses the
+    * heuristic `quality` — the replay oracles pin that election).
+    */
+  private def annotateAndGate(
+      docs: DataFrame, textCol: String, params: CurationParams): DataFrame =
+    docs
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+      .withColumn("repetition", TextAnalysis.repetitionScore(col(textCol), 3))
+      .filter(col("quality") >= params.minQuality &&
+        col("repetition") <= params.maxRepetition)
+      .transform { d =>
+        if (params.useHeuristicGate)
+          d.filter(CorpusFilters.heuristicSignals(col(textCol))("_12") === 1)
+        else d
+      }
+      .transform { d =>
+        params.qualityModel match {
+          case Some(m) =>
+            QualityClassifier.score(m, d, textCol, "learned_quality")
+              .filter(col("learned_quality") >= params.minModelScore)
+          case None => d
+        }
+      }
 
   /** Stage outputs that fan out to more than one consumer (the exact-
     * dedup survivors feed both LSH and canonicalize; the canonical set
@@ -82,16 +121,7 @@ object Curation {
     val id = col(idCol)
 
     // 1-2: annotate + quality gate (single scan, all per-row kernels)
-    val annotated = docs
-      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
-      .withColumn("repetition", TextAnalysis.repetitionScore(col(textCol), 3))
-      .filter(col("quality") >= params.minQuality &&
-        col("repetition") <= params.maxRepetition)
-      .transform { d =>
-        if (params.useHeuristicGate)
-          d.filter(CorpusFilters.heuristicSignals(col(textCol))("_12") === 1)
-        else d
-      }
+    val annotated = annotateAndGate(docs, textCol, params)
 
     // 3: exact dedup on the text, deterministic least-id survivor
     val exact = Dedup.exactByColumns(annotated, Seq(textCol), idCol)
@@ -183,16 +213,7 @@ object Curation {
     val id = col(idCol)
 
     // 1-2: annotate + gate (same kernels, same single scan)
-    val annotated = incoming
-      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
-      .withColumn("repetition", TextAnalysis.repetitionScore(col(textCol), 3))
-      .filter(col("quality") >= params.minQuality &&
-        col("repetition") <= params.maxRepetition)
-      .transform { d =>
-        if (params.useHeuristicGate)
-          d.filter(CorpusFilters.heuristicSignals(col(textCol))("_12") === 1)
-        else d
-      }
+    val annotated = annotateAndGate(incoming, textCol, params)
 
     // 3-4a within the batch: exact dedup + near-dup canonicalize
     val exact = Dedup.exactByColumns(annotated, Seq(textCol), idCol)

@@ -1221,6 +1221,116 @@ class CurationSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("shingle space"))
   }
+
+  // Learned-gate fixture: the QualityClassifierSpec planted corpus —
+  // prose the model should keep, symbol-spam it should drop.
+  private def goodDoc(i: Int) =
+    s"the quick brown fox number $i jumps over the lazy dog and runs to the old stone bridge with great speed"
+  private def spamDoc(i: Int) =
+    s"$$$$$$ ### @@@@ zx$i qq%% ^^&& ||| ~~~ ++++ ::: ;;; buy now click here free $i$i$i win"
+  private def trainModel() = QualityClassifier.train(
+    ((0 until 80).map(i => (goodDoc(i), 1.0)) ++
+      (0 until 80).map(i => (spamDoc(i), 0.0))).toDF("text", "label"),
+    "text", "label", numFeatures = 1 << 12)
+
+  test("curate qualityModel gate == standalone pre-filter; planted spam never survives") {
+    val model = trainModel()
+    val bench = docs.filter($"doc_id" % 97 === 0).select("doc_id", "text")
+    val spam = (0 until 20)
+      .map(i => (1000000L + i, spamDoc(900 + i), "en"))
+      .toDF("doc_id", "text", "lang")
+    val train = docs.filter($"doc_id" % 97 =!= 0)
+      .select("doc_id", "text", "lang").unionByName(spam)
+    val base = CurationParams(minQuality = 0.0, maxRepetition = 1.0,
+      maxContamination = 1.0)
+    val gated = Curation.curate(train, bench, "doc_id", "text", "lang",
+      base.copy(qualityModel = Some(model), minModelScore = 0.3))
+    val got = gated.docs.cache()
+    // the gate's score survives as an annotation on the output
+    assert(got.columns.contains("learned_quality"))
+    val gotIds = got.select("doc_id").as[Long].collect().toSet
+    got.unpersist(); gated.unpersist()
+
+    // equivalence: gating inside stage 2 == pre-filtering the corpus
+    // with the standalone scorer and curating without the gate
+    val pre = QualityClassifier.score(model, train, "text", "__q")
+      .filter($"__q" >= 0.3).drop("__q")
+    val ref = Curation.curate(pre, bench, "doc_id", "text", "lang", base)
+    val refIds = ref.docs.select("doc_id").as[Long].collect().toSet
+    ref.unpersist()
+    assert(gotIds == refIds)
+    assert(gotIds.nonEmpty)
+    // the gate bites: every planted spam doc is gone
+    assert(gotIds.forall(_ < 1000000L))
+  }
+
+  test("curateIncremental equivalence holds with the learned gate on") {
+    val model = trainModel()
+    val bench = docs.filter($"doc_id" % 97 === 0).select("doc_id", "text")
+    val kept0 = docs.filter($"doc_id" % 97 =!= 0 && $"doc_id" % 3 === 0)
+      .select("doc_id", "text", "lang")
+    // each nightly batch carries planted spam the gate must reject
+    def batch(m: Long) = docs.filter($"doc_id" % 97 =!= 0 && $"doc_id" % 3 === m)
+      .select("doc_id", "text", "lang")
+      .unionByName((0 until 10)
+        .map(i => (2000000L + m * 100 + i, spamDoc(500 + i), "en"))
+        .toDF("doc_id", "text", "lang"))
+    val params = CurationParams(minQuality = 0.0, maxRepetition = 1.0,
+      maxContamination = 0.5, lshThreshold = 0.6,
+      sampleRates = Map("en" -> 0.5), defaultSampleRate = 0.7,
+      qualityModel = Some(model), minModelScore = 0.3)
+
+    var index = LshIndex.build(kept0, "doc_id", "text", n = 3)
+    val curatedInc = scala.collection.mutable.Set[Long]()
+    for (m <- Seq(1L, 2L)) {
+      val r = Curation.curateIncremental(
+        index, batch(m), bench, "doc_id", "text", "lang", params)
+      curatedInc ++= r.curated.select("doc_id").as[Long].collect()
+      val next = r.kept.localCheckpoint()
+      r.unpersist()
+      index = next
+    }
+
+    // reference replay: standalone scorer pre-filter, then the same
+    // stages with the one-shot cross-corpus operator
+    var keptRef = kept0.select($"doc_id", $"text")
+    val curatedRef = scala.collection.mutable.Set[Long]()
+    for (m <- Seq(1L, 2L)) {
+      val annotated = QualityClassifier.score(model,
+          batch(m)
+            .withColumn("quality", TextAnalysis.qualityScore($"text"))
+            .withColumn("repetition", TextAnalysis.repetitionScore($"text", 3))
+            .filter($"quality" >= 0.0 && $"repetition" <= 1.0),
+          "text", "learned_quality")
+        .filter($"learned_quality" >= 0.3)
+      val exact = Dedup.exactByColumns(annotated, Seq("text"), "doc_id")
+      val pairs = TextDedup.minHashLshPairs(
+        exact, "doc_id", "text", n = 3, threshold = 0.6)
+      val canon = ConnectedComponents.canonicalize(exact, pairs, "doc_id")
+        .filter($"is_canonical" === 1)
+        .drop("cluster_id", "cluster_size", "is_canonical")
+      val novel = TextDedup.dedupAgainst(keptRef, canon, "doc_id", "text",
+        threshold = 0.6)
+      val contam = Contamination.ngramContamination(
+        novel, bench, "doc_id", "text", 13)
+      val clean = novel.join(
+          contam.filter($"contamination" <= 0.5).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      keptRef = keptRef.unionAll(clean.select($"doc_id", $"text")).localCheckpoint()
+      curatedRef ++= Sampling
+        .stratifiedSample(clean, "doc_id", "lang", Map("en" -> 0.5), 0.7)
+        .select("doc_id").as[Long].collect()
+      pairs.unpersist()
+    }
+    assert(curatedInc.toSet == curatedRef.toSet)
+    assert(curatedInc.nonEmpty)
+    // no planted spam survived either turn
+    assert(curatedInc.forall(_ < 2000000L))
+    // ...and the spam never grew the kept index either
+    assert(LshIndex.readMeta(index)._1.nDocs == keptRef.count())
+    assert(keptRef.filter($"doc_id" >= 2000000L).isEmpty)
+  }
 }
 
 class CrossCorpusDedupSpec extends SparkSpec {
