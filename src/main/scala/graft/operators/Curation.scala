@@ -251,4 +251,100 @@ object Curation {
       clean, idCol, langCol, params.sampleRates, params.defaultSampleRate)
     IncrementalResult(sampled, grown, Seq(exact, novel, clean, pairs, grown))
   }
+
+  /** One incremental curation turn for MEDIA (binary content) — the
+    * [[curateIncremental]] story with the text near-dup machinery
+    * swapped for the fingerprint family, proving the same nightly
+    * contract end-to-end for images and audio:
+    *
+    *  1. fingerprint: perceptual hash over the binary column
+    *     ([[graft.multimodal.Multimodal.imageDHash]] dHash /
+    *     [[graft.multimodal.Multimodal.audioEHash]] eHash — per-row
+    *     decode kernels, no shuffle); undecodable rows (null hash) are
+    *     dropped — a payload that cannot be decoded can neither dedup
+    *     nor train;
+    *  2. exact dedup on the fingerprint (identical perceptual hash =
+    *     same content re-encoded), deterministic least-id survivor;
+    *  3. within-batch near-dup canonicalize: batch-local
+    *     [[HammingIndex]] self-probe -> undirected pairs -> connected
+    *     components -> least-id canonical (the text pipeline's
+    *     election);
+    *  4. cross-corpus gate against the PERSISTED Hamming artifact
+    *     ([[HammingIndex.dedupAgainst]] — O(incoming) probe, the kept
+    *     corpus is never re-fingerprinted), FIRST-ARRIVED semantics
+    *     across batches exactly as the text turn;
+    *  5. grow the artifact with the survivors
+    *     ([[HammingIndex.append]]).
+    *
+    * The batch-local index inherits `segments`/`maxBucketSize` from
+    * the persisted artifact's meta row so within-batch and
+    * cross-corpus blocking share one recall guarantee. Survivors keep
+    * their fingerprint column as an annotation (the
+    * `learned_quality` discipline).
+    */
+  def curateFingerprinted(
+      index: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      fpCol: String,
+      maxDistance: Int = 3): IncrementalResult = {
+    import org.apache.spark.storage.StorageLevel
+    val m = HammingIndex.readMeta(index)
+    require(maxDistance >= 0 && maxDistance < m.segments,
+      s"index blocks on ${m.segments} segments: maxDistance must be < ${m.segments}, " +
+        s"got $maxDistance")
+
+    // 1: decodable rows only
+    val decoded = incoming.filter(col(fpCol).isNotNull)
+
+    // 2: exact dedup on the fingerprint, least-id survivor
+    val exact = Dedup.exactByColumns(decoded, Seq(fpCol), idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // 3: within-batch near-dup via a batch-local index self-probe;
+    // (a, b) and (b, a) both appear — keep one direction
+    val batchIdx = HammingIndex.build(exact, idCol, fpCol,
+      segments = m.segments, maxBucketSize = m.maxBucketSize)
+    val probe = HammingIndex.pairsAgainst(batchIdx, exact, idCol, fpCol, maxDistance)
+    val pairs = probe.pairs
+      .filter(col("id_existing") < col("id_incoming"))
+      .select(col("id_existing").as("id_a"), col("id_incoming").as("id_b"))
+    val canon = ConnectedComponents.canonicalize(exact, pairs, idCol)
+      .filter(col("is_canonical") === 1)
+      .drop("cluster_id", "cluster_size", "is_canonical")
+
+    // 4: cross-corpus gate — only the batch pays decode + segment CPU
+    val novel = HammingIndex.dedupAgainst(index, canon, idCol, fpCol, maxDistance)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // 5: grow the kept-corpus artifact
+    val grown = HammingIndex.append(index, novel, idCol, fpCol)
+    IncrementalResult(novel, grown, Seq(exact, batchIdx, probe.pairs, novel, grown))
+  }
+
+  /** [[curateFingerprinted]] with the fingerprint stage included:
+    * `mediaType` picks the perceptual-hash kernel — `"image"` (dHash
+    * over decodable image bytes, `dhash` column) or `"audio"`
+    * (energy-envelope eHash over decodable audio bytes, `ehash`
+    * column). Typed error on anything else; video has no JDK decode
+    * path ([[graft.multimodal.Multimodal.StubCodec]]) so it is
+    * deliberately NOT accepted here.
+    */
+  def curateMedia(
+      index: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      contentCol: String,
+      mediaType: String,
+      maxDistance: Int = 3): IncrementalResult = {
+    val (hashed, fpCol) = mediaType match {
+      case "image" =>
+        (graft.multimodal.Multimodal.imageDHash(incoming, contentCol), "dhash")
+      case "audio" =>
+        (graft.multimodal.Multimodal.audioEHash(incoming, contentCol), "ehash")
+      case other => throw new IllegalArgumentException(
+        s"""mediaType must be "image" or "audio", got "$other"""")
+    }
+    curateFingerprinted(index, hashed, idCol, fpCol, maxDistance)
+  }
 }
