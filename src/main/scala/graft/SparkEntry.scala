@@ -3407,6 +3407,94 @@ object SparkEntry {
              |  CAST(1 AS INT) AS n_tracks
              |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin))
 
+    /** Composed media-curation turn ([[operators.Curation.curateMedia]],
+      * r10 — VERDICT r9 "next" #7 as a driver-checked row): the q93
+      * constructed images, evens persisted as the kept-corpus
+      * [[operators.HammingIndex]], odds curated against it in one turn
+      * — fingerprint, exact dedup on the hash, within-batch
+      * connected-components canonicalize, cross-corpus gate at
+      * distance <= 3. FULL oracle: q93's dHash arithmetic replay,
+      * exact dedup as a window, near-dup edges by brute-force
+      * differing-bit count (exact — pigeonhole blocking at 4 segments
+      * is lossless for d <= 3, HammingIndexSpec's brute-force-equality
+      * pin), connected components as a RECURSIVE min-label CTE, and
+      * the gate as NOT EXISTS over the kept side.
+      */
+    private val q98 = Q(
+      "q98_media_curation",
+      (s, dir) => {
+        val ids = t(s, dir, "documents").select($"doc_id").filter($"doc_id" < 500)
+        // engineered corpus: groups of 4 share a quadratic-mixed base
+        // pattern; role r = id%4: r0 kept, r1 exact re-encode of the
+        // base, r2/r3 a 5-site/4-site perturbed pair — so every stage
+        // (exact dedup, CC canonicalize, cross-corpus gate) observably
+        // bites and 86 genuinely-new docs survive
+        val png = udf((i: Long) => {
+          val g = i / 4
+          val r = i % 4
+          def pert(x: Int, y: Int): Int = {
+            val s4 = (x == 1 && y == 1) || (x == 3 && y == 2) ||
+              (x == 5 && y == 3) || (x == 7 && y == 4)
+            val s5 = s4 || (x == 2 && y == 5)
+            if ((r == 2 && s5) || (r == 3 && s4)) 120 else 0
+          }
+          Multimodal.ImageCodec.grayPng(Array.tabulate(8, 9)((y, x) =>
+            (((g + 1) * (x * x * 13 + y * y * 29 + x * y * 31 + 1) + pert(x, y)) % 251).toInt))
+        })
+        val imgs = ids.withColumn("img", png($"doc_id"))
+        val ix = operators.HammingIndex.build(
+          Multimodal.imageDHash(imgs.filter($"doc_id" % 4 === 0), "img"),
+          "doc_id", "dhash")
+        val r = operators.Curation.curateMedia(
+          ix, imgs.filter($"doc_id" % 4 =!= 0), "doc_id", "img", "image")
+        ix.unpersist()
+        r.curated
+          .select($"doc_id", lpad(bin($"dhash"), 64, "0").as("dhash_bits"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE bits AS (
+             |  SELECT doc_id,
+             |    array_to_string([
+             |      CASE WHEN
+             |        (((doc_id//4)+1)*(((b%8)+1)*((b%8)+1)*13+(b//8)*(b//8)*29+((b%8)+1)*(b//8)*31+1)
+             |          + CASE WHEN (doc_id%4=2 AND (((b%8)+1=1 AND b//8=1) OR ((b%8)+1=3 AND b//8=2) OR ((b%8)+1=5 AND b//8=3) OR ((b%8)+1=7 AND b//8=4) OR ((b%8)+1=2 AND b//8=5)))
+             |                   OR (doc_id%4=3 AND (((b%8)+1=1 AND b//8=1) OR ((b%8)+1=3 AND b//8=2) OR ((b%8)+1=5 AND b//8=3) OR ((b%8)+1=7 AND b//8=4)))
+             |                 THEN 120 ELSE 0 END) % 251
+             |        >
+             |        (((doc_id//4)+1)*((b%8)*(b%8)*13+(b//8)*(b//8)*29+(b%8)*(b//8)*31+1)
+             |          + CASE WHEN (doc_id%4=2 AND ((b%8=1 AND b//8=1) OR (b%8=3 AND b//8=2) OR (b%8=5 AND b//8=3) OR (b%8=7 AND b//8=4) OR (b%8=2 AND b//8=5)))
+             |                   OR (doc_id%4=3 AND ((b%8=1 AND b//8=1) OR (b%8=3 AND b//8=2) OR (b%8=5 AND b//8=3) OR (b%8=7 AND b//8=4)))
+             |                 THEN 120 ELSE 0 END) % 251
+             |      THEN '1' ELSE '0' END
+             |      FOR b IN range(63, -1, -1)], '') AS bs
+             |  FROM documents WHERE doc_id < 500),
+             |keep AS (SELECT doc_id, bs FROM bits WHERE doc_id % 4 = 0),
+             |batch AS (SELECT doc_id, bs FROM bits WHERE doc_id % 4 <> 0),
+             |exact AS (
+             |  SELECT doc_id, bs FROM (
+             |    SELECT doc_id, bs,
+             |           row_number() OVER (PARTITION BY bs ORDER BY doc_id) AS rn
+             |    FROM batch) WHERE rn = 1),
+             |edges AS (
+             |  SELECT a.doc_id AS ea, b.doc_id AS eb
+             |  FROM exact a JOIN exact b ON a.doc_id <> b.doc_id
+             |  WHERE len([i FOR i IN range(1, 65) IF a.bs[i:i] != b.bs[i:i]]) <= 3),
+             |reach(id, r) AS (
+             |  SELECT doc_id, doc_id FROM exact
+             |  UNION
+             |  SELECT e.eb, reach.r FROM reach JOIN edges e ON e.ea = reach.id),
+             |canon AS (
+             |  SELECT id AS doc_id FROM (SELECT id, min(r) AS mr FROM reach GROUP BY id)
+             |  WHERE id = mr),
+             |gated AS (
+             |  SELECT DISTINCT x.doc_id
+             |  FROM exact x JOIN keep k
+             |    ON len([i FOR i IN range(1, 65) IF x.bs[i:i] != k.bs[i:i]]) <= 3),
+             |novel AS (
+             |  SELECT e.doc_id, e.bs FROM exact e JOIN canon c USING (doc_id)
+             |  WHERE e.doc_id NOT IN (SELECT doc_id FROM gated))
+             |SELECT doc_id, bs AS dhash_bits FROM novel ORDER BY doc_id""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -3415,7 +3503,7 @@ object SparkEntry {
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
       q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
-      q97)
+      q97, q98)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.
