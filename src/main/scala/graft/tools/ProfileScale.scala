@@ -573,6 +573,50 @@ object ProfileScale {
           f"ivf_bytes=${dirBytes(s"$dir/ivf")} pq_bytes=${dirBytes(s"$dir/ivfpq")} " +
           f"ivf_probe=$ivfCold%.1f/$ivfWarm%.1f pq_probe=$pqCold%.1f/$pqWarm%.1f")
       }
+      if (only.forall(_ == "media")) {
+        // The T71 claim: one curateFingerprinted turn costs O(batch)
+        // however large the kept corpus — fingerprint exact dedup and
+        // the batch-local self-probe touch only the batch; the
+        // cross-corpus gate is the flat Hamming probe (stored-row
+        // entry scan, no decode); append writes only batch rows.
+        // Fingerprints are synthetic longs (decode happened at ingest
+        // — the dHash production shape); kept scales with f, the
+        // incoming batch is FIXED: half its groups shadow kept hashes
+        // (gated), half are novel (survive), with in-group near-dup
+        // structure so CC canonicalize does real work every turn.
+        def hashOf(i: Long): Long =
+          ((i / 4) * 0x0101010101010101L) ^ (i % 4)
+        val s = root.newSession()
+        val keptN = 50000L * f
+        val kept = s.range(keptN).select(col("id"),
+          udf(hashOf _).apply(col("id")).as("fp"))
+        val dir = java.nio.file.Files.createTempDirectory("media_profile").toString
+        val tb0 = System.nanoTime()
+        val built = graft.operators.HammingIndex.build(kept, "id", "fp")
+        built.write.mode("overwrite").parquet(s"$dir/index")
+        val buildSecs = (System.nanoTime() - tb0) / 1e9
+        built.unpersist()
+        val index = s.read.parquet(s"$dir/index")
+        // ids 2M+: groups with (id/4) % 2 == 0 reuse a kept group's
+        // hash base (always < keptN/4 at every f), the rest are novel
+        val incoming = s.range(2000000L, 2002000L).select(col("id"),
+          udf(hashOf _).apply(
+            when((col("id") / 4) % 2 === 0, col("id") % 40000L)
+              .otherwise(col("id"))).as("fp"))
+        def turnOnce(): (Long, Double) = {
+          val t = System.nanoTime()
+          val r = graft.operators.Curation.curateFingerprinted(
+            index, incoming, "id", "fp", maxDistance = 1)
+          val n = r.curated.count()
+          val secs = (System.nanoTime() - t) / 1e9
+          r.unpersist(); s.catalog.clearCache(); System.gc()
+          (n, secs)
+        }
+        val (nCur, turnCold) = turnOnce()
+        val (_, turnWarm) = turnOnce()
+        println(f"PROFILE media factor=$f kept=$keptN curated=$nCur " +
+          f"build=$buildSecs%.1f turn_cold=$turnCold%.1f turn_warm=$turnWarm%.1f")
+      }
       if (only.forall(_ == "ivf")) {
         // The IvfIndex claim (T35): indexed corpus scales with f, query
         // batch FIXED. The one-shot operator re-runs cell assignment (a
