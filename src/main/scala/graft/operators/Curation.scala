@@ -293,6 +293,16 @@ object Curation {
     require(maxDistance >= 0 && maxDistance < m.segments,
       s"index blocks on ${m.segments} segments: maxDistance must be < ${m.segments}, " +
         s"got $maxDistance")
+    // the within-batch canonicalize ([[ConnectedComponents]]) elects by
+    // least LONG id — fail typed here rather than as an ANSI cast error
+    // three stages in
+    locally {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val idType = incoming.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+        s"idCol '$idCol' must be an integral type (the least-id canonicalize " +
+          s"election), got $idType — map ids to longs upstream")
+    }
 
     // 1: decodable rows only
     val decoded = incoming.filter(col(fpCol).isNotNull)

@@ -134,6 +134,45 @@ class MediaCurationSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("degenerate turns: empty batch, all-duplicate batch, all-undecodable batch") {
+    val index = HammingIndex.build(
+      graft.multimodal.Multimodal.imageDHash(keptImages, "content"), "id", "dhash")
+    val n0 = HammingIndex.readMeta(index).nDocs
+
+    // empty batch: nothing curated, the artifact does not grow
+    val empty = Seq.empty[(Long, Array[Byte])].toDF("id", "content")
+    val r1 = Curation.curateMedia(index, empty, "id", "content", "image")
+    assert(r1.curated.isEmpty)
+    assert(HammingIndex.readMeta(r1.kept).nDocs == n0)
+    r1.unpersist()
+
+    // batch entirely shadowed by the kept corpus: same outcome
+    val dups = Seq((10L, rising), (11L, flat)).toDF("id", "content")
+    val r2 = Curation.curateMedia(index, dups, "id", "content", "image")
+    assert(r2.curated.isEmpty)
+    assert(HammingIndex.readMeta(r2.kept).nDocs == n0)
+    r2.unpersist()
+
+    // batch of undecodable payloads: dropped at the fingerprint stage
+    val junk = Seq((20L, "xx".getBytes), (21L, Array.emptyByteArray))
+      .toDF("id", "content")
+    val r3 = Curation.curateMedia(index, junk, "id", "content", "image")
+    assert(r3.curated.isEmpty)
+    assert(HammingIndex.readMeta(r3.kept).nDocs == n0)
+    r3.unpersist()
+  }
+
+  test("string ids fail typed at entry (the canonicalize election is least-LONG-id)") {
+    val kept = Seq(("a", rising), ("b", flat)).toDF("name", "content")
+    val index = HammingIndex.build(
+      graft.multimodal.Multimodal.imageDHash(kept, "content"), "name", "dhash")
+    val batch = Seq(("x1", step)).toDF("name", "content")
+    val e = intercept[IllegalArgumentException] {
+      Curation.curateMedia(index, batch, "name", "content", "image")
+    }
+    assert(e.getMessage.contains("integral type"))
+  }
+
   test("typed errors: unknown mediaType; maxDistance outside the blocking guarantee") {
     val index = HammingIndex.build(
       graft.multimodal.Multimodal.imageDHash(keptImages, "content"), "id", "dhash")
