@@ -3495,6 +3495,77 @@ object SparkEntry {
              |  WHERE e.doc_id NOT IN (SELECT doc_id FROM gated))
              |SELECT doc_id, bs AS dhash_bits FROM novel ORDER BY doc_id""".stripMargin))
 
+    /** Semantic decontamination
+      * ([[operators.Contamination.embeddingContamination]], r10): per
+      * training vector, max cosine against the benchmark embedding set
+      * (vec_id % 97), flagged at 0.25. FULL oracle: the q26 cosine
+      * association (index-ordered list_reduce dots) under a per-row
+      * max — order-independent, so the float replays bit-for-bit.
+      */
+    private val q99 = Q(
+      "q99_embedding_contamination",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        operators.Contamination.embeddingContamination(
+            e.filter($"vec_id" % 97 =!= 0), e.filter($"vec_id" % 97 === 0),
+            "vec_id", "embedding", threshold = 0.25)
+          .select($"vec_id", round($"max_cos", 6).as("max_cos"), $"contaminated")
+          .orderBy("vec_id")
+      },
+      Some("""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+             |           FROM embeddings),
+             |b AS (SELECT vec FROM v WHERE vec_id % 97 = 0),
+             |t AS (SELECT vec_id, vec FROM v WHERE vec_id % 97 <> 0),
+             |scored AS (
+             |  SELECT t.vec_id,
+             |    max(list_reduce(list_prepend(0.0, list_transform(list_zip(t.vec, b.vec), x -> x[1] * x[2])), (a, c) -> a + c)
+             |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(t.vec, x -> x * x)), (a, c) -> a + c))
+             |       * sqrt(list_reduce(list_prepend(0.0, list_transform(b.vec, x -> x * x)), (a, c) -> a + c)))) AS max_cos
+             |  FROM t, b GROUP BY t.vec_id)
+             |SELECT vec_id, round(max_cos, 6) AS max_cos,
+             |  CASE WHEN max_cos >= CAST(0.25 AS DOUBLE) THEN 1 ELSE 0 END AS contaminated
+             |FROM scored ORDER BY vec_id""".stripMargin))
+
+    /** CCNet-style score-bucket sampling
+      * ([[operators.Sampling.sampleByScoreBuckets]], r10): quality
+      * score (the q20 kernel) cut at (0.5, 0.8) into head/middle/tail
+      * buckets kept at (0.1, 0.5, 1.0) by the family md5 hash rule.
+      * FULL oracle: the q20 quality replay + the q52 hash threshold
+      * as one CASE over the score.
+      */
+    private val q100 = Q(
+      "q100_score_bucket_sample",
+      (s, dir) => Sampling.sampleByScoreBuckets(
+          t(s, dir, "documents")
+            .select($"doc_id", TextAnalysis.qualityScore($"text").as("quality")),
+          "doc_id", "quality", cuts = Seq(0.5, 0.8), rates = Seq(0.1, 0.5, 1.0))
+        .select($"doc_id", $"quality") // raw double — bit-identical replay (q20)
+        .orderBy("doc_id"),
+      Some {
+        val allStops = TextAnalysis.stopwords.flatMap(_._2).distinct
+          .map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH scored AS (
+           |  SELECT doc_id,
+           |    CASE WHEN text IS NULL OR len(toks) = 0 THEN 0.0
+           |         ELSE 0.5 * least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
+           |            + 0.3 * least(CAST(len(list_intersect(list_distinct(toks), $allStops)) AS DOUBLE) / 4.0, 1.0)
+           |            + 0.2 * (1.0 - CASE WHEN len(toks) > 0
+           |                THEN least(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+           |                           / CAST(len(toks) AS DOUBLE), 1.0)
+           |                ELSE 1.0 END)
+           |    END AS quality
+           |  FROM (SELECT doc_id, text,
+           |          CASE WHEN text IS NULL OR trim(text) = '' THEN []
+           |               ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+           |        FROM documents))
+           |SELECT doc_id, quality FROM scored
+           |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 <
+           |  CASE WHEN quality < CAST(0.5 AS DOUBLE) THEN 1000
+           |       WHEN quality < CAST(0.8 AS DOUBLE) THEN 5000
+           |       ELSE 10000 END
+           |ORDER BY doc_id""".stripMargin
+      })
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -3503,7 +3574,7 @@ object SparkEntry {
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
       q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
-      q97, q98)
+      q97, q98, q99, q100)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

@@ -60,4 +60,81 @@ object Contamination {
           col("overlap_ngrams").cast("double") / col("total_ngrams").cast("double"))
           .otherwise(lit(0.0)).as("contamination"))
   }
+
+  /** SEMANTIC decontamination — the n-gram test's embedding-space twin
+    * (the Phi/LLaMA-3 style): a training doc is contaminated when its
+    * embedding lies within cosine `threshold` of ANY benchmark
+    * embedding, catching the paraphrases and translations that share
+    * no 13-gram with the eval set.
+    *
+    * Scale shape: the benchmark set is SMALL BY DEFINITION (eval
+    * suites are thousands of rows, bounded by `maxBenchVectors` with a
+    * typed error) — its vectors collect once to the driver and ride
+    * the task closure exactly like [[QualityClassifier]]'s weight
+    * vector, so scoring is a zero-join, zero-shuffle per-row max-fold
+    * on the corpus scan. Per-row cost is |bench| dot products — the
+    * honest brute-force bill; a benchmark too large for that belongs
+    * in an [[IvfIndex]] probe, not here.
+    *
+    * Dot products accumulate in index order and the max is
+    * order-independent, so an external engine replays `max_cos`
+    * bit-for-bit (the q26 association discipline). Null/empty train
+    * embeddings cannot match: `max_cos` null, `contaminated` 0.
+    *
+    * @return one row per `train` doc: idCol, `max_cos`,
+    *         `contaminated` (1 when max_cos >= threshold).
+    */
+  def embeddingContamination(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxBenchVectors: Int = 100000): DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"threshold must be a cosine in [-1,1]: $threshold")
+    val benchVecs: Array[Array[Double]] = bench
+      .select(Similarity.asDouble(col(vecCol)).as("__v"))
+      .filter(col("__v").isNotNull && size(col("__v")) > 0)
+      .limit(maxBenchVectors + 1)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(benchVecs.length <= maxBenchVectors,
+      s"benchmark side exceeds $maxBenchVectors vectors — a benchmark this " +
+        "large should be served by an IvfIndex probe, not a broadcast fold")
+    val benchNorms: Array[Double] = benchVecs.map { b =>
+      var s = 0.0; var i = 0
+      while (i < b.length) { s += b(i) * b(i); i += 1 }
+      math.sqrt(s)
+    }
+    val maxCosUdf = udf((v: Array[Double]) => {
+      if (v == null || v.isEmpty) null.asInstanceOf[java.lang.Double]
+      else {
+        var vn = 0.0
+        var i = 0
+        while (i < v.length) { vn += v(i) * v(i); i += 1 }
+        val nv = math.sqrt(vn)
+        var best = Double.NegativeInfinity
+        var j = 0
+        while (j < benchVecs.length) {
+          val b = benchVecs(j)
+          if (b.length == v.length) {
+            var ip = 0.0
+            var k = 0
+            while (k < b.length) { ip += v(k) * b(k); k += 1 }
+            val denom = nv * benchNorms(j)
+            val c = if (denom > 0) ip / denom else 0.0
+            if (c > best) best = c
+          }
+          j += 1
+        }
+        if (best == Double.NegativeInfinity) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(best)
+      }
+    })
+    train
+      .select(col(idCol), maxCosUdf(Similarity.asDouble(col(vecCol))).as("max_cos"))
+      .withColumn("contaminated",
+        when(col("max_cos").isNotNull && col("max_cos") >= threshold, lit(1))
+          .otherwise(lit(0)))
+  }
 }

@@ -59,6 +59,43 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < threshold)
   }
 
+  /** CCNet-style score-bucket sampling: explicit `cuts` partition the
+    * score axis into `cuts.length + 1` buckets (bucket i keeps rows
+    * with `score < cuts(i)` and `>= cuts(i-1)`; the last bucket is
+    * `>= cuts.last`), and each bucket keeps its own deterministic
+    * hash fraction `rates(bucket)` — the head/middle/tail perplexity
+    * split (keep the fluent head, thin the middle, drop the tail)
+    * with the cut points FROZEN AS CONFIG: production computes them
+    * once on a sample and replays them everywhere, so the rule is
+    * layout-, retry- and engine-stable exactly like
+    * [[stratifiedSample]] (whose hash rule this shares — an id keeps
+    * its fate when a bucket's rate matches a stratum's).
+    *
+    * Evaluates as one codegen'd CASE over the score plus the
+    * [[hashBucket]] filter — no join, no shuffle, sits on the scan.
+    * Null scores and null ids are dropped (no bucket, no hash).
+    */
+  def sampleByScoreBuckets(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      cuts: Seq[Double],
+      rates: Seq[Double]): DataFrame = {
+    require(cuts.nonEmpty, "cuts must be non-empty")
+    require(cuts.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+      s"cuts must be strictly ascending: $cuts")
+    require(rates.length == cuts.length + 1,
+      s"${cuts.length} cuts define ${cuts.length + 1} buckets, got ${rates.length} rates")
+    rates.foreach(r => require(r >= 0 && r <= 1, s"rate must be in [0,1]: $r"))
+    val sc = col(scoreCol).cast("double")
+    val threshold = cuts.zipWithIndex.foldLeft(null: Column) {
+      case (acc, (cut, i)) =>
+        val branch = lit(math.round(rates(i) * Buckets))
+        if (acc == null) when(sc < cut, branch) else acc.when(sc < cut, branch)
+    }.otherwise(lit(math.round(rates.last * Buckets)))
+    df.filter(sc.isNotNull && hashBucket(col(idCol)) < threshold)
+  }
+
   /** Down-sample to target domain PROPORTIONS (the DoReMi-style
     * training-mix step): keep the largest corpus whose domain mix
     * matches `weights`, never up-sampling. Weights are relative (scale

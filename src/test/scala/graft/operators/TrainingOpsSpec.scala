@@ -774,12 +774,97 @@ class ContaminationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("embeddingContamination: planted benchmark copy flags, far vectors pass, nulls cannot match") {
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val benchV = vec()
+    val bench = Seq((100L, benchV), (101L, vec())).toDF("vec_id", "embedding")
+    val scaled = benchV.map(v => v * 3.0f) // same direction, different norm
+    val train = Seq(
+      (1L, benchV),                // exact copy -> cos 1
+      (2L, scaled),                // scaled copy -> cos 1 (cosine is norm-free)
+      (3L, benchV.map(-_)),        // antipode -> cos -1 vs copy; vs other bench ~0
+      (4L, null.asInstanceOf[Array[Float]]),
+      (5L, Array.empty[Float]))
+      .toDF("vec_id", "embedding")
+    val got = Contamination
+      .embeddingContamination(train, bench, "vec_id", "embedding", threshold = 0.95)
+      .orderBy("vec_id")
+      .as[(Long, Option[Double], Int)].collect().toSeq
+    assert(got(0)._2.exists(c => math.abs(c - 1.0) < 1e-12) && got(0)._3 == 1)
+    assert(got(1)._2.exists(c => math.abs(c - 1.0) < 1e-6) && got(1)._3 == 1)
+    assert(got(2)._2.exists(_ < 0.95) && got(2)._3 == 0)
+    assert(got(3)._2.isEmpty && got(3)._3 == 0)
+    assert(got(4)._2.isEmpty && got(4)._3 == 0)
+  }
+
+  test("embeddingContamination max_cos == bruteForceTopK top-1 against the bench corpus") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bench = e.filter($"vec_id" % 97 === 0)
+    val train = e.filter($"vec_id" % 97 =!= 0 && $"vec_id" < 100)
+    val got = Contamination
+      .embeddingContamination(train, bench, "vec_id", "embedding", threshold = 0.25)
+      .select($"vec_id", $"max_cos").as[(Long, Double)].collect().toMap
+    val top1 = Similarity.bruteForceTopK(bench, train, "vec_id", "embedding", k = 1)
+      .select($"query_id", $"sim").as[(Long, Double)].collect().toMap
+    assert(got.keySet == top1.keySet && got.nonEmpty)
+    got.foreach { case (id, c) => assert(math.abs(c - top1(id)) < 1e-12, s"id $id") }
+  }
+
+  test("embeddingContamination: oversized benchmark fails typed; dim-mismatched bench vectors are skipped") {
+    val bench = (0L until 5L).map(i => (i, Array.fill(8)(i.toFloat + 1))).toDF("vec_id", "embedding")
+    val train = Seq((10L, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Contamination.embeddingContamination(train, bench, "vec_id", "embedding",
+        threshold = 0.5, maxBenchVectors = 4)
+    }
+    assert(e1.getMessage.contains("IvfIndex"))
+    // a bench vector of the wrong dimensionality contributes nothing
+    val mixedBench = Seq((0L, Array.fill(8)(1.0f)), (1L, Array.fill(4)(9.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Contamination
+      .embeddingContamination(train, mixedBench, "vec_id", "embedding", threshold = 0.5)
+      .as[(Long, Option[Double], Int)].head()
+    assert(got._2.exists(c => math.abs(c - 1.0) < 1e-12) && got._3 == 1)
+  }
 }
 
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
 
   private def ids = (0L until 20000L).toDF("id")
+
+  test("sampleByScoreBuckets: boundary convention, endpoint rates, hash-rule consistency, typed errors") {
+    // score = id/10000 in [0, 2): cuts (0.5, 1.0) split ids into
+    // [0,5000) / [5000,10000) / [10000,20000)
+    val scored = ids.select($"id", ($"id" / lit(10000.0)).as("s"))
+    val kept = Sampling.sampleByScoreBuckets(
+        scored, "id", "s", cuts = Seq(0.5, 1.0), rates = Seq(0.0, 0.5, 1.0))
+      .select($"id").as[Long].collect().toSet
+    // rate-0 bucket contributes nothing; rate-1 bucket keeps everything
+    assert(!kept.exists(_ < 5000L))
+    assert((10000L until 20000L).forall(kept))
+    // boundary: score == cut belongs to the UPPER bucket — id 5000
+    // (s exactly 0.5) is sampled at 0.5, id 10000 (s exactly 1.0) kept
+    assert(kept(10000L))
+    // the middle bucket IS hashSample(0.5) on its slice — one family rule
+    val mid = Sampling.hashSample(
+        ids.filter($"id" >= 5000L && $"id" < 10000L), "id", 0.5)
+      .as[Long].collect().toSet
+    assert(kept.filter(i => i >= 5000L && i < 10000L) == mid)
+    // null scores are dropped
+    val withNull = Seq((1L, Some(1.5)), (2L, None)).toDF("id", "s")
+    assert(Sampling.sampleByScoreBuckets(withNull, "id", "s",
+      Seq(0.5), Seq(1.0, 1.0)).select($"id").as[Long].collect().toSeq == Seq(1L))
+    // typed errors
+    assert(intercept[IllegalArgumentException](Sampling.sampleByScoreBuckets(
+      scored, "id", "s", Seq(1.0, 0.5), Seq(0.1, 0.2, 0.3))).getMessage.contains("ascending"))
+    assert(intercept[IllegalArgumentException](Sampling.sampleByScoreBuckets(
+      scored, "id", "s", Seq(0.5), Seq(0.1))).getMessage.contains("buckets"))
+    assert(intercept[IllegalArgumentException](Sampling.sampleByScoreBuckets(
+      scored, "id", "s", Seq(0.5), Seq(0.1, 1.5))).getMessage.contains("[0,1]"))
+  }
 
   test("assignSplit: disjoint cover, layout-independent membership, subset-consistent with hashSample") {
     val split = Sampling.assignSplit(ids, "id", 0.8, 0.1)
