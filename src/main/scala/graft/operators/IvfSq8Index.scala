@@ -220,4 +220,61 @@ object IvfSq8Index {
     IvfIndex.CellOccupancy(nDocs, m.nCentroids, occ.size, maxCell, mean,
       if (mean > 0) maxCell / mean else 0.0, occ.take(topK))
   }
+
+  /** The monitor-then-remedy loop for the IVF-SQ8 family (r10 —
+    * completing the remedy symmetry: IVF refits from stored vectors,
+    * IVF-PQ takes a typed rebuild-from-corpus recipe, this one sits in
+    * between). Unlike PQ residuals, SQ8 codes RECONSTRUCT their vector
+    * within `(hi - lo) / 255` per dimension, so the artifact heals
+    * from ITSELF: reconstruct every stored code, fit a fresh seeded
+    * k-means over the reconstructions, and REASSIGN cells. The codes
+    * never change — quantization fidelity is not the drifting
+    * statistic, only the coarse partitioner is — so every ADC score
+    * is bit-identical before and after; the refit moves only the
+    * pruning geometry. Null-cell rows and `nDocs` are preserved.
+    * Below `maxSkew` the index comes back untouched; the returned
+    * report is the evidence either way.
+    */
+  def refitIfSkewed(
+      index: DataFrame,
+      maxSkew: Double = 8.0,
+      seed: Long = 42L): (DataFrame, IvfIndex.CellOccupancy) = {
+    require(maxSkew >= 1.0, s"maxSkew below 1 would always fire; got $maxSkew")
+    val report = occupancyReport(index)
+    if (report.skew <= maxSkew) (index, report)
+    else {
+      val (m, _, lo, hi) = readMeta(index)
+      val idCol = index.columns.head
+      val reconUdf = udf((code: Array[Byte]) => {
+        val v = new Array[Double](lo.length)
+        var i = 0
+        while (i < lo.length) {
+          v(i) = lo(i) + (code(i) & 0xff) * (hi(i) - lo(i)) / 255.0
+          i += 1
+        }
+        v
+      })
+      val recon = index.filter(col("cell") >= 0)
+        .select(col(idCol), reconUdf(col("sq_code")).as("__v"), col("sq_code"))
+        .persist()
+      val ctrs = IvfIndex.fitCentroids(recon, "__v", m.nCentroids, seed)
+        .map(_.toArray).toArray
+      val assignUdf = udf((v: Array[Double]) => Similarity.nearestCells(ctrs, v, 1)(0))
+      val docs = recon.select(col(idCol),
+        assignUdf(col("__v")).as("cell"),
+        col("sq_code"),
+        lit(null).cast("array<array<double>>").as("ctrs"),
+        lit(null).cast("array<double>").as("los"),
+        lit(null).cast("array<double>").as("his"),
+        lit(null).cast("string").as("params"))
+      val rebuilt = metaRow(index.sparkSession, idCol, index.schema(idCol).dataType,
+          m, ctrs.map(_.toSeq).toSeq, lo.toSeq, hi.toSeq)
+        .unionAll(docs.select(index.columns.map(col): _*))
+        .unionAll(index.filter(col("cell") === NullCell))
+        .persist()
+      rebuilt.count()
+      recon.unpersist()
+      (rebuilt, report)
+    }
+  }
 }

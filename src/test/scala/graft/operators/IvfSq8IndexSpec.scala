@@ -99,4 +99,46 @@ class IvfSq8IndexSpec extends SparkSpec {
     }.getMessage.contains("calibration"))
     index.unpersist()
   }
+
+  test("refitIfSkewed: no-op when balanced; self-heals from reconstructions when drifted; scores untouched") {
+    val rnd = new scala.util.Random(17)
+    def around(cx: Double, cy: Double, s: Double) =
+      Array(cx + rnd.nextGaussian() * s, cy + rnd.nextGaussian() * s)
+    val ctrs = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0), Seq(0.0, -1.0))
+    // calibration wide enough for both the balanced ring and the drift
+    val (lo, hi) = (Seq(-2.0, -2.0), Seq(12.0, 12.0))
+
+    val balanced = (0 until 60).map { i =>
+      val c = ctrs(i % 4)
+      (i.toLong, around(c.head, c(1), 0.05))
+    }.toDF("vec_id", "embedding")
+    val ok = IvfSq8Index.build(balanced, "vec_id", "embedding", ctrs, lo, hi)
+    val (same, quiet) = IvfSq8Index.refitIfSkewed(ok, maxSkew = 3.0)
+    assert((same eq ok) && quiet.skew <= 3.0)
+
+    // a later epoch living far from every frozen centroid: everything
+    // piles into one cell
+    val drifted = (100 until 160).map(i =>
+      (i.toLong, around(10.0, 3.0, 0.3))).toDF("vec_id", "embedding")
+    val bad = IvfSq8Index.append(ok, drifted, "vec_id", "embedding")
+    val before = IvfSq8Index.occupancyReport(bad)
+    assert(before.skew > 2.0)
+    val (fresh, fired) = IvfSq8Index.refitIfSkewed(bad, maxSkew = 2.0)
+    assert(fired.skew == before.skew)
+    val healed = IvfSq8Index.occupancyReport(fresh)
+    assert(healed.skew <= 2.0 && healed.nonEmptyCells > 1, s"refit must rebalance: $healed")
+    // self-healed: same calibration, same doc count, fresh centroids
+    val (m2, ctrs2, lo2, hi2) = IvfSq8Index.readMeta(fresh)
+    assert(m2.nDocs == 120L && lo2.toSeq == lo && hi2.toSeq == hi)
+    assert(ctrs2.length == 4)
+    // codes never changed: full-probe ADC ranks are bit-identical
+    val qs = balanced.filter($"vec_id" < 3)
+      .unionByName(drifted.filter($"vec_id" < 103))
+    val beforeTop = topkSet(IvfSq8Index.topKAgainst(bad, qs, "vec_id", "embedding",
+      k = 5, nProbe = 4))
+    val afterTop = topkSet(IvfSq8Index.topKAgainst(fresh, qs, "vec_id", "embedding",
+      k = 5, nProbe = 4))
+    assert(beforeTop == afterTop && beforeTop.nonEmpty)
+    ok.unpersist(); bad.unpersist(); fresh.unpersist()
+  }
 }
