@@ -84,15 +84,16 @@ object Contamination {
     * @return one row per `train` doc: idCol, `max_cos`,
     *         `contaminated` (1 when max_cos >= threshold).
     */
-  def embeddingContamination(
-      train: DataFrame,
+  /** Benchmark embedding set, collected driver-side under the
+    * closure-broadcast contract (eval suites are model-sized; typed
+    * error past `maxBenchVectors`). Shared with the streaming gate
+    * ([[graft.streaming.DecontaminationGate]]) so both forms fold
+    * against one artifact shape.
+    */
+  def benchEmbeddingSet(
       bench: DataFrame,
-      idCol: String,
       vecCol: String,
-      threshold: Double,
-      maxBenchVectors: Int = 100000): DataFrame = {
-    require(threshold >= -1.0 && threshold <= 1.0,
-      s"threshold must be a cosine in [-1,1]: $threshold")
+      maxBenchVectors: Int = 100000): Array[Array[Double]] = {
     val benchVecs: Array[Array[Double]] = bench
       .select(Similarity.asDouble(col(vecCol)).as("__v"))
       .filter(col("__v").isNotNull && size(col("__v")) > 0)
@@ -101,12 +102,22 @@ object Contamination {
     require(benchVecs.length <= maxBenchVectors,
       s"benchmark side exceeds $maxBenchVectors vectors — a benchmark this " +
         "large should be served by an IvfIndex probe, not a broadcast fold")
+    benchVecs
+  }
+
+  /** The shared max-cosine kernel: one pass per row, dots accumulated
+    * in index order, max order-independent (externally replayable).
+    * Dim-mismatched bench vectors contribute nothing; null/empty input
+    * folds to null.
+    */
+  private[graft] def maxCosUdf(benchVecs: Array[Array[Double]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val benchNorms: Array[Double] = benchVecs.map { b =>
       var s = 0.0; var i = 0
       while (i < b.length) { s += b(i) * b(i); i += 1 }
       math.sqrt(s)
     }
-    val maxCosUdf = udf((v: Array[Double]) => {
+    udf((v: Array[Double]) => {
       if (v == null || v.isEmpty) null.asInstanceOf[java.lang.Double]
       else {
         var vn = 0.0
@@ -131,8 +142,20 @@ object Contamination {
         else java.lang.Double.valueOf(best)
       }
     })
+  }
+
+  def embeddingContamination(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxBenchVectors: Int = 100000): DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"threshold must be a cosine in [-1,1]: $threshold")
+    val fold = maxCosUdf(benchEmbeddingSet(bench, vecCol, maxBenchVectors))
     train
-      .select(col(idCol), maxCosUdf(Similarity.asDouble(col(vecCol))).as("max_cos"))
+      .select(col(idCol), fold(Similarity.asDouble(col(vecCol))).as("max_cos"))
       .withColumn("contaminated",
         when(col("max_cos").isNotNull && col("max_cos") >= threshold, lit(1))
           .otherwise(lit(0)))

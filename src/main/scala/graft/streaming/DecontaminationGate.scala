@@ -81,4 +81,43 @@ object DecontaminationGate {
     withStats(df, textCol, n, benchGrams)
       .filter(col("contamination") <= maxContamination)
       .select(df.columns.map(col): _*)
+
+  // ---- Semantic (embedding-space) twin (r10) -------------------------
+  // [[graft.operators.Contamination.embeddingContamination]] is already
+  // a stateless per-row max-fold over closure-broadcast bench vectors,
+  // so the streaming form is the same projection — no foreachBatch, no
+  // state store, no watermark; the benchmark embedding artifact changes
+  // by release, never by micro-batch. Collect it once with
+  // [[graft.operators.Contamination.benchEmbeddingSet]].
+
+  /** All input columns plus `max_cos` and `contaminated` — the batch
+    * operator's exact output pair, batch- and stream-safe.
+    */
+  def withMaxCos(
+      df: DataFrame,
+      vecCol: String,
+      benchVecs: Array[Array[Double]],
+      threshold: Double): DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"threshold must be a cosine in [-1,1]: $threshold")
+    val fold = graft.operators.Contamination.maxCosUdf(benchVecs)
+    df.withColumn("max_cos",
+        fold(graft.operators.Similarity.asDouble(col(vecCol))))
+      .withColumn("contaminated",
+        when(col("max_cos").isNotNull && col("max_cos") >= threshold, lit(1))
+          .otherwise(lit(0)))
+  }
+
+  /** Rows whose embedding stays semantically clear of the benchmark
+    * set (`max_cos < threshold`; null embeddings cannot match and
+    * pass), original columns preserved.
+    */
+  def decontaminateEmbeddings(
+      df: DataFrame,
+      vecCol: String,
+      benchVecs: Array[Array[Double]],
+      threshold: Double): DataFrame =
+    withMaxCos(df, vecCol, benchVecs, threshold)
+      .filter(col("contaminated") === 0)
+      .select(df.columns.map(col): _*)
 }

@@ -67,4 +67,44 @@ class DecontaminationGateSpec extends SparkSpec {
     assert(kept.columns.toSeq == train.columns.toSeq)
     assert(kept.select("doc_id").as[Long].collect().toSet == Set(2L, 3L, 4L))
   }
+
+  test("semantic twin: withMaxCos == batch embeddingContamination per vector, under a file stream too") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bench = emb.filter($"vec_id" % 97 === 0)
+    val train = emb.filter($"vec_id" % 97 =!= 0)
+    val vecs = Contamination.benchEmbeddingSet(bench, "embedding")
+
+    val batchGate = DecontaminationGate.withMaxCos(train, "embedding", vecs, threshold = 0.25)
+      .select($"vec_id", round($"max_cos", 9), $"contaminated")
+      .as[(Long, Double, Int)].collect().toSet
+    val batchOp = Contamination
+      .embeddingContamination(train, bench, "vec_id", "embedding", threshold = 0.25)
+      .select($"vec_id", round($"max_cos", 9), $"contaminated")
+      .as[(Long, Double, Int)].collect().toSet
+    assert(batchGate == batchOp && batchGate.nonEmpty)
+    assert(batchGate.exists(_._3 == 1) && batchGate.exists(_._3 == 0))
+
+    val dir = java.nio.file.Files.createTempDirectory("decon_emb_gate").toString
+    (0 to 1).foreach { k =>
+      train.filter($"vec_id" % 2 === k).coalesce(1)
+        .write.parquet(s"$dir/in/b$k.parquet")
+    }
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*/")
+    val q = DecontaminationGate.withMaxCos(stream, "embedding", vecs, threshold = 0.25)
+      .writeStream.outputMode("append").format("memory").queryName("decon_emb_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
+    val streamed = spark.table("decon_emb_out")
+      .select($"vec_id", round($"max_cos", 9), $"contaminated")
+      .as[(Long, Double, Int)].collect().toSet
+    assert(streamed == batchGate)
+
+    // the filter form keeps clear vectors only, columns preserved
+    val kept = DecontaminationGate.decontaminateEmbeddings(
+      train, "embedding", vecs, threshold = 0.25)
+    assert(kept.columns.toSeq == train.columns.toSeq)
+    val clear = batchGate.filter(_._3 == 0).map(_._1)
+    assert(kept.select("vec_id").as[Long].collect().toSet == clear)
+  }
 }
