@@ -274,4 +274,73 @@ object HammingIndex {
     compact(metaRow.select(head.columns.map(col): _*)
       .unionAll(indexes.map(_.filter(col("seg") =!= MetaSeg)).reduce(_ unionAll _)), idCol)
   }
+
+  /** Cap-drift monitor (r10 — the [[SimHashIndex.capDriftReport]] twin
+    * for the generic family, whose report type it reuses): [[append]]
+    * stores batch-local bucket counts, so a bucket grown past the
+    * frozen cap ACROSS appends still claims under-cap per row and the
+    * probe keeps verifying it in full — the one statistic of this
+    * artifact that drifts. One read-only groupBy over stored entry
+    * rows (no fingerprints recomputed); lists buckets whose TRUE size
+    * exceeds the cap while every stored row claims under-cap — exactly
+    * what [[compact]] repairs (recount, then drop past-cap buckets
+    * into `builtDroppedBuckets`).
+    */
+  def capDriftReport(
+      index: DataFrame, maxBuckets: Int = 100): SimHashIndex.CapDriftReport = {
+    require(maxBuckets >= 1, s"maxBuckets must be >= 1, got $maxBuckets")
+    val m = readMeta(index)
+    val drifted = index.filter(col("seg") >= 0)
+      .groupBy("seg", "value")
+      .agg(count(lit(1)).as("__true"), max(col("cnt")).as("__stored"))
+      .filter(col("__true") > m.maxBucketSize && col("__stored") <= m.maxBucketSize)
+      .orderBy(col("__true").desc, col("seg"), col("value"))
+      .limit(maxBuckets)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    SimHashIndex.CapDriftReport(m.nDocs, m.maxBucketSize, drifted.nonEmpty, drifted)
+  }
+
+  /** The monitor-then-repair loop as one call ([[SimHashIndex
+    * .compactIfDrifted]] shape): runs [[capDriftReport]], compacts iff
+    * it fires, returns the index untouched otherwise. The report is
+    * the evidence either way — log it.
+    */
+  def compactIfDrifted(
+      index: DataFrame, idCol: String): (DataFrame, SimHashIndex.CapDriftReport) = {
+    val report = capDriftReport(index)
+    if (!report.crossed) (index, report)
+    else (compact(index, idCol), report)
+  }
+
+  /** [[capDriftReport]] over SEVERAL generations WITHOUT materializing
+    * [[mergeMany]] — the monthly-artifact monitor ([[SimHashIndex
+    * .capDriftReportMany]] twin): one read-only groupBy over the
+    * unioned entry rows, surfacing buckets whose union-wide true size
+    * exceeds the shared frozen cap while every stored row still claims
+    * under-cap. Remedy when it fires: [[mergeMany]] (one artifact,
+    * recounted, past-cap buckets dropped into the carried
+    * `builtDroppedBuckets`).
+    */
+  def capDriftReportMany(
+      indexes: Seq[DataFrame], maxBuckets: Int = 100): SimHashIndex.CapDriftReport = {
+    require(indexes.nonEmpty, "need at least one index generation")
+    require(maxBuckets >= 1, s"maxBuckets must be >= 1, got $maxBuckets")
+    val metas = indexes.map(readMeta)
+    require(metas.forall(m => m.segments == metas.head.segments &&
+      m.maxBucketSize == metas.head.maxBucketSize),
+      "index generations disagree on build parameters (segments/cap) — " +
+        "rebuild with one recipe")
+    val m = metas.head
+    val drifted = indexes.map(_.filter(col("seg") >= 0)
+        .select(col("seg"), col("value"), col("cnt")))
+      .reduce(_ unionAll _)
+      .groupBy("seg", "value")
+      .agg(count(lit(1)).as("__true"), max(col("cnt")).as("__stored"))
+      .filter(col("__true") > m.maxBucketSize && col("__stored") <= m.maxBucketSize)
+      .orderBy(col("__true").desc, col("seg"), col("value"))
+      .limit(maxBuckets)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    SimHashIndex.CapDriftReport(metas.map(_.nDocs).sum, m.maxBucketSize,
+      drifted.nonEmpty, drifted)
+  }
 }

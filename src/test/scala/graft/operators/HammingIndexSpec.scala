@@ -147,4 +147,43 @@ class HammingIndexSpec extends SparkSpec {
     ix.unpersist(); compacted.unpersist(); again.unpersist()
     ix2.unpersist(); merged.unpersist()
   }
+
+  test("capDriftReport fires on cross-append bucket growth; compactIfDrifted repairs then silences") {
+    val H = 0x7777000012345678L
+    def docs(ids: Range) = ids.map(i => (i.toLong, H)).toDF("id", "h")
+    // 3 identical hashes at cap 3: built clean, no drift
+    val ix = HammingIndex.build(docs(0 until 3), "id", "h", maxBucketSize = 3)
+    val quiet = HammingIndex.capDriftReport(ix)
+    assert(!quiet.crossed && quiet.drifted.isEmpty)
+    // two more of the same hash: each stored row claims <= cap, the
+    // true bucket size is 5 on every segment
+    val grown = HammingIndex.append(ix, docs(10 until 12), "id", "h")
+    val report = HammingIndex.capDriftReport(grown)
+    assert(report.crossed && report.drifted.length == 4)
+    assert(report.drifted.forall { case (_, _, t, s) => t == 5L && s <= 3L })
+    // the loop: fires -> compact deletes the 4 over-cap buckets and
+    // records them; a second pass is a no-op on the same frame
+    val (repaired, fired) = HammingIndex.compactIfDrifted(grown, "id")
+    assert(fired.crossed)
+    assert(HammingIndex.readMeta(repaired).builtDroppedBuckets == 4L)
+    val (same, silent) = HammingIndex.compactIfDrifted(repaired, "id")
+    assert((same eq repaired) && !silent.crossed)
+    ix.unpersist(); grown.unpersist(); repaired.unpersist()
+  }
+
+  test("capDriftReportMany: per-generation quiet, union-wide fires; recipe mismatch typed") {
+    val H = 0x0f0f0f0f0f0f0f0fL
+    def docs(ids: Range) = ids.map(i => (i.toLong, H)).toDF("id", "h")
+    val gen1 = HammingIndex.build(docs(0 until 2), "id", "h", maxBucketSize = 3)
+    val gen2 = HammingIndex.build(docs(10 until 12), "id", "h", maxBucketSize = 3)
+    assert(!HammingIndex.capDriftReport(gen1).crossed)
+    assert(!HammingIndex.capDriftReport(gen2).crossed)
+    val union = HammingIndex.capDriftReportMany(Seq(gen1, gen2))
+    assert(union.crossed && union.nDocs == 4L && union.drifted.length == 4)
+    val other = HammingIndex.build(docs(20 until 22), "id", "h", segments = 2)
+    assert(intercept[IllegalArgumentException] {
+      HammingIndex.capDriftReportMany(Seq(gen1, other))
+    }.getMessage.contains("one recipe"))
+    gen1.unpersist(); gen2.unpersist(); other.unpersist()
+  }
 }
