@@ -143,6 +143,21 @@ class PlanSpec extends SparkSpec {
       s"sorted layout must slice-read: sorted scan output $sortedRows rows vs unsorted $unsortedRows")
   }
 
+  test("semantic decontamination and score-bucket sampling plan zero exchanges") {
+    // both are per-row kernels on the scan — a join or shuffle
+    // appearing here means the closure-broadcast (q99) or the CASE
+    // threshold (q100) regressed into a distributed op
+    for (q <- Seq("q99_embedding_contamination", "q100_score_bucket_sample")) {
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$q must not shuffle:\n$plan")
+      assert(!plan.contains("Join"), s"$q must not join:\n$plan")
+      val scans = "ReadSchema".r.findAllIn(plan).size
+      assert(scans == 1, s"$q: expected one corpus scan, got $scans")
+    }
+  }
+
   test("contamination reads the training side exactly once") {
     val q = SparkEntry.queries("q51_contamination")(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString
