@@ -3566,6 +3566,41 @@ object SparkEntry {
            |ORDER BY doc_id""".stripMargin
       })
 
+    /** Epoch-repeat up-sampling ([[operators.Sampling.epochRepeats]],
+      * r10): weights (en 1, fr 1, es 2) over the documents table —
+      * en binds (repeat exactly 1), fr repeats ~2.35x, es ~4.8x. FULL
+      * oracle: counts -> max(n/w) -> factor CASE with the exact
+      * binding-domain equality branch, floor/frac md5 rule, and the
+      * repeat as unnest(generate_series(1, copies)).
+      */
+    private val q101 = Q(
+      "q101_epoch_repeats",
+      (s, dir) => Sampling.epochRepeats(
+          t(s, dir, "documents").select($"doc_id", $"lang"),
+          "doc_id", "lang",
+          weights = Map("en" -> 1.0, "fr" -> 1.0, "es" -> 2.0))
+        .orderBy("doc_id", "epoch"),
+      Some("""WITH j AS (
+             |  SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+             |         CASE lang WHEN 'en' THEN CAST(1.0 AS DOUBLE)
+             |                   WHEN 'fr' THEN CAST(1.0 AS DOUBLE)
+             |                   WHEN 'es' THEN CAST(2.0 AS DOUBLE) END AS w
+             |  FROM documents WHERE lang IN ('en', 'fr', 'es') AND doc_id IS NOT NULL
+             |  GROUP BY lang),
+             |t AS (SELECT max(n / w) AS T FROM j),
+             |f AS (SELECT lang,
+             |        CASE WHEN n / w = (SELECT T FROM t) THEN CAST(1.0 AS DOUBLE)
+             |             ELSE w * (SELECT T FROM t) / n END AS r
+             |      FROM j),
+             |c AS (SELECT lang, CAST(floor(r) AS INT) AS base,
+             |             floor((r - floor(r)) * 10000) AS fthr FROM f),
+             |d AS (SELECT doc_id, lang,
+             |        base + CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < fthr
+             |                    THEN 1 ELSE 0 END AS ncopies
+             |      FROM documents JOIN c USING (lang))
+             |SELECT doc_id, lang, CAST(unnest(generate_series(1, ncopies)) AS INT) AS epoch
+             |FROM d ORDER BY doc_id, epoch""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -3574,7 +3609,7 @@ object SparkEntry {
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
       q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
-      q97, q98, q99, q100)
+      q97, q98, q99, q100, q101)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

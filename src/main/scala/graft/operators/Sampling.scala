@@ -171,6 +171,66 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Epoch-repeat UP-sampling — the complement of [[mixToWeights]]
+    * (which only thins): reach the target relative `weights` by
+    * REPEATING under-represented domains instead of cutting
+    * over-represented ones — the multi-epoch mixing policy real
+    * training runs use when rare domains must not shrink the corpus.
+    * With `T = max` over weighted domains of `count_d / w_d`, each
+    * domain's repeat factor `r_d = w_d * T / count_d` is `>= 1` by
+    * construction and the binding domain repeats exactly once (the
+    * [[mixToWeights]] exact-equality branch — float re-association
+    * must not cost the binding domain a copy). Fractional factors
+    * repeat `floor(r_d)` times everywhere plus ONE extra copy for the
+    * deterministic md5-bucket fraction of ids (the family hash rule) —
+    * so two runs, two layouts, and two engines repeat exactly the same
+    * documents. Output = input columns + `epoch` (1-based copy index).
+    * Domains absent from `weights`, null domains, and null ids are
+    * dropped (the [[mixToWeights]] contract). Typed error when any
+    * `r_d` exceeds `maxRepeat` — the guard against a typo'd weight
+    * exploding the corpus by orders of magnitude.
+    *
+    * Scale shape: counts aggregate to |domains| rows and the factor
+    * frame broadcasts back; the repeat itself is a per-row explode of
+    * a bounded integer sequence — no shuffle of the corpus, output
+    * sized `sum(count_d * r_d)` by design.
+    */
+  def epochRepeats(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      weights: Map[String, Double],
+      maxRepeat: Double = 16.0): DataFrame = {
+    require(weights.nonEmpty, "epochRepeats needs at least one domain weight")
+    weights.values.foreach(w => require(w > 0, s"weights must be positive: $w"))
+    require(maxRepeat >= 1.0, s"maxRepeat below 1 forbids even a single copy: $maxRepeat")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wDf = weights.toSeq.sortBy(_._1).toDF(domainCol, "__w")
+    val base = df.filter(col(idCol).isNotNull)
+    val counts = base.groupBy(col(domainCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .join(broadcast(wDf), domainCol)
+    val tRow = counts.select(max(col("__n") / col("__w")).as("__T"))
+    val factors = counts.crossJoin(broadcast(tRow))
+      .select(col(domainCol),
+        when(col("__n") / col("__w") === col("__T"), lit(1.0))
+          .otherwise(col("__w") * col("__T") / col("__n")).as("__r"))
+    val over = factors.filter(col("__r") > maxRepeat)
+      .collect().map(r => s"${r.get(0)} (x${r.getDouble(1)})")
+    require(over.isEmpty,
+      s"repeat factor exceeds maxRepeat=$maxRepeat for ${over.mkString(", ")} — " +
+        "raise the cap deliberately or fix the weight")
+    val copies = factors.select(col(domainCol),
+      floor(col("__r")).cast("int").as("__base"),
+      floor((col("__r") - floor(col("__r"))) * Buckets).as("__fthr"))
+    base.join(broadcast(copies), Seq(domainCol))
+      .withColumn("__copies",
+        col("__base") + when(hashBucket(col(idCol)) < col("__fthr"), 1).otherwise(0))
+      .withColumn("epoch", explode(sequence(lit(1), col("__copies"))))
+      .select(df.columns.map(col) :+ col("epoch"): _*)
+  }
+
   /** Deterministic train/val/test assignment by id hash — the split
     * every training run needs pinned BEFORE any shuffling or
     * sampling, so membership never moves between runs, retries,

@@ -866,6 +866,41 @@ class SamplingSpec extends SparkSpec {
       scored, "id", "s", Seq(0.5), Seq(0.1, 1.5))).getMessage.contains("[0,1]"))
   }
 
+  test("epochRepeats: binding domain once, proportions reached, deterministic, typed cap") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"lang")
+    val weights = Map("en" -> 1.0, "fr" -> 1.0, "es" -> 2.0)
+    val out = Sampling.epochRepeats(docs, "doc_id", "lang", weights).cache()
+
+    // binding domain (en: largest n/w) repeats exactly once — every doc
+    val en = out.filter($"lang" === "en")
+    val enDocs = docs.filter($"lang" === "en")
+    assert(en.count() == enDocs.count())
+    assert(en.select(max($"epoch")).as[Int].head() == 1)
+    // dropped domains and epoch contiguity
+    assert(out.filter(!$"lang".isin("en", "fr", "es")).isEmpty)
+    val perDoc = out.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), max($"epoch").as("mx"), min($"epoch").as("mn"))
+    assert(perDoc.filter($"n" =!= $"mx" || $"mn" =!= 1).isEmpty,
+      "epochs must be contiguous 1..n per doc")
+    // proportions: output domain shares match the weights within the
+    // one-fractional-copy quantization (n_out_d ~= w_d * T)
+    val shares = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val t = docs.filter($"lang" === "en").count().toDouble // T = n_en / 1.0
+    assert(math.abs(shares("fr") - 1.0 * t) <= t * 0.02, s"$shares")
+    assert(math.abs(shares("es") - 2.0 * t) <= t * 0.02, s"$shares")
+    // layout-invariant
+    val out2 = Sampling.epochRepeats(docs.repartition(13), "doc_id", "lang", weights)
+    assert(out2.exceptAll(out).isEmpty && out.exceptAll(out2).isEmpty)
+    out.unpersist()
+    // a typo'd weight cannot silently explode the corpus
+    val e = intercept[IllegalArgumentException] {
+      Sampling.epochRepeats(docs, "doc_id", "lang",
+        Map("en" -> 1.0, "de" -> 1000.0))
+    }
+    assert(e.getMessage.contains("maxRepeat"))
+  }
+
   test("assignSplit: disjoint cover, layout-independent membership, subset-consistent with hashSample") {
     val split = Sampling.assignSplit(ids, "id", 0.8, 0.1)
       .as[(Long, String)].collect().toMap
