@@ -157,4 +157,53 @@ class IndexLifecycleSpec extends SparkSpec {
     val gotPairs = probePairs(s2, s2.read.parquet(s"$root/hamming"))
     assert(gotPairs == wantPairs && gotPairs.nonEmpty)
   }
+
+  test("the r10 artifacts join: classifier model drives a fresh-session learned-gate turn") {
+    val sfDir = "/root/testdata/sf0.001"
+    def docsIn(s: SparkSession) = s.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val root = java.nio.file.Files.createTempDirectory("lifecycle10").toString
+
+    // night 0: train the quality model + build the LSH kept-corpus
+    // index, persist BOTH artifacts
+    def goodDoc(i: Int) =
+      s"the quick brown fox number $i jumps over the lazy dog and runs to the stone bridge"
+    def spamDoc(i: Int) =
+      s"$$$$$$ ### @@@@ zx$i qq%% ||| ~~~ ++++ ::: buy now click here free $i$i$i win"
+    val labeled = {
+      import spark.implicits._
+      ((0 until 60).map(i => (goodDoc(i), 1.0)) ++
+        (0 until 60).map(i => (spamDoc(i), 0.0))).toDF("text", "label")
+    }
+    val model = QualityClassifier.train(labeled, "text", "label", numFeatures = 1 << 12)
+    QualityClassifier.modelToDf(spark, model).write.parquet(s"$root/model")
+    val kept = docsIn(spark).filter(col("doc_id") % 3 === 0)
+    val lsh = LshIndex.build(kept, "doc_id", "text", n = 3)
+    lsh.write.parquet(s"$root/lsh")
+
+    // the turn: incremental curation with the LEARNED gate on, spam
+    // planted in the batch
+    def turn(s: SparkSession, ix: DataFrame, m: QualityClassifier.Model): Set[Long] = {
+      import s.implicits._
+      val spam = (0 until 10).map(i => (900000L + i, spamDoc(700 + i), "en"))
+        .toDF("doc_id", "text", "lang")
+      val batch = docsIn(s).filter(col("doc_id") % 3 === 1).unionByName(spam)
+      val bench = docsIn(s).filter(col("doc_id") % 97 === 0).select("doc_id", "text")
+      val r = Curation.curateIncremental(ix, batch, bench,
+        "doc_id", "text", "lang",
+        Curation.CurationParams(minQuality = 0.0, maxRepetition = 1.0,
+          maxContamination = 0.5, qualityModel = Some(m), minModelScore = 0.3))
+      val out = r.curated.select("doc_id").as[Long].collect().toSet
+      r.unpersist(); out
+    }
+
+    val want = turn(spark, lsh, model)
+    lsh.unpersist()
+    val s2 = spark.newSession()
+    val got = turn(s2,
+      s2.read.parquet(s"$root/lsh"),
+      QualityClassifier.modelFromDf(s2.read.parquet(s"$root/model")))
+    assert(got == want && got.nonEmpty)
+    assert(got.forall(_ < 900000L), "reopened model must still reject the planted spam")
+  }
 }
