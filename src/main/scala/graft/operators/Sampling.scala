@@ -73,7 +73,9 @@ object Sampling {
     *
     * Evaluates as one codegen'd CASE over the score plus the
     * [[hashBucket]] filter — no join, no shuffle, sits on the scan.
-    * Null scores and null ids are dropped (no bucket, no hash).
+    * Null and NaN scores and null ids are dropped (no bucket, no
+    * hash — NaN compares false against every cut, which would
+    * otherwise silently land it in the TOP bucket).
     */
   def sampleByScoreBuckets(
       df: DataFrame,
@@ -93,7 +95,7 @@ object Sampling {
         val branch = lit(math.round(rates(i) * Buckets))
         if (acc == null) when(sc < cut, branch) else acc.when(sc < cut, branch)
     }.otherwise(lit(math.round(rates.last * Buckets)))
-    df.filter(sc.isNotNull && hashBucket(col(idCol)) < threshold)
+    df.filter(sc.isNotNull && !isnan(sc) && hashBucket(col(idCol)) < threshold)
   }
 
   /** Down-sample to target domain PROPORTIONS (the DoReMi-style

@@ -812,6 +812,15 @@ class ContaminationSpec extends SparkSpec {
     got.foreach { case (id, c) => assert(math.abs(c - top1(id)) < 1e-12, s"id $id") }
   }
 
+  test("embeddingContamination: empty benchmark -> nothing can match") {
+    val train = Seq((1L, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val bench = train.filter($"vec_id" < 0)
+    val got = Contamination
+      .embeddingContamination(train, bench, "vec_id", "embedding", threshold = 0.5)
+      .as[(Long, Option[Double], Int)].head()
+    assert(got._2.isEmpty && got._3 == 0)
+  }
+
   test("embeddingContamination: oversized benchmark fails typed; dim-mismatched bench vectors are skipped") {
     val bench = (0L until 5L).map(i => (i, Array.fill(8)(i.toFloat + 1))).toDF("vec_id", "embedding")
     val train = Seq((10L, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
@@ -853,8 +862,10 @@ class SamplingSpec extends SparkSpec {
         ids.filter($"id" >= 5000L && $"id" < 10000L), "id", 0.5)
       .as[Long].collect().toSet
     assert(kept.filter(i => i >= 5000L && i < 10000L) == mid)
-    // null scores are dropped
-    val withNull = Seq((1L, Some(1.5)), (2L, None)).toDF("id", "s")
+    // null AND NaN scores are dropped — NaN compares false against
+    // every cut and would otherwise land silently in the TOP bucket
+    val withNull = Seq((1L, Some(1.5)), (2L, None), (3L, Some(Double.NaN)))
+      .toDF("id", "s")
     assert(Sampling.sampleByScoreBuckets(withNull, "id", "s",
       Seq(0.5), Seq(1.0, 1.0)).select($"id").as[Long].collect().toSeq == Seq(1L))
     // typed errors
@@ -899,6 +910,18 @@ class SamplingSpec extends SparkSpec {
         Map("en" -> 1.0, "de" -> 1000.0))
     }
     assert(e.getMessage.contains("maxRepeat"))
+  }
+
+  test("epochRepeats: weights equal to observed counts == identity with epoch 1") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"lang")
+    val weights = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().map { case (l, c) => l -> c.toDouble }.toMap
+    val out = Sampling.epochRepeats(docs, "doc_id", "lang", weights)
+    // every domain binds (n/w == 1 == T exactly), so every doc appears
+    // exactly once at epoch 1 — up-sampling at the status quo is a no-op
+    assert(out.count() == docs.count())
+    assert(out.select(max($"epoch")).as[Int].head() == 1)
   }
 
   test("assignSplit: disjoint cover, layout-independent membership, subset-consistent with hashSample") {
