@@ -3601,6 +3601,79 @@ object SparkEntry {
              |SELECT doc_id, lang, CAST(unnest(generate_series(1, ncopies)) AS INT) AS epoch
              |FROM d ORDER BY doc_id, epoch""".stripMargin))
 
+    /** Delivery manifest ([[operators.Manifest.build]], r10): one row
+      * per lang with count, byte total, and the two order-independent
+      * checksum folds (sum + bit_xor of the strict-canonical md5 row
+      * hash). FULL oracle: the md5-prefix hash rule (the q52/q24
+      * portable discipline) aggregated with the same two folds —
+      * commutative, so DuckDB's own evaluation order replays Spark's
+      * bit-for-bit.
+      */
+    private val q102 = Q(
+      "q102_manifest",
+      (s, dir) => operators.Manifest.build(
+          t(s, dir, "documents").select($"doc_id", $"text", $"lang"),
+          "lang", Seq("doc_id", "text"), length($"text"))
+        .orderBy("lang"),
+      Some("""WITH h AS (
+             |  SELECT lang, length(text) AS sz,
+             |    CAST('0x' || substr(md5(concat_ws(chr(1),
+             |      coalesce(CAST(doc_id AS VARCHAR), chr(0)),
+             |      coalesce(text, chr(0)))), 1, 8) AS BIGINT) AS h
+             |  FROM documents)
+             |SELECT lang, count(*) AS n_rows, CAST(sum(sz) AS BIGINT) AS n_bytes,
+             |       CAST(sum(h) AS BIGINT) AS sum_hash, bit_xor(h) AS xor_hash
+             |FROM h GROUP BY lang ORDER BY lang""".stripMargin))
+
+    /** Manifest diff ([[operators.Manifest.check]], r10): the consumer
+      * integrity check — published manifest (corpus without `de`)
+      * against a received corpus that dropped `es`, perturbed every
+      * `fr` text, and added `de`: one group per status. FULL oracle:
+      * both manifests replayed by the q102 recipe, full-outer joined
+      * on the group with the same status CASE.
+      */
+    private val q103 = Q(
+      "q103_manifest_diff",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select($"doc_id", $"text", $"lang")
+        val published = operators.Manifest.build(
+          docs.filter($"lang" =!= "de"), "lang", Seq("doc_id", "text"), length($"text"))
+        val received = docs.filter($"lang" =!= "es").withColumn("text",
+          when($"lang" === "fr", concat($"text", lit("!"))).otherwise($"text"))
+        operators.Manifest.check(
+            published, received, "lang", Seq("doc_id", "text"), length($"text"))
+          .orderBy("lang")
+      },
+      Some("""WITH mk AS (
+             |  SELECT lang, count(*) AS n_rows, CAST(sum(length(text)) AS BIGINT) AS n_bytes,
+             |         CAST(sum(h) AS BIGINT) AS sum_hash, bit_xor(h) AS xor_hash
+             |  FROM (SELECT lang, text,
+             |          CAST('0x' || substr(md5(concat_ws(chr(1),
+             |            coalesce(CAST(doc_id AS VARCHAR), chr(0)),
+             |            coalesce(text, chr(0)))), 1, 8) AS BIGINT) AS h
+             |        FROM documents WHERE lang <> 'de') g
+             |  GROUP BY lang),
+             |ak AS (
+             |  SELECT lang, count(*) AS n_rows, CAST(sum(length(text)) AS BIGINT) AS n_bytes,
+             |         CAST(sum(h) AS BIGINT) AS sum_hash, bit_xor(h) AS xor_hash
+             |  FROM (SELECT lang, text2 AS text,
+             |          CAST('0x' || substr(md5(concat_ws(chr(1),
+             |            coalesce(CAST(doc_id AS VARCHAR), chr(0)),
+             |            coalesce(text2, chr(0)))), 1, 8) AS BIGINT) AS h
+             |        FROM (SELECT lang, doc_id,
+             |                CASE WHEN lang = 'fr' THEN text || '!' ELSE text END AS text2
+             |              FROM documents WHERE lang <> 'es') p) g
+             |  GROUP BY lang)
+             |SELECT coalesce(mk.lang, ak.lang) AS lang,
+             |  CASE WHEN ak.n_rows IS NULL THEN 'missing'
+             |       WHEN mk.n_rows IS NULL THEN 'extra'
+             |       WHEN mk.n_rows = ak.n_rows AND mk.n_bytes IS NOT DISTINCT FROM ak.n_bytes
+             |            AND mk.sum_hash = ak.sum_hash AND mk.xor_hash = ak.xor_hash THEN 'match'
+             |       ELSE 'mismatch' END AS status,
+             |  mk.n_rows AS n_rows_exp, ak.n_rows AS n_rows_act
+             |FROM mk FULL OUTER JOIN ak ON mk.lang = ak.lang
+             |ORDER BY lang""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -3609,7 +3682,7 @@ object SparkEntry {
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
       q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
-      q97, q98, q99, q100, q101)
+      q97, q98, q99, q100, q101, q102, q103)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Delivery manifests — the cheap integrity layer of a training-data
+  * release: one row per shard/partition/domain with a row count, a byte
+  * count, and two order-independent content checksums. A consumer (or
+  * tomorrow's pipeline run) recomputes the manifest over what it
+  * received and [[diff]]s against the published one — detecting drift,
+  * truncation, duplication, or corruption WITHOUT the id-level
+  * full-outer join [[DatasetDiff]] pays. The two tools are a ladder:
+  * manifest diff says WHICH groups changed for the cost of two
+  * dimension-sized aggregates; DatasetDiff then says which ROWS, run
+  * only on the groups that mismatched.
+  *
+  * Checksums are commutative folds of a per-row
+  * [[TextDedup.md5TokenHash]] over a canonical row string, so the
+  * manifest is independent of row order, partitioning, and engine —
+  * any SQL engine with `md5` replays it bit-for-bit (the q24
+  * portable-hash discipline). Two folds on purpose:
+  *
+  *  - `xor_hash` (`bit_xor`): overflow-free, but an EVEN number of
+  *    copies of the same row cancels to a no-op;
+  *  - `sum_hash` (`sum`): catches exactly that duplication (every copy
+  *    adds hash mass), at the price of a long-overflow bound — row
+  *    hashes are < 2^32, so the sum is exact below 2^31 rows PER
+  *    GROUP (~2.1 B; shard- and domain-sized groups sit far under it).
+  *
+  * Together with `n_rows` a change that fools one fold still moves
+  * another; a collision must fool all three simultaneously.
+  *
+  * Canonicalization is STRICT, unlike [[DatasetDiff]]'s tolerant
+  * `concat_ws` null-skip: each column is cast to string and
+  * null-coalesced to a `\u0000` sentinel BEFORE joining on `\u0001`,
+  * so `(null, "x")` and `("x", null)` hash differently — a null
+  * shifting content across columns is exactly the corruption a
+  * transit checksum exists to catch. Null GROUP keys keep Spark's
+  * groupBy semantics (one manifest row for the null group) so no row
+  * is silently outside the manifest.
+  *
+  * Plan shape at 100 TB: the row hash is computed scan-side; the only
+  * exchange is the dimension-sized partial-aggregated groupBy (pinned
+  * by PlanSpec), and [[diff]] joins two MANIFEST-sized frames — the
+  * corpus itself never moves.
+  */
+object Manifest {
+
+  /** Engine-portable row hash: first-8-hex-digit md5 of the strict
+    * canonical string of `cols` (null -> `\u0000` sentinel, joined on
+    * `\u0001`), in [0, 2^32).
+    */
+  def rowHash(cols: Seq[Column]): Column =
+    TextDedup.md5TokenHash(
+      concat_ws("\u0001", cols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*))
+
+  /** The manifest: one row per `groupCol` value with `n_rows`,
+    * `n_bytes` (sum of `sizeExpr` — pass e.g. `length(col("text"))`,
+    * or octet_length of a binary payload), `sum_hash` and `xor_hash`
+    * over [[rowHash]] of `hashCols`.
+    */
+  def build(
+      df: DataFrame,
+      groupCol: String,
+      hashCols: Seq[String],
+      sizeExpr: Column): DataFrame = {
+    require(hashCols.nonEmpty, "need at least one column to checksum")
+    val h = rowHash(hashCols.map(col))
+    df.select(col(groupCol), h.as("__h"), sizeExpr.cast("long").as("__sz"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("__sz")).as("n_bytes"),
+        sum(col("__h")).as("sum_hash"),
+        bit_xor(col("__h")).as("xor_hash"))
+  }
+
+  /** Group-level integrity report: `expected` vs `actual` manifests
+    * (both [[build]] outputs over the same group column), full-outer
+    * on the group — `missing` (expected only), `extra` (actual only),
+    * `mismatch` (both present, any of rows/bytes/checksums differ),
+    * `match`. Carries both row counts so a report reader sees the
+    * size delta without a second query. Joins two manifest-sized
+    * frames — never the corpora.
+    */
+  def diff(expected: DataFrame, actual: DataFrame, groupCol: String): DataFrame = {
+    val cols = Seq("n_rows", "n_bytes", "sum_hash", "xor_hash")
+    def side(df: DataFrame, tag: String) = df.select(
+      col(groupCol) +: cols.map(c => col(c).as(s"${c}_$tag")): _*)
+    val same = cols.map(c => col(s"${c}_exp") <=> col(s"${c}_act")).reduce(_ && _)
+    side(expected, "exp").join(side(actual, "act"), Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        when(col("n_rows_act").isNull, lit("missing"))
+          .when(col("n_rows_exp").isNull, lit("extra"))
+          .when(same, lit("match"))
+          .otherwise(lit("mismatch")).as("status"),
+        col("n_rows_exp"), col("n_rows_act"))
+  }
+
+  /** Recompute-and-compare in one call: the consumer-side check of a
+    * published manifest against the data as received.
+    */
+  def check(
+      expected: DataFrame,
+      df: DataFrame,
+      groupCol: String,
+      hashCols: Seq[String],
+      sizeExpr: Column): DataFrame =
+    diff(expected, build(df, groupCol, hashCols, sizeExpr), groupCol)
+}

@@ -617,6 +617,39 @@ object ProfileScale {
         println(f"PROFILE media factor=$f kept=$keptN curated=$nCur " +
           f"build=$buildSecs%.1f turn_cold=$turnCold%.1f turn_warm=$turnWarm%.1f")
       }
+      if (only.forall(_ == "mix")) {
+        // The T73/T74/manifest scale claim: all three are scan-side.
+        // Score-bucket sampling is a ZERO-exchange filter (quality
+        // kernel + hash CASE on the scan); epochRepeats adds one
+        // dimension-sized count aggregate, a broadcast of the factor
+        // frame, and a bounded per-row explode; the manifest is one
+        // partial-aggregated groupBy to a dimension-sized frame. Wall
+        // time should track the scan ~linearly with f — any
+        // superlinear bend here means a corpus shuffle crept in.
+        val (nB, coldB, warmB) = timed { s =>
+          val docs = scaled(s, sfDir, f)
+          graft.operators.Sampling.sampleByScoreBuckets(
+            docs.select(col("doc_id"),
+              graft.operators.TextAnalysis.qualityScore(col("text")).as("q")),
+            "doc_id", "q", cuts = Seq(0.5, 0.8), rates = Seq(0.1, 0.5, 1.0))
+        }
+        println(f"PROFILE mix_scorebucket factor=$f rows=$nB cold=$coldB%.1f warm=$warmB%.1f")
+        val (nE, coldE, warmE) = timed { s =>
+          // en binds; zh ~5.5x, fr ~11x repeats — the output is ~9x the
+          // weighted slice at EVERY f (rotation keeps lang shares), so
+          // the curve isolates machinery, not result growth
+          graft.operators.Sampling.epochRepeats(
+            scaled(s, sfDir, f).select(col("doc_id"), col("lang")),
+            "doc_id", "lang", Map("en" -> 1.0, "zh" -> 2.0, "fr" -> 4.0))
+        }
+        println(f"PROFILE mix_epochs factor=$f rows=$nE cold=$coldE%.1f warm=$warmE%.1f")
+        val (nM, coldM, warmM) = timed { s =>
+          graft.operators.Manifest.build(
+            scaled(s, sfDir, f), "lang", Seq("doc_id", "text"),
+            length(col("text")))
+        }
+        println(f"PROFILE mix_manifest factor=$f rows=$nM cold=$coldM%.1f warm=$warmM%.1f")
+      }
       if (only.forall(_ == "ivf")) {
         // The IvfIndex claim (T35): indexed corpus scales with f, query
         // batch FIXED. The one-shot operator re-runs cell assignment (a

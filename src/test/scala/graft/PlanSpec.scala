@@ -158,6 +158,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("manifest: one partial-aggregated exchange, no join, pruned scan") {
+    // the delivery-manifest scale claim: row hashes are computed
+    // scan-side and partially aggregated per partition, so the ONE
+    // exchange carries dimension-sized partial rows — never the corpus
+    val q = SparkEntry.queries("q102_manifest")(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1, s"expected exactly the groupBy exchange, got $hashExchanges:\n$plan")
+    assert(!plan.contains("Join"), s"manifest build must not join:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"checksum folds must partial-aggregate before the exchange:\n$plan")
+    val readSchema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan).map(_.group(1))
+    assert(readSchema.isDefined, s"no scan in plan:\n$plan")
+    val cols = readSchema.get.split(",").map(_.split(":")(0).trim).toSet
+    assert(cols == Set("doc_id", "text", "lang"),
+      s"manifest scan should read exactly the hashed + group columns, got $cols")
+  }
+
   test("contamination reads the training side exactly once") {
     val q = SparkEntry.queries("q51_contamination")(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString

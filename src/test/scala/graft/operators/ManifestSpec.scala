@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Delivery-manifest contracts: order/layout independence, what each
+  * checksum fold catches, strict null canonicalization, the diff
+  * status lattice, and the recompute-and-compare consumer path.
+  */
+class ManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    .select($"doc_id", $"text", $"lang")
+
+  private def mf(df: org.apache.spark.sql.DataFrame) =
+    Manifest.build(df, "lang", Seq("doc_id", "text"), length($"text"))
+
+  test("manifest is independent of row order and partitioning") {
+    val a = mf(docs).collect().toSet
+    val b = mf(docs.repartition(13).orderBy(desc("text"))).collect().toSet
+    assert(a == b)
+    // and every group's folds are engine-portable values, not platform
+    // artifacts: rowHash is bounded to [0, 2^32)
+    val hs = docs.select(Manifest.rowHash(Seq($"doc_id", $"text")).as("h"))
+      .agg(min($"h"), max($"h")).as[(Long, Long)].head()
+    assert(hs._1 >= 0L && hs._2 < (1L << 32))
+  }
+
+  test("single-row corruption flips the group's checksums; others untouched") {
+    val base = mf(docs)
+    val corrupted = docs.withColumn("text",
+      when($"doc_id" === 7L, concat($"text", lit("x"))).otherwise($"text"))
+    val d = Manifest.diff(base, mf(corrupted), "lang")
+    val lang7 = docs.filter($"doc_id" === 7L).select($"lang").as[String].head()
+    val statuses = d.select($"lang", $"status").as[(String, String)].collect().toMap
+    assert(statuses(lang7) == "mismatch")
+    assert(statuses.filter(_._1 != lang7).values.forall(_ == "match"))
+    // row counts are carried for the report reader — equal here (a
+    // rewrite, not a loss)
+    val row = d.filter($"lang" === lang7)
+      .select($"n_rows_exp", $"n_rows_act").as[(Long, Long)].head()
+    assert(row._1 == row._2)
+  }
+
+  test("an even duplicate defeats xor but not sum — why both folds exist") {
+    val dup = docs.filter($"doc_id" === 11L)
+    val twice = docs.unionAll(dup).unionAll(dup)
+    val a = mf(docs)
+    val b = mf(twice)
+    val lang11 = dup.select($"lang").as[String].head()
+    val joined = a.alias("a").join(b.alias("b"), "lang").filter($"lang" === lang11)
+      .select($"a.xor_hash", $"b.xor_hash", $"a.sum_hash", $"b.sum_hash", $"a.n_rows", $"b.n_rows")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(joined._1 == joined._2, "two identical copies xor-cancel")
+    assert(joined._3 != joined._4, "sum catches the added hash mass")
+    assert(joined._5 + 2 == joined._6)
+    assert(Manifest.diff(a, b, "lang").filter($"lang" === lang11)
+      .select($"status").as[String].head() == "mismatch")
+  }
+
+  test("strict canonicalization: null position matters; null group keys get a row") {
+    val x = Seq((1L, Option("x"), Option.empty[String], "g"))
+      .toDF("id", "a", "b", "grp")
+    val y = Seq((1L, Option.empty[String], Option("x"), "g"))
+      .toDF("id", "a", "b", "grp")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Manifest.build(df, "grp", Seq("a", "b"), lit(0))
+    assert(Manifest.diff(m(x), m(y), "grp")
+      .select($"status").as[String].head() == "mismatch",
+      "(x, null) and (null, x) must not hash alike — column-shift corruption")
+    // null group key: the row is IN the manifest, under the null group
+    val withNullGrp = Seq((1L, "t", Option("g")), (2L, "u", Option.empty[String]))
+      .toDF("id", "text", "grp")
+    val m2 = Manifest.build(withNullGrp, "grp", Seq("id", "text"), length($"text"))
+    assert(m2.count() == 2)
+    assert(m2.filter($"grp".isNull).select($"n_rows").as[Long].head() == 1L)
+  }
+
+  test("diff status lattice: match, mismatch, missing, extra — and check() composes") {
+    val exp = docs.filter($"lang" =!= "de")
+    // actual: drops es, adds de, perturbs fr, keeps en/zh byte-identical
+    val act = docs.filter($"lang" =!= "es").withColumn("text",
+      when($"lang" === "fr", concat($"text", lit("!"))).otherwise($"text"))
+    val d = Manifest.check(mf(exp), act, "lang", Seq("doc_id", "text"), length($"text"))
+      .select($"lang", $"status").as[(String, String)].collect().toMap
+    assert(d("es") == "missing")
+    assert(d("de") == "extra")
+    assert(d("fr") == "mismatch")
+    assert(d("en") == "match")
+  }
+
+  test("typed guard: empty hash column list") {
+    val e = intercept[IllegalArgumentException] {
+      Manifest.build(docs, "lang", Seq.empty, length($"text"))
+    }
+    assert(e.getMessage.contains("checksum"))
+  }
+}

@@ -162,6 +162,44 @@ class MediaCurationSpec extends SparkSpec {
     r3.unpersist()
   }
 
+  test("mixed decodable/undecodable ratios: the turn equals the decodable-subset turn bit-for-bit") {
+    // The invariant that makes partial corruption safe in production:
+    // undecodable payloads are invisible to EVERY stage — exact dedup,
+    // the least-id canonicalize election, the cross-corpus gate, and
+    // the append. Pinned by running the same turn over the mixed batch
+    // and over its decodable subset and requiring identical survivors,
+    // identical artifact rows, identical meta — at ~50%, ~33% and ~20%
+    // junk, with junk rows deliberately planted at the LOWEST id of
+    // near-dup groups (if an undecodable row ever joined the election,
+    // the canonical id would shift and the comparison would catch it).
+    val index = HammingIndex.build(
+      graft.multimodal.Multimodal.imageDHash(keptImages, "content"), "id", "dhash")
+    // groups of 3: base, exact re-encode, one-pixel edit — every stage
+    // does real work in every group
+    val rows: Seq[(Long, Array[Byte])] = (0 until 10).flatMap { g =>
+      val base = img9x8((x, y) => (x * (g + 2) * 17 + y * 3) % 200)
+      val edit = img9x8((x, y) =>
+        if (x == (g % 8) + 1 && y == g % 8) 255 else (x * (g + 2) * 17 + y * 3) % 200)
+      Seq((g * 10 + 100L, base), (g * 10 + 101L, base), (g * 10 + 102L, edit))
+    }
+    for (mod <- Seq(2, 3, 5)) {
+      val tagged = rows.zipWithIndex.map { case ((id, b), i) =>
+        if (i % mod == 0) (id, s"not a png $i".getBytes, false) else (id, b, true)
+      }
+      val mixed = tagged.map(t => (t._1, t._2)).toDF("id", "content")
+      val subset = tagged.filter(_._3).map(t => (t._1, t._2)).toDF("id", "content")
+      val a = Curation.curateMedia(index, mixed, "id", "content", "image")
+      val b = Curation.curateMedia(index, subset, "id", "content", "image")
+      val aIds = a.curated.select("id").as[Long].collect().toSet
+      val bIds = b.curated.select("id").as[Long].collect().toSet
+      assert(aIds == bIds, s"survivors diverged at junk ratio 1/$mod")
+      assert(aIds.nonEmpty, s"fixture must keep the stages busy at 1/$mod")
+      assert(docRows(a.kept) == docRows(b.kept))
+      assert(HammingIndex.readMeta(a.kept).nDocs == HammingIndex.readMeta(b.kept).nDocs)
+      a.unpersist(); b.unpersist()
+    }
+  }
+
   test("string ids fail typed at entry (the canonicalize election is least-LONG-id)") {
     val kept = Seq(("a", rising), ("b", flat)).toDF("name", "content")
     val index = HammingIndex.build(

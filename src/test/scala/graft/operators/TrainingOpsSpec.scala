@@ -912,6 +912,49 @@ class SamplingSpec extends SparkSpec {
     assert(e.getMessage.contains("maxRepeat"))
   }
 
+  test("epochRepeats: near-cap skewed domain at sf0.1 — exact copy arithmetic, bounded explode, cap boundary") {
+    // The adversarial shape production hits: one rare domain pushed to
+    // ~15x repeats, just under the default cap. Pins (a) the exact
+    // per-domain output count — n*floor(r) plus the md5-bucket
+    // fractional copies, recomputed here against the impl's own float
+    // association (w*T)/n; (b) per-doc copy counts land ONLY on
+    // {floor(r), floor(r)+1}; (c) layout invariance at this scale;
+    // (d) the cap fires below r and stays silent at the default.
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select($"doc_id", $"lang")
+    val nEn = docs.filter($"lang" === "en").count()   // binding domain
+    val nZh = docs.filter($"lang" === "zh").count()   // rare domain
+    val w = 14.7 * nZh / nEn
+    val weights = Map("en" -> 1.0, "zh" -> w)
+    val out = Sampling.epochRepeats(docs, "doc_id", "lang", weights).cache()
+
+    // binding domain: every doc exactly once
+    assert(out.filter($"lang" === "en").count() == nEn)
+    // rare domain: the exact fractional-copy identity. r replayed with
+    // the impl's association (w * T) / n, T = n_en / 1.0
+    val r = (w * nEn.toDouble) / nZh.toDouble
+    val base = math.floor(r).toLong
+    val fthr = math.floor((r - math.floor(r)) * Sampling.Buckets).toLong
+    val extra = docs.filter($"lang" === "zh")
+      .filter(Sampling.hashBucket($"doc_id") < fthr).count()
+    assert(out.filter($"lang" === "zh").count() == nZh * base + extra)
+    assert(base == 14L, s"fixture must sit near the cap, got r=$r")
+    // per-doc copies only ever floor(r) or floor(r)+1, contiguous
+    val perDoc = out.filter($"lang" === "zh").groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max($"epoch").as("mx"), min($"epoch").as("mn"))
+    assert(perDoc.filter(!$"n".isin(base, base + 1)).isEmpty)
+    assert(perDoc.filter($"n" =!= $"mx" || $"mn" =!= 1).isEmpty)
+    // layout-invariant at this scale
+    val out2 = Sampling.epochRepeats(docs.repartition(31), "doc_id", "lang", weights)
+    assert(out2.exceptAll(out).isEmpty && out.exceptAll(out2).isEmpty)
+    out.unpersist()
+    // cap boundary: r ~ 14.7 fires a 14.0 cap, stays silent at default 16
+    val e = intercept[IllegalArgumentException] {
+      Sampling.epochRepeats(docs, "doc_id", "lang", weights, maxRepeat = 14.0)
+    }
+    assert(e.getMessage.contains("maxRepeat"))
+  }
+
   test("epochRepeats: weights equal to observed counts == identity with epoch 1") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", $"lang")
