@@ -26,11 +26,28 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** Rounds the last [[connectedComponents]] call took — profiling /
-    * regression-test observability only (ProfileCC, the chain spec);
-    * single-threaded use assumed, like the rest of a driver program.
+  /** Rounds the last [[connectedComponents]] call took (0 when the
+    * bounded driver solve answered) — profiling / regression-test
+    * observability only (ProfileCC, the chain spec); single-threaded
+    * use assumed, like the rest of a driver program.
     */
   @volatile private[graft] var lastRounds: Int = 0
+
+  /** Distinct-edge bar under which [[connectedComponents]] solves on
+    * the driver instead of iterating Spark rounds. 100k oriented
+    * edges collect to ~1.6 MB of longs — meta-sized by the same
+    * contract-bounded argument as Bm25Index's 4096-term literal
+    * pushdown — and a union-find over them replaces ~8-12 scheduled
+    * actions (2-3 alternation rounds x checkpoint+fingerprint) with
+    * ONE collect. That fixed cost is exactly what dominates the
+    * nightly-turn composites on real batch sizes (a 2k-doc media
+    * batch pays the same orchestration as a 2M one); at corpus scale
+    * the edge count blows the bar and the distributed alternation
+    * runs unchanged. The edge count is already known before the
+    * choice: the convergence fingerprint's count pass doubles as the
+    * gate, so the fast path adds zero actions when it does not fire.
+    */
+  val DefaultDriverSolveMax: Int = 100000
 
   /** Component id (= min member id) for every node appearing in `edges`.
     *
@@ -41,6 +58,11 @@ object ConnectedComponents {
     *              restores the pure alternating-star schedule. Measured
     *              at 1M edges + 10k chain: 15 rounds / 41 s at 0,
     *              8 / 34 s at 1, 6 / 31 s at 2.
+    * @param driverSolveMax distinct-edge bar for the driver fast path
+    *              ([[DefaultDriverSolveMax]]); 0 forces the
+    *              distributed alternation at any size. Both paths
+    *              return identical labels (spec-pinned) — this is a
+    *              latency knob, never a semantics knob.
     * @return DataFrame(id LONG, component LONG) — one row per distinct
     *         node, component = least id reachable from it.
     */
@@ -49,7 +71,8 @@ object ConnectedComponents {
       srcCol: String = "src",
       dstCol: String = "dst",
       maxIter: Int = 50,
-      jumpSteps: Int = 2): DataFrame = {
+      jumpSteps: Int = 2,
+      driverSolveMax: Int = DefaultDriverSolveMax): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -77,6 +100,39 @@ object ConnectedComponents {
     var iter = 0
     var signature = fingerprint(star)
     var converged = signature._1 == 0L
+
+    // Bounded driver solve: the fingerprint already counted the
+    // distinct oriented edges, so a batch-sized graph is known HERE,
+    // before any round is scheduled. Union-find with min-label roots
+    // (attach the larger root under the smaller — the root IS the set
+    // minimum by invariant) over the collected edge array, then the
+    // same left-join tail as the distributed path so self-loop-only
+    // nodes still surface as singletons.
+    if (!converged && signature._1 <= driverSolveMax) {
+      val arr = star.as[(Long, Long)].collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrDefault(x, x) != x) x = parent.getOrDefault(x, x)
+        var y = x0 // path compression
+        while (parent.getOrDefault(y, y) != y) { val n = parent.get(y); parent.put(y, x); y = n }
+        x
+      }
+      arr.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) {
+          if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+        }
+      }
+      val labels: Seq[(Long, Long)] = arr.iterator
+        .flatMap(e => Iterator(e._1, e._2)).toSet.toSeq
+        .map((x: Long) => (x, find(x)))
+      lastRounds = 0
+      return nodes
+        .join(labels.toDF("id", "__root"), Seq("id"), "left")
+        .select($"id", coalesce($"__root", $"id").as("component"))
+    }
+
     while (!converged && iter < maxIter) {
       // Large-star: every strictly-larger neighbor of u links to the
       // minimum of u's neighborhood (including u itself).
