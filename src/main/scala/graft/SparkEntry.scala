@@ -3674,6 +3674,32 @@ object SparkEntry {
              |FROM mk FULL OUTER JOIN ak ON mk.lang = ak.lang
              |ORDER BY lang""".stripMargin))
 
+    /** Manifest consolidation ([[operators.Manifest.merge]], r10): the
+      * nightly-turn accounting path — per-batch manifests (even/odd
+      * doc_id halves) fold-merged. The ORACLE rebuilds the manifest
+      * from scratch over the whole table (q102's SQL verbatim): the
+      * hash match certifies merge == rebuild ACROSS ENGINES, not just
+      * within Spark (ManifestSpec pins it within).
+      */
+    private val q104 = Q(
+      "q104_manifest_merge",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select($"doc_id", $"text", $"lang")
+        val halves = Seq($"doc_id" % 2 === 0, $"doc_id" % 2 =!= 0).map(p =>
+          operators.Manifest.build(
+            docs.filter(p), "lang", Seq("doc_id", "text"), length($"text")))
+        operators.Manifest.merge(halves, "lang").orderBy("lang")
+      },
+      Some("""WITH h AS (
+             |  SELECT lang, length(text) AS sz,
+             |    CAST('0x' || substr(md5(concat_ws(chr(1),
+             |      coalesce(CAST(doc_id AS VARCHAR), chr(0)),
+             |      coalesce(text, chr(0)))), 1, 8) AS BIGINT) AS h
+             |  FROM documents)
+             |SELECT lang, count(*) AS n_rows, CAST(sum(sz) AS BIGINT) AS n_bytes,
+             |       CAST(sum(h) AS BIGINT) AS sum_hash, bit_xor(h) AS xor_hash
+             |FROM h GROUP BY lang ORDER BY lang""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -3682,7 +3708,7 @@ object SparkEntry {
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
       q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
-      q97, q98, q99, q100, q101, q102, q103)
+      q97, q98, q99, q100, q101, q102, q103, q104)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

@@ -75,6 +75,33 @@ object Manifest {
         bit_xor(col("__h")).as("xor_hash"))
   }
 
+  /** Additive consolidation of per-batch manifests — the index
+    * family's append/mergeMany discipline applied to delivery
+    * accounting: every fold in the manifest is commutative AND
+    * associative (counts and sums add, xor xors), so the manifest of
+    * a union IS the fold-merge of the parts, exactly — no
+    * approximation, nothing frozen, no corpus rescan. A nightly turn
+    * manifests its batch ([[build]] over the batch alone) and merges
+    * it into the standing manifest: O(batch) + a |groups|-sized
+    * aggregate, where rebuilding would rescan the whole corpus.
+    * Spec-pinned merge == rebuild bit-for-bit.
+    *
+    * Caveat inherited from the union semantics: merging manifests of
+    * OVERLAPPING corpora double-counts the overlap (exactly as a
+    * union would) — the dedup gates upstream exist to make batches
+    * disjoint before they reach accounting.
+    */
+  def merge(manifests: Seq[DataFrame], groupCol: String): DataFrame = {
+    require(manifests.nonEmpty, "need at least one manifest to merge")
+    manifests.reduce(_ unionAll _)
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("n_rows")).as("n_rows"),
+        sum(col("n_bytes")).as("n_bytes"),
+        sum(col("sum_hash")).as("sum_hash"),
+        bit_xor(col("xor_hash")).as("xor_hash"))
+  }
+
   /** Group-level integrity report: `expected` vs `actual` manifests
     * (both [[build]] outputs over the same group column), full-outer
     * on the group — `missing` (expected only), `extra` (actual only),

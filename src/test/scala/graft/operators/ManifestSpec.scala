@@ -90,6 +90,52 @@ class ManifestSpec extends SparkSpec {
     assert(d("en") == "match")
   }
 
+  test("merge == rebuild bit-for-bit; groups missing from a batch ride through") {
+    // the nightly-turn shape: per-batch manifests fold-merged into the
+    // standing one must equal a from-scratch rebuild over the union —
+    // exactly, because every fold is commutative+associative
+    val b1 = mf(docs.filter($"doc_id" % 3 === 0))
+    val b2 = mf(docs.filter($"doc_id" % 3 === 1))
+    val b3 = mf(docs.filter($"doc_id" % 3 === 2))
+    val merged = Manifest.merge(Seq(b1, b2, b3), "lang")
+    val rebuilt = mf(docs)
+    assert(Manifest.diff(rebuilt, merged, "lang")
+      .filter($"status" =!= "match").isEmpty)
+    // a group entirely absent from one batch still consolidates
+    val only1 = mf(docs.filter($"lang" === "de"))
+    val only2 = mf(docs.filter($"lang" =!= "de"))
+    assert(Manifest.diff(rebuilt, Manifest.merge(Seq(only1, only2), "lang"), "lang")
+      .filter($"status" =!= "match").isEmpty)
+    // single-manifest merge is the identity
+    assert(Manifest.diff(rebuilt, Manifest.merge(Seq(rebuilt), "lang"), "lang")
+      .filter($"status" =!= "match").isEmpty)
+    // typed guard
+    assert(intercept[IllegalArgumentException] {
+      Manifest.merge(Seq.empty, "lang")
+    }.getMessage.contains("at least one"))
+  }
+
+  test("composed delivery story: pack to shards, manifest per shard, corruption localizes") {
+    // pack documents into token-budget shards, manifest BY SHARD, then
+    // corrupt one document in transit: the diff must flag exactly the
+    // shards holding that document and no others
+    val packed = Packing.packSequences(docs, "doc_id", "text", budget = 512, nShards = 7)
+      .select($"doc_id", $"shard")
+      .join(docs, "doc_id")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Manifest.build(df, "shard", Seq("doc_id", "text"), length($"text"))
+    val published = m(packed)
+    assert(published.count() == 7)
+    val corrupted = packed.withColumn("text",
+      when($"doc_id" === 42L, lit("flipped bits")).otherwise($"text"))
+    val badShard = packed.filter($"doc_id" === 42L).select($"shard").as[Long].head()
+    val d = Manifest.check(published, corrupted, "shard", Seq("doc_id", "text"), length($"text"))
+      .select($"shard", $"status").as[(Long, String)].collect().toMap
+    assert(d(badShard) == "mismatch")
+    assert(d.filter(_._1 != badShard).values.forall(_ == "match"),
+      "corruption must localize to the one shard")
+  }
+
   test("typed guard: empty hash column list") {
     val e = intercept[IllegalArgumentException] {
       Manifest.build(docs, "lang", Seq.empty, length($"text"))
