@@ -3700,6 +3700,30 @@ object SparkEntry {
              |       CAST(sum(h) AS BIGINT) AS sum_hash, bit_xor(h) AS xor_hash
              |FROM h GROUP BY lang ORDER BY lang""".stripMargin))
 
+    /** Token-window chunking ([[operators.TextAnalysis.chunkByTokens]],
+      * r10): 16-token windows every 8 tokens (50% overlap) over the
+      * documents table — the long-document split step before embedding
+      * or packing. FULL oracle: the same split/rejoin in DuckDB
+      * (string_split_regex + range starts + list slice), windows and
+      * tail lengths replayed exactly.
+      */
+    private val q105 = Q(
+      "q105_chunk_windows",
+      (s, dir) => operators.TextAnalysis.chunkByTokens(
+          t(s, dir, "documents"), "doc_id", "text", size = 16, stride = 8)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+             |w AS (
+             |  SELECT doc_id, toks, len(toks) AS n,
+             |         CAST(unnest(range(0, len(toks), 8)) AS INT) AS s
+             |  FROM d)
+             |SELECT doc_id, s // 8 AS chunk_idx,
+             |       array_to_string(toks[s + 1 : s + 16], ' ') AS chunk_text,
+             |       CAST(least(16, n - s) AS INT) AS chunk_tokens
+             |FROM w ORDER BY doc_id, chunk_idx""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -3708,7 +3732,7 @@ object SparkEntry {
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
       q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
-      q97, q98, q99, q100, q101, q102, q103, q104)
+      q97, q98, q99, q100, q101, q102, q103, q104, q105)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

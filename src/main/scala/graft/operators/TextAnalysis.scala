@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -17,6 +17,55 @@ object TextAnalysis {
     val t = trim(c)
     when(c.isNull || t === "", array().cast("array<string>"))
       .otherwise(split(lower(t), "\\s+"))
+  }
+
+  /** Overlapping token-window chunking — the SPLIT-side complement of
+    * [[Packing.packSequences]] (which concatenates documents into
+    * budget chunks): each document becomes one row per window of
+    * `size` whitespace tokens starting every `stride` tokens, the
+    * long-document preparation step training and retrieval pipelines
+    * run before embedding or packing. Case and token content are
+    * PRESERVED (unlike [[tokens]], which lowercases for analysis);
+    * inter-token whitespace normalizes to one space — the same
+    * convention any engine's split/rejoin replays.
+    *
+    * Windows: starts `0, stride, 2*stride, ...` strictly below the
+    * token count; the tail window may be shorter than `size`. With
+    * `stride == size` the chunks partition the token stream
+    * (reconstruction spec); `stride < size` overlaps by
+    * `size - stride` tokens (the context-continuity setting);
+    * `stride > size` is allowed and leaves deliberate gaps (window
+    * sampling). Null, empty, and whitespace-only texts produce NO
+    * rows (the family's undecodable-drop contract).
+    *
+    * Scale shape: one per-row split + a bounded explode — no shuffle,
+    * no join; output row count is `ceil(n_tokens / stride)` per doc
+    * by construction.
+    *
+    * Output: `idCol`, `chunk_idx` (0-based), `chunk_text`,
+    * `chunk_tokens`.
+    */
+  def chunkByTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      size: Int,
+      stride: Int): DataFrame = {
+    require(size > 0, s"window size must be positive: $size")
+    require(stride > 0, s"stride must be positive: $stride")
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol), toks.as("__toks"))
+      .withColumn("__n", org.apache.spark.sql.functions.size(col("__toks")))
+      .withColumn("__start",
+        explode(sequence(lit(0), col("__n") - 1, lit(stride))))
+      .select(
+        col(idCol),
+        (col("__start") / stride).cast("int").as("chunk_idx"),
+        concat_ws(" ", slice(col("__toks"), col("__start") + 1, lit(size)))
+          .as("chunk_text"),
+        least(lit(size), col("__n") - col("__start")).cast("int")
+          .as("chunk_tokens"))
   }
 
   /** Tiny per-language stopword lists (top function words; enough for an
