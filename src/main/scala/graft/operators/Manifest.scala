@@ -93,7 +93,10 @@ object Manifest {
     */
   def merge(manifests: Seq[DataFrame], groupCol: String): DataFrame = {
     require(manifests.nonEmpty, "need at least one manifest to merge")
-    manifests.reduce(_ unionAll _)
+    // by-name union: a manifest reopened from storage may present its
+    // columns in any order, and a positional union would silently fold
+    // n_bytes into sum_hash
+    manifests.reduce(_ unionByName _)
       .groupBy(col(groupCol))
       .agg(
         sum(col("n_rows")).as("n_rows"),
@@ -113,10 +116,14 @@ object Manifest {
   def diff(expected: DataFrame, actual: DataFrame, groupCol: String): DataFrame = {
     val cols = Seq("n_rows", "n_bytes", "sum_hash", "xor_hash")
     def side(df: DataFrame, tag: String) = df.select(
-      col(groupCol) +: cols.map(c => col(c).as(s"${c}_$tag")): _*)
+      col(groupCol).as(s"__g_$tag") +: cols.map(c => col(c).as(s"${c}_$tag")): _*)
     val same = cols.map(c => col(s"${c}_exp") <=> col(s"${c}_act")).reduce(_ && _)
-    side(expected, "exp").join(side(actual, "act"), Seq(groupCol), "full_outer")
-      .select(col(groupCol),
+    // null-safe group join: [[build]] gives the null group its own
+    // manifest row, so the diff must compare it as ONE row too — a
+    // plain equality join would split it into missing + extra
+    side(expected, "exp")
+      .join(side(actual, "act"), col("__g_exp") <=> col("__g_act"), "full_outer")
+      .select(coalesce(col("__g_exp"), col("__g_act")).as(groupCol),
         when(col("n_rows_act").isNull, lit("missing"))
           .when(col("n_rows_exp").isNull, lit("extra"))
           .when(same, lit("match"))

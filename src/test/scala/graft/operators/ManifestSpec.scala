@@ -136,6 +136,29 @@ class ManifestSpec extends SparkSpec {
       "corruption must localize to the one shard")
   }
 
+  test("null group diffs as ONE row; merge is by-name, not positional") {
+    // the null group has its own manifest row on both sides — the diff
+    // must null-safe-join it into one comparison, not missing + extra
+    val x = Seq((1L, "t", Option("g")), (2L, "u", Option.empty[String]))
+      .toDF("id", "text", "grp")
+    val y = Seq((1L, "t", Option("g")), (2L, "CHANGED", Option.empty[String]))
+      .toDF("id", "text", "grp")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Manifest.build(df, "grp", Seq("id", "text"), length($"text"))
+    val d = Manifest.diff(m(x), m(y), "grp").collect()
+    assert(d.length == 2, s"null group must be one row: ${d.mkString(", ")}")
+    val byGrp = d.map(r => Option(r.getString(0)) -> r.getString(1)).toMap
+    assert(byGrp(Some("g")) == "match" && byGrp(None) == "mismatch")
+    assert(Manifest.diff(m(x), m(x), "grp").collect()
+      .forall(_.getString(1) == "match"))
+    // a manifest reopened with reordered columns still merges exactly
+    val half1 = mf(docs.filter($"doc_id" % 2 === 0))
+      .select($"xor_hash", $"lang", $"sum_hash", $"n_rows", $"n_bytes")
+    val half2 = mf(docs.filter($"doc_id" % 2 =!= 0))
+    assert(Manifest.diff(mf(docs), Manifest.merge(Seq(half1, half2), "lang"), "lang")
+      .filter($"status" =!= "match").isEmpty)
+  }
+
   test("typed guard: empty hash column list") {
     val e = intercept[IllegalArgumentException] {
       Manifest.build(docs, "lang", Seq.empty, length($"text"))
