@@ -3713,12 +3713,13 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "text", size = 16, stride = 8)
         .orderBy("doc_id", "chunk_idx"),
       Some("""WITH d AS (
-             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-             |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+             |  FROM documents WHERE text IS NOT NULL),
              |w AS (
              |  SELECT doc_id, toks, len(toks) AS n,
              |         CAST(unnest(range(0, len(toks), 8)) AS INT) AS s
-             |  FROM d)
+             |  FROM d WHERE len(toks) > 0)
              |SELECT doc_id, s // 8 AS chunk_idx,
              |       array_to_string(toks[s + 1 : s + 16], ' ') AS chunk_text,
              |       CAST(least(16, n - s) AS INT) AS chunk_tokens

@@ -35,8 +35,9 @@ object TextAnalysis {
     * (reconstruction spec); `stride < size` overlaps by
     * `size - stride` tokens (the context-continuity setting);
     * `stride > size` is allowed and leaves deliberate gaps (window
-    * sampling). Null, empty, and whitespace-only texts produce NO
-    * rows (the family's undecodable-drop contract).
+    * sampling). Null, empty, and whitespace-only texts (ANY
+    * whitespace class — empty tokens are filtered, not trimmed)
+    * produce NO rows (the family's undecodable-drop contract).
     *
     * Scale shape: one per-row split + a bounded explode — no shuffle,
     * no join; output row count is `ceil(n_tokens / stride)` per doc
@@ -53,10 +54,15 @@ object TextAnalysis {
       stride: Int): DataFrame = {
     require(size > 0, s"window size must be positive: $size")
     require(stride > 0, s"stride must be positive: $stride")
-    val toks = split(trim(col(textCol)), "\\s+")
-    df.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
-      .select(col(idCol), toks.as("__toks"))
+    // filter empty tokens instead of trimming: Spark's trim strips
+    // 0x20 ONLY, so a leading/trailing \t or \n would otherwise leave
+    // empty split tokens (and even empty chunks) — caught by the
+    // PropertySpec driver-reference parity over \t\n\r-laden strings
+    val toks = org.apache.spark.sql.functions.filter(
+      split(col(textCol), "\\s+"), t => t =!= "")
+    df.select(col(idCol), toks.as("__toks"))
       .withColumn("__n", org.apache.spark.sql.functions.size(col("__toks")))
+      .filter(col("__n") > 0)
       .withColumn("__start",
         explode(sequence(lit(0), col("__n") - 1, lit(stride))))
       .select(

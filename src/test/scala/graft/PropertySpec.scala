@@ -230,6 +230,35 @@ class PartitionInvariantSpec extends SparkSpec {
     assert(keptMap == expect)
   }
 
+  test("chunkByTokens == driver reference for random unicode/whitespace strings") {
+    // both sides split on the JVM regex \s+ (Spark's split IS Java
+    // regex), so the reference is the law, not a reimplementation
+    // hazard: exact window geometry over adversarial whitespace
+    // (\t \n \r, doubled spaces, leading/trailing runs, CJK, accents,
+    // and U+00A0 which \s does NOT treat as whitespace — it must ride
+    // inside tokens)
+    val alphabet = "ab 字語é\t\n\r  ç z."
+    val rnd = new scala.util.Random(17)
+    val texts = (0 until 300).map { i =>
+      (i.toLong, (0 until rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val df = texts.toDF("doc_id", "text")
+    for ((size, stride) <- Seq((4, 2), (5, 5), (3, 7))) {
+      val got = graft.operators.TextAnalysis
+        .chunkByTokens(df, "doc_id", "text", size, stride)
+        .as[(Long, Int, String, Int)].collect().toSet
+      val want = texts.flatMap { case (id, text) =>
+        val toks = Option(text).toSeq
+          .flatMap(_.split("\\s+").toSeq).filter(_.nonEmpty)
+        (0 until toks.length by stride).zipWithIndex.map { case (s, k) =>
+          val w = toks.slice(s, s + size)
+          (id, k, w.mkString(" "), w.length)
+        }
+      }.toSet
+      assert(got == want, s"size=$size stride=$stride")
+    }
+  }
+
   test("unpivot row count equals non-null gated cells for random frames") {
     val rnd = new scala.util.Random(4)
     val rows = (0 until 300).map { i =>

@@ -66,9 +66,10 @@ class ChunkingSpec extends SparkSpec {
   test("one window per ceil(n/stride): row counts on real data, no shuffle in the plan") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = TextAnalysis.chunkByTokens(docs, "doc_id", "text", 16, 8)
-    val expect = docs.filter($"text".isNotNull && trim($"text") =!= "")
+    val expect = docs.filter($"text".isNotNull)
       .select(ceil(org.apache.spark.sql.functions.size(
-        split(trim($"text"), "\\s+")) / 8.0).cast("long").as("k"))
+        org.apache.spark.sql.functions.filter(
+          split($"text", "\\s+"), t => t =!= "")) / 8.0).cast("long").as("k"))
       .agg(sum($"k")).as[Long].head()
     assert(out.count() == expect)
     val plan = out.queryExecution.executedPlan.toString
