@@ -37,7 +37,12 @@ import org.apache.spark.sql.functions._
   * shifting content across columns is exactly the corruption a
   * transit checksum exists to catch. Null GROUP keys keep Spark's
   * groupBy semantics (one manifest row for the null group) so no row
-  * is silently outside the manifest.
+  * is silently outside the manifest. Honest limit shared with every
+  * separator-joined canonicalization ([[DatasetDiff]] included): a
+  * value that itself contains the `\u0001` separator can alias a
+  * column boundary — fixable only by length-prefixing, which would
+  * cost SQL replayability; accepted, because transit corruption does
+  * not manufacture adversarial separators.
   *
   * Plan shape at 100 TB: the row hash is computed scan-side; the only
   * exchange is the dimension-sized partial-aggregated groupBy (pinned

@@ -76,6 +76,31 @@ class ChunkingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
 
+  test("the same projection runs under a file stream (stateless, append mode)") {
+    // chunking is a per-row projection + bounded explode — no state,
+    // no watermark — so the identical call runs under readStream and
+    // yields exactly the batch answer (the DecontaminationGate
+    // discipline for stateless ops)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("chunk_stream").toString
+    (0 to 2).foreach { k =>
+      docs.filter($"doc_id" % 3 === k).coalesce(1)
+        .write.parquet(s"$dir/in/b$k.parquet")
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*/")
+    val q = TextAnalysis.chunkByTokens(stream, "doc_id", "text", 16, 8)
+      .writeStream.outputMode("append").format("memory").queryName("chunk_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
+    val streamed = spark.table("chunk_out")
+      .as[(Long, Int, String, Int)].collect().toSet
+    val batch = TextAnalysis.chunkByTokens(docs, "doc_id", "text", 16, 8)
+      .as[(Long, Int, String, Int)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("typed guards: size and stride must be positive") {
     assert(intercept[IllegalArgumentException] {
       TextAnalysis.chunkByTokens(one("a"), "doc_id", "text", 0, 1)
