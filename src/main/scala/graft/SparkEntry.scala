@@ -3725,6 +3725,54 @@ object SparkEntry {
              |       CAST(least(16, n - s) AS INT) AS chunk_tokens
              |FROM w ORDER BY doc_id, chunk_idx""".stripMargin))
 
+    /** Per-domain data card ([[operators.TextAnalysis.dataCard]],
+      * r10): docs/tokens/distinct-vocabulary/TTR/quality-mass per
+      * lang — the release-report row published next to the q102
+      * manifest. FULL oracle: q20's quality replay summed as integer
+      * micro-units (double sums re-associate; integer sums do not),
+      * token replay, exact distinct count, one final rounded
+      * division.
+      */
+    private val q106 = Q(
+      "q106_data_card",
+      (s, dir) => operators.TextAnalysis.dataCard(
+          t(s, dir, "documents"), "text", "lang")
+        .orderBy("lang"),
+      Some {
+        val allStops = TextAnalysis.stopwords.flatMap(_._2).distinct
+          .map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH tk AS (
+           |  SELECT lang, text,
+           |    CASE WHEN text IS NULL OR trim(text) = '' THEN []
+           |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+           |  FROM documents),
+           |q AS (
+           |  SELECT lang, toks,
+           |    CASE WHEN text IS NULL OR len(toks) = 0 THEN 0.0
+           |         ELSE 0.5 * least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
+           |            + 0.3 * least(CAST(len(list_intersect(list_distinct(toks), $allStops)) AS DOUBLE) / 4.0, 1.0)
+           |            + 0.2 * (1.0 - CASE WHEN len(toks) > 0
+           |                THEN least(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+           |                           / CAST(len(toks) AS DOUBLE), 1.0)
+           |                ELSE 1.0 END)
+           |    END AS quality
+           |  FROM tk),
+           |totals AS (
+           |  SELECT lang, count(*) AS n_docs,
+           |         CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+           |         CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT) AS quality_micro
+           |  FROM q GROUP BY lang),
+           |vocab AS (
+           |  SELECT lang, count(DISTINCT t) AS distinct_tokens
+           |  FROM (SELECT lang, unnest(toks) AS t FROM tk) GROUP BY lang)
+           |SELECT t.lang, n_docs, n_tokens,
+           |       coalesce(distinct_tokens, 0) AS distinct_tokens,
+           |       CASE WHEN n_tokens > 0
+           |            THEN round(CAST(coalesce(distinct_tokens, 0) AS DOUBLE) / n_tokens, 6) END AS ttr,
+           |       quality_micro
+           |FROM totals t LEFT JOIN vocab v USING (lang) ORDER BY lang""".stripMargin
+      })
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -3733,7 +3781,7 @@ object SparkEntry {
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
       q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
-      q97, q98, q99, q100, q101, q102, q103, q104, q105)
+      q97, q98, q99, q100, q101, q102, q103, q104, q105, q106)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

@@ -74,6 +74,60 @@ object TextAnalysis {
           .as("chunk_tokens"))
   }
 
+  /** Per-domain corpus DATA CARD — the release-report row a training
+    * run publishes next to its [[Manifest]]: document and token
+    * counts, distinct-token vocabulary size, type-token ratio, and
+    * the corpus quality mass. Complements q55's length profile with
+    * the vocabulary axis (the diversity signal token statistics alone
+    * miss: two domains with equal token counts can differ 10x in
+    * vocabulary).
+    *
+    * Every fold is chosen for exact cross-engine replay: counts and
+    * distinct counts are integers; the quality mass is
+    * `sum(round(quality * 1e6))` as a LONG (`quality_micro` — integer
+    * sum, order-independent; the consumer divides by `n_docs * 1e6`
+    * for the mean) because a raw double sum re-associates across
+    * partitions and is not bit-stable. `ttr` is one double division
+    * at the very end, rounded — safe, since both operands are exact
+    * integers. Ties in the half-up rounding agree across engines for
+    * non-negative quality (Spark HALF_UP == DuckDB half-away-from-zero
+    * on positives).
+    *
+    * Plan shape: two dimension-sized aggregates — one over the doc
+    * scan (counts + mass), one over the exploded tokens for the
+    * distinct count (the honest shuffle: (domain, token) pairs with
+    * map-side partial distinct) — joined on the domain. The corpus is
+    * scanned twice and shuffled once at token grain; at 100 TB the
+    * token-grain distinct is the dominant cost and is exactly what
+    * the metric requires (sketches would break the oracle).
+    */
+  def dataCard(
+      df: DataFrame,
+      textCol: String,
+      domainCol: String): DataFrame = {
+    val base = df.select(
+      col(domainCol),
+      tokens(col(textCol)).as("__toks"),
+      qualityScore(col(textCol)).as("__q"))
+    val totals = base.groupBy(col(domainCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(org.apache.spark.sql.functions.size(col("__toks")).cast("long"))
+        .as("n_tokens"),
+      sum(round(col("__q") * 1000000).cast("long")).as("quality_micro"))
+    val vocab = base
+      .select(col(domainCol), explode(col("__toks")).as("__t"))
+      .groupBy(col(domainCol))
+      .agg(countDistinct(col("__t")).as("distinct_tokens"))
+    totals.join(vocab, Seq(domainCol), "left")
+      .select(
+        col(domainCol), col("n_docs"), col("n_tokens"),
+        coalesce(col("distinct_tokens"), lit(0L)).as("distinct_tokens"),
+        when(col("n_tokens") > 0,
+          round(coalesce(col("distinct_tokens"), lit(0L)) / col("n_tokens"), 6))
+          .as("ttr"),
+        col("quality_micro"))
+  }
+
   /** Tiny per-language stopword lists (top function words; enough for an
     * n-gram-free heuristic — the classic stopword-hit language guesser).
     */
