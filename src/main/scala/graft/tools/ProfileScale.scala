@@ -649,6 +649,17 @@ object ProfileScale {
             length(col("text")))
         }
         println(f"PROFILE mix_manifest factor=$f rows=$nM cold=$coldM%.1f warm=$warmM%.1f")
+        // dataCard adds the one honest token-grain shuffle of the
+        // family (exact distinct over (domain, token)); the curve
+        // should stay ~linear in the scan because the pairs
+        // partial-aggregate map-side before the exchange. Rotation
+        // grows the vocabulary with f (each copy's tokens rotate), so
+        // the distinct side does real growing work, not a replay.
+        val (nC, coldC, warmC) = timed { s =>
+          graft.operators.TextAnalysis.dataCard(
+            scaled(s, sfDir, f), "text", "lang")
+        }
+        println(f"PROFILE mix_datacard factor=$f rows=$nC cold=$coldC%.1f warm=$warmC%.1f")
       }
       if (only.forall(_ == "ivf")) {
         // The IvfIndex claim (T35): indexed corpus scales with f, query

@@ -159,6 +159,41 @@ class ManifestSpec extends SparkSpec {
       .filter($"status" =!= "match").isEmpty)
   }
 
+  test("turn accounting: per-turn curated manifests merge to the union's manifest") {
+    // the delivery story for incremental curation: every nightly turn
+    // manifests ONLY its own curated batch (O(batch)) and merges it
+    // into the standing manifest; after two turns the standing
+    // manifest must equal a from-scratch build over everything ever
+    // curated — accounting follows the corpus without ever rescanning
+    // it
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text", $"lang")
+    val kept = all.filter($"doc_id" % 2 === 0)
+    val bench = all.filter($"doc_id" % 97 === 0).select("doc_id", "text")
+    val params = Curation.CurationParams(
+      minQuality = 0.0, maxRepetition = 1.0, maxContamination = 0.5)
+    def curatedOf(r: Curation.IncrementalResult) =
+      r.curated.select($"doc_id", $"text", $"lang")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Manifest.build(df, "lang", Seq("doc_id", "text"), length($"text"))
+
+    val ix0 = LshIndex.build(kept, "doc_id", "text")
+    val r1 = Curation.curateIncremental(
+      ix0, all.filter($"doc_id" % 4 === 1), bench, "doc_id", "text", "lang", params)
+    val night1 = curatedOf(r1).cache()
+    val r2 = Curation.curateIncremental(
+      r1.kept, all.filter($"doc_id" % 4 === 3), bench, "doc_id", "text", "lang", params)
+    val night2 = curatedOf(r2).cache()
+    assert(night1.count() > 0 && night2.count() > 0, "fixture turns must curate something")
+
+    val standing = Manifest.merge(Seq(m(night1), m(night2)), "lang")
+    val rebuilt = m(night1.unionByName(night2))
+    assert(Manifest.diff(rebuilt, standing, "lang")
+      .filter($"status" =!= "match").isEmpty)
+    night1.unpersist(); night2.unpersist()
+    r1.unpersist(); r2.unpersist()
+  }
+
   test("typed guard: empty hash column list") {
     val e = intercept[IllegalArgumentException] {
       Manifest.build(docs, "lang", Seq.empty, length($"text"))
