@@ -3773,6 +3773,47 @@ object SparkEntry {
            |FROM totals t LEFT JOIN vocab v USING (lang) ORDER BY lang""".stripMargin
       })
 
+    /** Split-leakage removal
+      * ([[operators.Contamination.removeSplitLeakage]], r10): q89's
+      * md5 split composed with q51's 13-gram overlap — train docs
+      * sharing any shingle with the val/test side are dropped, eval
+      * rows pass untouched. FULL oracle: the q89 split CASE + the q51
+      * shingle recipe + an anti-join, replayed end to end.
+      */
+    private val q107 = Q(
+      "q107_split_decontaminate",
+      (s, dir) => operators.Contamination.removeSplitLeakage(
+          Sampling.assignSplit(
+            t(s, dir, "documents").select($"doc_id", $"text"),
+            "doc_id", trainFrac = 0.8, valFrac = 0.1),
+          "doc_id", "text", "split")
+        .select($"doc_id", $"split")
+        .orderBy("doc_id"),
+      Some("""WITH sp AS (
+             |  SELECT doc_id, text,
+             |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < 8000 THEN 'train'
+             |         WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < 9000 THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM documents WHERE doc_id IS NOT NULL),
+             |tr AS (
+             |  SELECT doc_id, CASE WHEN length(text) >= 13
+             |    THEN list_distinct([substr(lower(text), i, 13)
+             |                        FOR i IN range(1, greatest(length(text) - 12, 0) + 1)])
+             |    ELSE [] END AS g
+             |  FROM sp WHERE split = 'train'),
+             |bg AS (
+             |  SELECT DISTINCT unnest(CASE WHEN length(text) >= 13
+             |    THEN list_distinct([substr(lower(text), i, 13)
+             |                        FOR i IN range(1, greatest(length(text) - 12, 0) + 1)])
+             |    ELSE [] END) AS g
+             |  FROM sp WHERE split <> 'train'),
+             |leaky AS (
+             |  SELECT DISTINCT t.doc_id
+             |  FROM (SELECT doc_id, unnest(g) AS g FROM tr) t JOIN bg USING (g))
+             |SELECT doc_id, split FROM sp
+             |WHERE split <> 'train' OR doc_id NOT IN (SELECT doc_id FROM leaky)
+             |ORDER BY doc_id""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -3781,7 +3822,7 @@ object SparkEntry {
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
       q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
-      q97, q98, q99, q100, q101, q102, q103, q104, q105, q106)
+      q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

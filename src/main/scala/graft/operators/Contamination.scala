@@ -61,6 +61,50 @@ object Contamination {
           .otherwise(lit(0.0)).as("contamination"))
   }
 
+  /** Split-leakage removal — [[ngramContamination]] pointed at the
+    * pipeline's OWN eval splits instead of an external benchmark: after
+    * [[Sampling.assignSplit]] pins train/val/test membership, any TRAIN
+    * document sharing more than `maxOverlapNgrams` character n-grams
+    * with the val/test side is dropped, so metrics computed on the
+    * held-out splits cannot be inflated by memorized near-copies that
+    * exact dedup missed (the leakage direction dedup does not cover:
+    * the copies landed in DIFFERENT splits). Eval rows pass untouched —
+    * they are the reference, not the suspect — and train rows with no
+    * grams (short docs) are leak-free by definition.
+    *
+    * Scale shape inherited from [[ngramContamination]]: the eval side's
+    * distinct gram set broadcasts (val+test are a fixed small fraction
+    * of the corpus by construction — at the default 80/10/10 the eval
+    * gram set is ~20% of corpus grams, so pass `broadcastBench = false`
+    * past broadcast size and the probe becomes a shuffled hash join);
+    * the train side streams through map-side, then one left-semi join
+    * on the id brings survivors back. Deterministic end to end: split
+    * membership is the md5 rule, the overlap count is exact. Rows with
+    * a NULL split are not-train, so they ride the eval side untouched
+    * (dropping them would silently shrink the corpus on a metadata
+    * defect this operator is not about).
+    */
+  def removeSplitLeakage(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      splitCol: String,
+      trainSplit: String = "train",
+      n: Int = 13,
+      maxOverlapNgrams: Long = 0L,
+      broadcastBench: Boolean = true): DataFrame = {
+    require(df.columns.contains(splitCol), s"missing split column: $splitCol")
+    require(maxOverlapNgrams >= 0, s"maxOverlapNgrams must be >= 0: $maxOverlapNgrams")
+    val train = df.filter(col(splitCol) === trainSplit)
+    val eval = df.filter(col(splitCol) =!= trainSplit || col(splitCol).isNull)
+    val stats = ngramContamination(
+      train, eval.select(col(idCol), col(textCol)), idCol, textCol, n, broadcastBench)
+    val clean = train.join(
+      stats.filter(col("overlap_ngrams") <= maxOverlapNgrams).select(col(idCol)),
+      Seq(idCol), "left_semi")
+    clean.unionByName(eval)
+  }
+
   /** SEMANTIC decontamination — the n-gram test's embedding-space twin
     * (the Phi/LLaMA-3 style): a training doc is contaminated when its
     * embedding lies within cosine `threshold` of ANY benchmark

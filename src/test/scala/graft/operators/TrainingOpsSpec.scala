@@ -775,6 +775,38 @@ class ContaminationSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("removeSplitLeakage: leaking train docs drop, eval untouched, threshold, null split rides eval") {
+    val df = Seq(
+      (1L, Option("the quick brown fox jumps"), Option("train")),  // substring of val 10 -> leaks
+      (2L, Option("completely different content here"), Option("train")), // clean
+      (3L, Option("short"), Option("train")),                      // no 13-grams -> leak-free
+      (10L, Option("the quick brown fox jumps over it"), Option("val")),
+      (11L, Option("held-out test document body text"), Option("test")),
+      (12L, Option("metadata defect row"), Option.empty[String]))  // null split -> eval side
+      .toDF("doc_id", "text", "split")
+    val out = Contamination.removeSplitLeakage(df, "doc_id", "text", "split")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(2L, 3L, 10L, 11L, 12L))
+    // eval rows pass through bit-identically (columns included)
+    val evalIn = df.filter($"split".isNull || $"split" =!= "train")
+    val evalOut = Contamination.removeSplitLeakage(df, "doc_id", "text", "split")
+      .filter($"split".isNull || $"split" =!= "train")
+    assert(evalOut.exceptAll(evalIn).isEmpty && evalIn.exceptAll(evalOut).isEmpty)
+    // a lax threshold keeps the leaking doc
+    val lax = Contamination.removeSplitLeakage(
+        df, "doc_id", "text", "split", maxOverlapNgrams = 1000L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(lax == Set(1L, 2L, 3L, 10L, 11L, 12L))
+    // typed guards
+    assert(intercept[IllegalArgumentException] {
+      Contamination.removeSplitLeakage(df, "doc_id", "text", "nope")
+    }.getMessage.contains("split column"))
+    assert(intercept[IllegalArgumentException] {
+      Contamination.removeSplitLeakage(df, "doc_id", "text", "split",
+        maxOverlapNgrams = -1L)
+    }.getMessage.contains(">= 0"))
+  }
+
   test("embeddingContamination: planted benchmark copy flags, far vectors pass, nulls cannot match") {
     val rnd = new scala.util.Random(7)
     def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)
