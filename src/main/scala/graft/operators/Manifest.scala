@@ -146,4 +146,51 @@ object Manifest {
       hashCols: Seq[String],
       sizeExpr: Column): DataFrame =
     diff(expected, build(df, groupCol, hashCols, sizeExpr), groupCol)
+
+  /** Durable delivery pair, write side: the data partitioned by the
+    * group column under `path/data` plus its manifest under
+    * `path/manifest`, in one call — so a release NEVER ships without
+    * its integrity record, and the partition layout makes a
+    * group-level re-pull cheap when [[readVerified]] rejects one.
+    * The group column round-trips through partition-directory type
+    * inference on the read side; numeric groups coerce in the diff
+    * join, and the group VALUES (not their width) are the identity.
+    */
+  def writeWithManifest(
+      df: DataFrame,
+      path: String,
+      groupCol: String,
+      hashCols: Seq[String],
+      sizeExpr: Column): Unit = {
+    df.write.mode("overwrite").partitionBy(groupCol).parquet(s"$path/data")
+    build(df, groupCol, hashCols, sizeExpr)
+      .write.mode("overwrite").parquet(s"$path/manifest")
+  }
+
+  /** Durable delivery pair, read side: reopen `path/data`, recompute
+    * its manifest, and FAIL TYPED if any group mismatches the
+    * published one — naming the offending groups and statuses, so the
+    * operator knows exactly which partitions to re-pull. The
+    * verification pays one full scan of the delivery; that is the
+    * contract (verify once at ingest), not a per-query tax — pass the
+    * returned frame on and never re-verify. Returns the data frame
+    * on success.
+    */
+  def readVerified(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      groupCol: String,
+      hashCols: Seq[String],
+      sizeExpr: Column): DataFrame = {
+    val data = spark.read.parquet(s"$path/data")
+    val expected = spark.read.parquet(s"$path/manifest")
+    val bad = diff(expected, build(data, groupCol, hashCols, sizeExpr), groupCol)
+      .filter(col("status") =!= "match")
+      .limit(20).collect()
+    require(bad.isEmpty,
+      s"delivery at $path failed manifest verification: " +
+        bad.map(r => s"${r.get(0)}=${r.getString(1)}").mkString(", ") +
+        " — re-pull the named groups")
+    data
+  }
 }

@@ -194,6 +194,37 @@ class ManifestSpec extends SparkSpec {
     r1.unpersist(); r2.unpersist()
   }
 
+  test("delivery pair: write+manifest round-trips; a lost partition fails typed naming the group") {
+    val dir = java.nio.file.Files.createTempDirectory("delivery").toString
+    Manifest.writeWithManifest(docs, s"$dir/rel1", "lang",
+      Seq("doc_id", "text"), length($"text"))
+
+    // clean round-trip in a FRESH session (the artifact discipline):
+    // verification passes and the data content survives intact
+    val s2 = spark.newSession()
+    val got = Manifest.readVerified(s2, s"$dir/rel1", "lang",
+      Seq("doc_id", "text"), org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")))
+    assert(got.count() == docs.count())
+    assert(got.select("doc_id").exceptAll(docs.select("doc_id")).isEmpty)
+
+    // a partition lost in transit: delete one lang directory — the
+    // read must fail typed, naming exactly that group as missing
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    rmTree(java.nio.file.Paths.get(s"$dir/rel1/data/lang=zh"))
+    val e = intercept[IllegalArgumentException] {
+      Manifest.readVerified(spark.newSession(), s"$dir/rel1", "lang",
+        Seq("doc_id", "text"), org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")))
+    }
+    assert(e.getMessage.contains("zh=missing") && e.getMessage.contains("re-pull"))
+    assert(!e.getMessage.contains("en="), "intact groups must not be named")
+  }
+
   test("typed guard: empty hash column list") {
     val e = intercept[IllegalArgumentException] {
       Manifest.build(docs, "lang", Seq.empty, length($"text"))
