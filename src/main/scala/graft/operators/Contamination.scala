@@ -72,12 +72,14 @@ object Contamination {
     * they are the reference, not the suspect — and train rows with no
     * grams (short docs) are leak-free by definition.
     *
-    * Scale shape inherited from [[ngramContamination]]: the eval side's
-    * distinct gram set broadcasts (val+test are a fixed small fraction
-    * of the corpus by construction — at the default 80/10/10 the eval
-    * gram set is ~20% of corpus grams, so pass `broadcastBench = false`
-    * past broadcast size and the probe becomes a shuffled hash join);
-    * the train side streams through map-side, then one left-semi join
+    * Scale shape: machinery inherited from [[ngramContamination]], but
+    * the DEFAULT join flips to the shuffled hash join
+    * (`broadcastBench = false`) — an external benchmark is MBs, while
+    * the eval side here is a fixed FRACTION of the corpus (~20% of all
+    * grams at 80/10/10), which at production scale is nowhere near
+    * broadcastable; a default that OOMs the driver at exactly the
+    * scale the operator exists for would be a trap. Opt back into the
+    * broadcast for genuinely small eval sets. Then one left-semi join
     * on the id brings survivors back. Deterministic end to end: split
     * membership is the md5 rule, the overlap count is exact. Rows with
     * a NULL split are not-train, so they ride the eval side untouched
@@ -92,7 +94,7 @@ object Contamination {
       trainSplit: String = "train",
       n: Int = 13,
       maxOverlapNgrams: Long = 0L,
-      broadcastBench: Boolean = true): DataFrame = {
+      broadcastBench: Boolean = false): DataFrame = {
     require(df.columns.contains(splitCol), s"missing split column: $splitCol")
     require(maxOverlapNgrams >= 0, s"maxOverlapNgrams must be >= 0: $maxOverlapNgrams")
     val train = df.filter(col(splitCol) === trainSplit)
