@@ -807,6 +807,28 @@ class ContaminationSpec extends SparkSpec {
     }.getMessage.contains(">= 0"))
   }
 
+  test("removeSplitLeakage gram join: shuffled by default (eval is corpus-fraction-sized), broadcast opt-in") {
+    val df = (0L until 40L)
+      .map(i => (i, s"document number $i with plenty of shared words here"))
+      .toDF("doc_id", "text")
+      .withColumn("split", when($"doc_id" % 5 === 0, "val").otherwise("train"))
+    // The pin is on the HINT, not the physical join: Catalyst is free
+    // to auto-broadcast a genuinely tiny gram set (statistics say so),
+    // but the operator must not FORCE it by default — an eval side
+    // that is ~20% of all corpus grams at scale must stay eligible for
+    // the shuffled hash join. The analyzed plan retains ResolvedHint.
+    def hints(broadcastBench: Boolean): Int = {
+      import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+      Contamination.removeSplitLeakage(df, "doc_id", "text", "split",
+          broadcastBench = broadcastBench)
+        .queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
+    }
+    assert(hints(broadcastBench = false) == 0,
+      "the gram join must not carry a forced-broadcast hint by default")
+    assert(hints(broadcastBench = true) >= 1,
+      "the broadcast opt-in must reach the gram join as a hint")
+  }
+
   test("embeddingContamination: planted benchmark copy flags, far vectors pass, nulls cannot match") {
     val rnd = new scala.util.Random(7)
     def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)
