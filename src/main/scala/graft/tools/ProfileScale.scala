@@ -660,6 +660,19 @@ object ProfileScale {
             scaled(s, sfDir, f), "text", "lang")
         }
         println(f"PROFILE mix_datacard factor=$f rows=$nC cold=$coldC%.1f warm=$warmC%.1f")
+        // split-leakage removal runs the SHUFFLED gram join (the
+        // at-scale default — eval is a corpus fraction, never
+        // broadcastable), so this curve measures the one machinery
+        // variant q51's broadcast profile does not: both sides of the
+        // gram join scale with f and the join shuffles on the gram key
+        val (nL, coldL, warmL) = timed { s =>
+          graft.operators.Contamination.removeSplitLeakage(
+            graft.operators.Sampling.assignSplit(
+              scaled(s, sfDir, f).select(col("doc_id"), col("text")),
+              "doc_id", trainFrac = 0.8, valFrac = 0.1),
+            "doc_id", "text", "split")
+        }
+        println(f"PROFILE mix_leakage factor=$f rows=$nL cold=$coldL%.1f warm=$warmL%.1f")
       }
       if (only.forall(_ == "ivf")) {
         // The IvfIndex claim (T35): indexed corpus scales with f, query
