@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.operators.Manifest
+
+/** Streaming delivery accounting — [[graft.operators.Manifest]] wired
+  * into Structured Streaming, completing the artifact-per-family gate
+  * symmetry: every micro-batch's manifest is fold-merged into the
+  * standing one, so the accounting follows an append-only ingest
+  * WITHOUT ever rescanning the corpus ([[Manifest.merge]] is exact —
+  * commutative, associative folds — so the live manifest is bit-equal
+  * to a from-scratch [[Manifest.build]] over everything ingested so
+  * far, spec-pinned).
+  *
+  * Unlike the dedup gates this one FILTERS NOTHING: accounting is an
+  * observer. [[Gate.accountBatch]] returns the batch untouched so it
+  * drops into a `foreachBatch` chain between a dedup gate and the
+  * sink. The [[Manifest.merge]] overlap caveat applies: batches are
+  * assumed disjoint (the upstream dedup gates exist to make them so);
+  * re-accounting the same rows double-counts exactly as a union
+  * would.
+  *
+  * Wiring:
+  * {{{
+  * val gate = new ManifestGate.Gate(
+  *   Manifest.build(kept, "lang", Seq("id", "text"), length(col("text"))),
+  *   "lang", Seq("id", "text"), length(col("text")))
+  * stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+  *   gate.accountBatch(batch).write.mode("append").parquet(out)
+  * }.start()
+  * }}}
+  */
+object ManifestGate {
+
+  /** Mutable gate state: call [[accountBatch]] from `foreachBatch`
+    * (serial per stream; the lock also makes sharing safe).
+    *
+    * `checkpointPath`/`checkpointEvery`: when both set, each
+    * `checkpointEvery`-th batch durably writes the post-merge manifest
+    * to `<checkpointPath>/manifest_<seq>` — the [[GateCheckpoints]]
+    * family contract; reopen with [[latestCheckpoint]] on restart.
+    */
+  final class Gate(
+      initialManifest: DataFrame,
+      groupCol: String,
+      hashCols: Seq[String],
+      sizeExpr: Column,
+      checkpointPath: Option[String] = None,
+      checkpointEvery: Int = 0) {
+
+    private var manifest: DataFrame = initialManifest
+    private var owned = false // never unpersist the caller's initial frame
+    private var batches = 0L
+    private var lastCkpt: Option[String] = None
+
+    /** The standing manifest (initial + every batch accounted so far). */
+    def currentManifest: DataFrame = synchronized(manifest)
+
+    /** Path of the newest durable checkpoint written, if any. */
+    def lastCheckpoint: Option[String] = synchronized(lastCkpt)
+
+    /** Folds the batch's manifest into the standing one and returns
+      * the batch UNTOUCHED (accounting observes, never filters).
+      */
+    def accountBatch(batch: DataFrame): DataFrame = synchronized {
+      val next = Manifest.merge(
+          Seq(manifest, Manifest.build(batch, groupCol, hashCols, sizeExpr)),
+          groupCol)
+        .localCheckpoint() // sever lineage: state stays flat across batches
+      if (owned) manifest.unpersist()
+      manifest = next
+      owned = true
+      batches += 1
+      GateCheckpoints.maybeWrite(manifest, checkpointPath, checkpointEvery,
+        "manifest_", batches).foreach(p => lastCkpt = Some(p))
+      batch
+    }
+  }
+
+  /** Newest `manifest_<seq>` artifact under `path`, or None. */
+  def latestCheckpoint(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[DataFrame] =
+    GateCheckpoints.latest(spark, path, "manifest_")
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Manifest
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The accounting gate's contract: after every batch, the live
+  * manifest is bit-equal to a from-scratch build over everything
+  * ingested so far; batches pass through untouched; the durable
+  * checkpoint reopens to the same artifact; and the gate composes
+  * under a real file stream.
+  */
+class ManifestGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    .select($"doc_id", $"text", $"lang")
+
+  private def mf(df: DataFrame) =
+    Manifest.build(df, "lang", Seq("doc_id", "text"), length($"text"))
+
+  private def assertSame(a: DataFrame, b: DataFrame): Unit =
+    assert(Manifest.diff(a, b, "lang").filter($"status" =!= "match").isEmpty)
+
+  test("every batch: live manifest == build over corpus-so-far; batch passes untouched") {
+    val kept = docs.filter($"doc_id" % 4 === 0)
+    val gate = new ManifestGate.Gate(mf(kept), "lang",
+      Seq("doc_id", "text"), length($"text"))
+    var soFar = kept
+    for (k <- Seq(1, 2, 3)) {
+      val batch = docs.filter($"doc_id" % 4 === k)
+      val out = gate.accountBatch(batch)
+      assert(out.exceptAll(batch).isEmpty && batch.exceptAll(out).isEmpty,
+        "accounting must observe, never filter")
+      soFar = soFar.unionByName(batch)
+      assertSame(mf(soFar), gate.currentManifest)
+    }
+  }
+
+  test("checkpoint artifact reopens to the live manifest in a fresh session") {
+    val dir = java.nio.file.Files.createTempDirectory("mgate").toString
+    val gate = new ManifestGate.Gate(
+      mf(docs.filter($"doc_id" % 2 === 0)), "lang",
+      Seq("doc_id", "text"), length($"text"),
+      checkpointPath = Some(dir), checkpointEvery = 1)
+    gate.accountBatch(docs.filter($"doc_id" % 2 =!= 0))
+    assert(gate.lastCheckpoint.isDefined)
+    val s2 = spark.newSession()
+    val reopened = ManifestGate.latestCheckpoint(s2, dir)
+    assert(reopened.isDefined)
+    assertSame(mf(docs), reopened.get)
+  }
+
+  test("under a real file stream: final manifest == build over initial + all streamed batches") {
+    val kept = docs.filter($"doc_id" % 3 === 0)
+    val streamedSide = docs.filter($"doc_id" % 3 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("mgate_stream").toString
+    (1 to 2).foreach { k =>
+      docs.filter($"doc_id" % 3 === k).coalesce(1)
+        .write.parquet(s"$dir/in/b$k.parquet")
+    }
+    val gate = new ManifestGate.Gate(mf(kept), "lang",
+      Seq("doc_id", "text"), length($"text"))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*/")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        gate.accountBatch(batch).write.mode("append").parquet(s"$dir/out")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
+    assertSame(mf(kept.unionByName(streamedSide)), gate.currentManifest)
+    // the pass-through sink holds exactly the streamed rows
+    val sunk = spark.read.parquet(s"$dir/out")
+    assert(sunk.exceptAll(streamedSide).isEmpty && streamedSide.exceptAll(sunk).isEmpty)
+  }
+}
