@@ -79,12 +79,23 @@ object Contamination {
     * grams at 80/10/10), which at production scale is nowhere near
     * broadcastable; a default that OOMs the driver at exactly the
     * scale the operator exists for would be a trap. Opt back into the
-    * broadcast for genuinely small eval sets. Then one left-semi join
-    * on the id brings survivors back. Deterministic end to end: split
-    * membership is the md5 rule, the overlap count is exact. Rows with
-    * a NULL split are not-train, so they ride the eval side untouched
-    * (dropping them would silently shrink the corpus on a metadata
-    * defect this operator is not about).
+    * broadcast for genuinely small eval sets. Then one null-safe
+    * left-semi join on the id brings survivors back. Deterministic end
+    * to end: split membership is the md5 rule, the overlap count is
+    * exact. Rows with a NULL split are not-train, so they ride the
+    * eval side untouched (dropping them would silently shrink the
+    * corpus on a metadata defect this operator is not about).
+    *
+    * NULL-id train rows: [[ngramContamination]] groups them into ONE
+    * null-id stats row, and the survivor join is null-safe (`<=>`), so
+    * they are kept or dropped TOGETHER by that merged pseudo-doc's
+    * overlap. Sound in the only direction that matters: each member
+    * doc's individual overlap is bounded above by the merged overlap
+    * (its grams are a subset of the union), so a passing null group
+    * certifies every member individually clean; a failing one drops
+    * docs that may individually be clean — decontamination errs toward
+    * dropping when identity is missing (a plain equality join would
+    * instead vanish them silently, r10 ADVICE).
     */
   def removeSplitLeakage(
       df: DataFrame,
@@ -101,9 +112,9 @@ object Contamination {
     val eval = df.filter(col(splitCol) =!= trainSplit || col(splitCol).isNull)
     val stats = ngramContamination(
       train, eval.select(col(idCol), col(textCol)), idCol, textCol, n, broadcastBench)
-    val clean = train.join(
-      stats.filter(col("overlap_ngrams") <= maxOverlapNgrams).select(col(idCol)),
-      Seq(idCol), "left_semi")
+    val okIds = stats.filter(col("overlap_ngrams") <= maxOverlapNgrams)
+      .select(col(idCol).as("__ok_id"))
+    val clean = train.join(okIds, train(idCol) <=> col("__ok_id"), "left_semi")
     clean.unionByName(eval)
   }
 

@@ -152,9 +152,12 @@ object Manifest {
     * `path/manifest`, in one call — so a release NEVER ships without
     * its integrity record, and the partition layout makes a
     * group-level re-pull cheap when [[readVerified]] rejects one.
-    * The group column round-trips through partition-directory type
-    * inference on the read side; numeric groups coerce in the diff
-    * join, and the group VALUES (not their width) are the identity.
+    * The manifest doubles as the schema record for the group column:
+    * [[readVerified]] pins the reopened partition column to the
+    * manifest's group type, so numeric-LOOKING string groups (a
+    * zero-padded shard id "01", a "1e3" bucket label) round-trip
+    * verbatim instead of being rewritten by partition-directory type
+    * inference.
     */
   def writeWithManifest(
       df: DataFrame,
@@ -182,8 +185,21 @@ object Manifest {
       groupCol: String,
       hashCols: Seq[String],
       sizeExpr: Column): DataFrame = {
-    val data = spark.read.parquet(s"$path/data")
     val expected = spark.read.parquet(s"$path/manifest")
+    // Partition-directory type inference would rewrite numeric-LOOKING
+    // string group values (shard "01" -> int 1, label "1e3" -> double),
+    // so diff would report an intact delivery as missing+extra — a
+    // fail-closed false alarm on exactly the zero-padded shard ids
+    // this class exists for. The manifest carries the writer's group
+    // type; re-reading with a user-specified schema makes the raw
+    // directory value parse under the DECLARED type (SPARK-26188
+    // semantics: no infer-then-cast), so string groups round-trip
+    // verbatim. The schema-only first read costs a footer, not a scan.
+    val inferred = spark.read.parquet(s"$path/data").schema
+    val groupType = expected.schema(groupCol).dataType
+    val pinned = org.apache.spark.sql.types.StructType(inferred.map(f =>
+      if (f.name == groupCol) f.copy(dataType = groupType) else f))
+    val data = spark.read.schema(pinned).parquet(s"$path/data")
     val bad = diff(expected, build(data, groupCol, hashCols, sizeExpr), groupCol)
       .filter(col("status") =!= "match")
       .limit(20).collect()

@@ -50,7 +50,6 @@ object ManifestGate {
       checkpointEvery: Int = 0) {
 
     private var manifest: DataFrame = initialManifest
-    private var owned = false // never unpersist the caller's initial frame
     private var batches = 0L
     private var lastCkpt: Option[String] = None
 
@@ -62,15 +61,25 @@ object ManifestGate {
 
     /** Folds the batch's manifest into the standing one and returns
       * the batch UNTOUCHED (accounting observes, never filters).
+      *
+      * State management: the merged manifest is COLLECTED and rebuilt
+      * as a local frame each batch. A manifest is dimension-sized by
+      * contract (one row per shard/domain — 100k shards is ~5 MB of
+      * driver heap), so localizing it severs lineage exactly like a
+      * `localCheckpoint` would, while releasing the previous state
+      * deterministically with the reference: checkpoint RDD blocks are
+      * not registered in the CacheManager, so `unpersist` on the
+      * DataFrame was a no-op and superseded manifests lingered in the
+      * executor block store until GC on a long stream (r10 ADVICE).
+      * Nothing executor-resident exists to leak now.
       */
     def accountBatch(batch: DataFrame): DataFrame = synchronized {
-      val next = Manifest.merge(
-          Seq(manifest, Manifest.build(batch, groupCol, hashCols, sizeExpr)),
-          groupCol)
-        .localCheckpoint() // sever lineage: state stays flat across batches
-      if (owned) manifest.unpersist()
-      manifest = next
-      owned = true
+      val merged = Manifest.merge(
+        Seq(manifest, Manifest.build(batch, groupCol, hashCols, sizeExpr)),
+        groupCol)
+      val rows = merged.collect()
+      manifest = merged.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), merged.schema)
       batches += 1
       GateCheckpoints.maybeWrite(manifest, checkpointPath, checkpointEvery,
         "manifest_", batches).foreach(p => lastCkpt = Some(p))

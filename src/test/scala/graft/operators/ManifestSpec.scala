@@ -225,6 +225,24 @@ class ManifestSpec extends SparkSpec {
     assert(!e.getMessage.contains("en="), "intact groups must not be named")
   }
 
+  test("delivery pair: numeric-looking STRING groups round-trip verbatim") {
+    // partition-directory type inference rewrites "01" -> int 1 and
+    // "1e3" -> double on a naive reopen, which made diff report an
+    // intact delivery as missing+extra (r10 ADVICE); readVerified pins
+    // the partition column to the manifest's recorded group type
+    val df = Seq((1L, "alpha", "01"), (2L, "beta", "1e3"), (3L, "gamma", "7"))
+      .toDF("id", "text", "shard")
+    val dir = java.nio.file.Files.createTempDirectory("delivery-str").toString
+    Manifest.writeWithManifest(df, s"$dir/rel", "shard",
+      Seq("id", "text"), length($"text"))
+    val got = Manifest.readVerified(spark.newSession(), s"$dir/rel", "shard",
+      Seq("id", "text"), org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")))
+    assert(got.schema("shard").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(got.select("shard").as[String].collect().toSet == Set("01", "1e3", "7"))
+  }
+
   test("typed guard: empty hash column list") {
     val e = intercept[IllegalArgumentException] {
       Manifest.build(docs, "lang", Seq.empty, length($"text"))

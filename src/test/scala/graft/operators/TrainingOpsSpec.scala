@@ -807,6 +807,33 @@ class ContaminationSpec extends SparkSpec {
     }.getMessage.contains(">= 0"))
   }
 
+  test("removeSplitLeakage null-id train rows: judged together as the merged null group, never silently dropped") {
+    // ngramContamination folds all null-id train rows into ONE stats
+    // row; the survivor join is null-safe, so they live or die together
+    // by that merged pseudo-doc's overlap (r10 ADVICE: a plain equality
+    // join vanished them silently)
+    def run(texts: Seq[String]) = Contamination.removeSplitLeakage(
+      (Seq(
+        (Option(1L), "completely different content here today", "train"),
+        (Option(10L), "the quick brown fox jumps over it", "val")) ++
+        texts.map(t => (Option.empty[Long], t, "train")))
+        .toDF("doc_id", "text", "split"),
+      "doc_id", "text", "split")
+    // all-clean null group: every null-id train row survives
+    val clean = run(Seq(
+      "harmless unrelated sentence alpha beta", "another spotless null-id body"))
+    assert(clean.count() == 4)
+    assert(clean.filter($"doc_id".isNull).count() == 2)
+    // one member shares 13-grams with val: the merged group leaks, so
+    // BOTH null-id rows drop (conservative — each member's individual
+    // overlap is bounded by the merged overlap, so a passing group
+    // certifies all members; a failing one errs toward dropping)
+    val leaky = run(Seq(
+      "the quick brown fox jumps over it", "another spotless null-id body"))
+    assert(leaky.filter($"doc_id".isNull).count() == 0)
+    assert(leaky.count() == 2, "non-null train + eval rows unaffected")
+  }
+
   test("removeSplitLeakage gram join: shuffled by default (eval is corpus-fraction-sized), broadcast opt-in") {
     val df = (0L until 40L)
       .map(i => (i, s"document number $i with plenty of shared words here"))

@@ -38,6 +38,20 @@ class ManifestGateSpec extends SparkSpec {
     }
   }
 
+  test("gate state is driver-local: severed lineage, zero executor-resident blocks") {
+    // the r10 ADVICE leak: localCheckpoint blocks are invisible to
+    // CacheManager, so superseded manifests were freed only by GC on a
+    // long stream. State is now a collected LocalRelation — nothing
+    // lives in the executor block store at all, and the plan carries
+    // no lineage back to prior batches.
+    val gate = new ManifestGate.Gate(mf(docs.filter($"doc_id" % 2 === 0)),
+      "lang", Seq("doc_id", "text"), length($"text"))
+    gate.accountBatch(docs.filter($"doc_id" % 2 =!= 0))
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    assert(gate.currentManifest.queryExecution.analyzed.isInstanceOf[LocalRelation],
+      "standing manifest must be a localized frame, not a lineage chain")
+  }
+
   test("checkpoint artifact reopens to the live manifest in a fresh session") {
     val dir = java.nio.file.Files.createTempDirectory("mgate").toString
     val gate = new ManifestGate.Gate(
