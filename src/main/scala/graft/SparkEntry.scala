@@ -3733,12 +3733,7 @@ object SparkEntry {
       * token replay, exact distinct count, one final rounded
       * division.
       */
-    private val q106 = Q(
-      "q106_data_card",
-      (s, dir) => operators.TextAnalysis.dataCard(
-          t(s, dir, "documents"), "text", "lang")
-        .orderBy("lang"),
-      Some {
+    private val dataCardSql: String = {
         val allStops = TextAnalysis.stopwords.flatMap(_._2).distinct
           .map(w => s"'$w'").mkString("[", ", ", "]")
         s"""WITH tk AS (
@@ -3771,7 +3766,14 @@ object SparkEntry {
            |            THEN round(CAST(coalesce(distinct_tokens, 0) AS DOUBLE) / n_tokens, 6) END AS ttr,
            |       quality_micro
            |FROM totals t LEFT JOIN vocab v USING (lang) ORDER BY lang""".stripMargin
-      })
+      }
+
+    private val q106 = Q(
+      "q106_data_card",
+      (s, dir) => operators.TextAnalysis.dataCard(
+          t(s, dir, "documents"), "text", "lang")
+        .orderBy("lang"),
+      Some(dataCardSql))
 
     /** Split-leakage removal
       * ([[operators.Contamination.removeSplitLeakage]], r10): q89's
@@ -3814,6 +3816,195 @@ object SparkEntry {
              |WHERE split <> 'train' OR doc_id NOT IN (SELECT doc_id FROM leaky)
              |ORDER BY doc_id""".stripMargin))
 
+    /** THE release capstone (T80, r11): the ENTIRE delivery turn —
+      * curation core (q57's stages 1-5), md5 split pinning (q89),
+      * split-leakage removal (q107), temperature mix over the train
+      * slice only (q82, alpha 0.5), sequence packing over the final
+      * corpus (q54) — composed by [[operators.Release.build]], WRITTEN
+      * to disk partitioned by split with its manifest and data card,
+      * and the returned frame is the [[operators.Release.open]]
+      * `readVerified` REOPEN of the written artifact: the hash match
+      * certifies the SHIPPED BYTES survived the round trip, not an
+      * in-memory intermediate. The oracle chains each stage's
+      * already-proven recipe end to end; gates that are no-ops under
+      * these params (quality/repetition bounds) are elided exactly as
+      * in q57.
+      */
+    private val q108 = Q(
+      "q108_release_turn",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val path = java.nio.file.Files.createTempDirectory("graft_release")
+          .toString + "/rel"
+        val res = operators.Release.build(
+          docs.filter($"doc_id" % 97 =!= 0).select($"doc_id", $"lang", $"text"),
+          docs.filter($"doc_id" % 97 === 0),
+          "doc_id", "text", "lang", path,
+          operators.Release.ReleaseParams(
+            curation = operators.Curation.CurationParams(
+              minQuality = 0.0, maxRepetition = 1.0,
+              lshThreshold = 0.6, maxContamination = 0.5,
+              portableHash = true, minDocFreq = 0L),
+            trainFrac = 0.8, valFrac = 0.1,
+            leakageN = 13, maxOverlapNgrams = 100L,
+            mixAlpha = 0.5))
+        res.unpersist()
+        operators.Release.open(s, path, "doc_id", "text")
+          .select($"doc_id", $"lang", $"split", $"shard", $"n_tokens",
+            $"token_start", $"chunk_first", $"chunk_last")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+             |train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 <> 0),
+             |benchdocs AS (SELECT text FROM documents WHERE doc_id % 97 = 0),
+             |keep AS (SELECT min(doc_id) AS doc_id FROM train GROUP BY text),
+             |surv AS MATERIALIZED (SELECT t.* FROM train t JOIN keep USING (doc_id)),
+             |sh0 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN text IS NULL THEN CAST([] AS BIGINT[]) ELSE
+             |      list_distinct([CAST('0x' || substr(md5(substr(lower(text), i, 3)), 1, 8) AS BIGINT)
+             |                     FOR i IN range(1, greatest(length(text) - 2, 0) + 1)]) END AS hs0
+             |  FROM surv),
+             |stop AS (
+             |  SELECT h FROM (SELECT unnest(hs0) AS h FROM sh0)
+             |  GROUP BY h
+             |  HAVING count(*) > floor((SELECT count(*) FROM surv) * 0.5)),
+             |pruned AS MATERIALIZED (
+             |  SELECT s.doc_id, coalesce(l.hs, CAST([] AS BIGINT[])) AS hs
+             |  FROM sh0 s LEFT JOIN (
+             |    SELECT doc_id, list(h) AS hs
+             |    FROM (SELECT doc_id, unnest(hs0) AS h FROM sh0)
+             |    WHERE h NOT IN (SELECT h FROM stop)
+             |    GROUP BY doc_id) l USING (doc_id)),
+             |sigs AS (
+             |  SELECT doc_id, hs,
+             |    $q57Sigs
+             |  FROM pruned),
+             |banded AS (
+             |  $q57Bands),
+             |ok_buckets AS (
+             |  SELECT band, bucket FROM banded
+             |  GROUP BY band, bucket HAVING count(*) <= 2000),
+             |cands AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM banded a
+             |  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+             |  JOIN ok_buckets ob ON ob.band = a.band AND ob.bucket = a.bucket),
+             |pairs AS (
+             |  SELECT c.id_a, c.id_b
+             |  FROM cands c
+             |  JOIN pruned pa ON pa.doc_id = c.id_a
+             |  JOIN pruned pb ON pb.doc_id = c.id_b
+             |  WHERE (CASE WHEN CAST(len(pa.hs) AS DOUBLE) + CAST(len(pb.hs) AS DOUBLE) - len(list_intersect(pa.hs, pb.hs)) > 0
+             |    THEN CAST(len(list_intersect(pa.hs, pb.hs)) AS DOUBLE)
+             |         / (CAST(len(pa.hs) AS DOUBLE) + CAST(len(pb.hs) AS DOUBLE) - len(list_intersect(pa.hs, pb.hs)))
+             |    ELSE 0 END) >= 0.6),
+             |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+             |reach(id, lbl) AS (
+             |  SELECT doc_id, doc_id FROM surv
+             |  UNION
+             |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v),
+             |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+             |canon AS MATERIALIZED (SELECT s.* FROM surv s JOIN cc ON cc.id = s.doc_id AND cc.cluster_id = s.doc_id),
+             |trg AS MATERIALIZED (
+             |  SELECT doc_id, CASE WHEN length(text) >= 13
+             |    THEN list_distinct([substr(lower(text), i, 13)
+             |                        FOR i IN range(1, greatest(length(text) - 12, 0) + 1)])
+             |    ELSE [] END AS g
+             |  FROM canon),
+             |bg AS (
+             |  SELECT DISTINCT unnest(CASE WHEN length(text) >= 13
+             |    THEN list_distinct([substr(lower(text), i, 13)
+             |                        FOR i IN range(1, greatest(length(text) - 12, 0) + 1)])
+             |    ELSE [] END) AS g
+             |  FROM benchdocs),
+             |hits AS (
+             |  SELECT t.doc_id, count(*) AS overlap
+             |  FROM (SELECT doc_id, unnest(g) AS g FROM trg) t JOIN bg USING (g)
+             |  GROUP BY t.doc_id),
+             |clean AS MATERIALIZED (
+             |  SELECT c.* FROM canon c JOIN (
+             |    SELECT trg.doc_id FROM trg LEFT JOIN hits USING (doc_id)
+             |    WHERE (CASE WHEN len(g) > 0
+             |      THEN CAST(coalesce(overlap, 0) AS DOUBLE) / CAST(len(g) AS DOUBLE)
+             |      ELSE 0.0 END) <= 0.5) k USING (doc_id)),
+             |sp AS MATERIALIZED (
+             |  SELECT c.doc_id, c.lang, c.text,
+             |    CASE WHEN CAST('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < 8000 THEN 'train'
+             |         WHEN CAST('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < 9000 THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM clean c),
+             |evg AS (
+             |  SELECT DISTINCT eg.g FROM (
+             |    SELECT unnest(t.g) AS g FROM trg t JOIN sp ON sp.doc_id = t.doc_id
+             |    WHERE sp.split <> 'train') eg),
+             |leaky AS (
+             |  SELECT x.doc_id FROM (
+             |    SELECT t.doc_id, unnest(t.g) AS g FROM trg t JOIN sp ON sp.doc_id = t.doc_id
+             |    WHERE sp.split = 'train') x
+             |  JOIN evg USING (g)
+             |  GROUP BY x.doc_id HAVING count(*) > 100),
+             |s2 AS MATERIALIZED (
+             |  SELECT * FROM sp
+             |  WHERE split <> 'train' OR doc_id NOT IN (SELECT doc_id FROM leaky)),
+             |cnt AS (
+             |  SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+             |         pow(CAST(count(*) AS DOUBLE), 0.5) AS wt
+             |  FROM s2 WHERE split = 'train' AND lang IS NOT NULL GROUP BY lang),
+             |tmin AS (SELECT min(n / wt) AS T FROM cnt),
+             |thr AS (
+             |  SELECT lang, CASE WHEN n / wt = (SELECT T FROM tmin) THEN 10000
+             |               ELSE floor(10000.0 * wt * (SELECT T FROM tmin) / n) END AS th
+             |  FROM cnt),
+             |fin AS MATERIALIZED (
+             |  SELECT s2.doc_id, s2.lang, s2.text, s2.split
+             |  FROM s2 JOIN thr USING (lang)
+             |  WHERE s2.split = 'train'
+             |    AND CAST('0x' || substr(md5(CAST(s2.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < thr.th
+             |  UNION ALL
+             |  SELECT doc_id, lang, text, split FROM s2 WHERE split <> 'train'),
+             |tk AS (
+             |  SELECT doc_id, lang, split,
+             |    (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000) % 8 AS shard,
+             |    CAST(len(CASE WHEN text IS NULL OR trim(text) = '' THEN []
+             |                  ELSE string_split_regex(lower(trim(text)), '\\s+') END) AS BIGINT) AS n_tokens
+             |  FROM fin),
+             |c2 AS (
+             |  SELECT doc_id, lang, split, shard, n_tokens,
+             |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_start
+             |  FROM tk)
+             |SELECT doc_id, lang, split, shard, n_tokens, token_start,
+             |  CAST(token_start // 512 AS BIGINT) AS chunk_first,
+             |  CAST(CASE WHEN n_tokens > 0 THEN (token_start + n_tokens - 1) // 512
+             |       ELSE token_start // 512 END AS BIGINT) AS chunk_last
+             |FROM c2 ORDER BY doc_id""".stripMargin))
+
+    /** Mergeable data card
+      * ([[operators.TextAnalysis.dataCardIndex/dataCardAppend/
+      * dataCardOf]], T81, r11): the nightly-maintenance path for the
+      * q106 release report — even/odd doc halves indexed separately,
+      * fold-merged (totals and per-(domain, token) counts SUM; the
+      * distinct-vocabulary count is the vocab row count, immune to tf
+      * values), and the card read off the merged artifact. The ORACLE
+      * rebuilds the card from scratch over the whole table (q106's SQL
+      * verbatim): the hash match certifies append == rebuild ACROSS
+      * ENGINES (DataCardSpec pins it within Spark).
+      */
+    private val q109 = Q(
+      "q109_data_card_merge",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ix = operators.TextAnalysis.dataCardIndex(
+          docs.filter($"doc_id" % 2 === 0), "text", "lang")
+        operators.TextAnalysis.dataCardOf(
+            operators.TextAnalysis.dataCardAppend(
+              ix, docs.filter($"doc_id" % 2 =!= 0), "text", "lang"),
+            "lang")
+          .orderBy("lang")
+      },
+      Some(dataCardSql))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -3822,7 +4013,7 @@ object SparkEntry {
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
       q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
-      q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107)
+      q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

@@ -109,13 +109,21 @@ object Curation {
     * pipeline (measured 5x end-to-end at sf0.1). On a real 100-TB run
     * these are the natural stage boundaries to write to storage
     * instead; the persists mark exactly those points.
+    *
+    * Stages 1-5 — the decontaminated canonical corpus BEFORE the
+    * training-mix sample and packing: what [[curate]] feeds its stage
+    * 6-7 tail, and the entry the release turn ([[Release]]) composes
+    * with split assignment, split-leakage removal, and its own
+    * mix+pack (a release must pin split membership before any
+    * sampling, so the mix cannot run inside this call). The returned
+    * docs frame is persisted: every downstream consumer fans out over
+    * it at least twice.
     */
-  def curate(
+  def curateCore(
       docs: DataFrame,
       bench: DataFrame,
       idCol: String,
       textCol: String,
-      langCol: String,
       params: CurationParams = CurationParams()): CurationResult = {
     import org.apache.spark.storage.StorageLevel
     val id = col(idCol)
@@ -147,10 +155,23 @@ object Curation {
     val cleanDocs = canon
       .join(contam.filter(col("contamination") <= params.maxContamination)
         .select(id), Seq(idCol), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    CurationResult(cleanDocs, Seq(exact, canon, cleanDocs, pairs))
+  }
+
+  def curate(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      params: CurationParams = CurationParams()): CurationResult = {
+    import org.apache.spark.storage.StorageLevel
+    val core = curateCore(docs, bench, idCol, textCol, params)
 
     // 6: deterministic training mix
     val sampled = Sampling.stratifiedSample(
-      cleanDocs, idCol, langCol, params.sampleRates, params.defaultSampleRate)
+      core.docs, idCol, langCol, params.sampleRates, params.defaultSampleRate)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // 7: packed spans for the loader
@@ -159,7 +180,7 @@ object Curation {
         params.packBudget, params.packShards)
         .drop("n_tokens"),
       Seq(idCol))
-    CurationResult(packed, Seq(exact, canon, sampled, pairs))
+    CurationResult(packed, core.cached :+ sampled)
   }
 
   /** One incremental (nightly-crawl) turn of the pipeline: `curated` =

@@ -128,6 +128,119 @@ object TextAnalysis {
         col("quality_micro"))
   }
 
+  /** `kind` of data-card-index totals rows / vocabulary rows. */
+  val CardTotalsKind = 0
+  val CardVocabKind = 1
+
+  /** Mergeable data-card artifact (T81) — the [[LineFreqIndex]]
+    * discipline applied to the release report: [[dataCard]]'s
+    * `distinct_tokens` column is NOT additive (distinct counts don't
+    * sum), so unlike the [[Manifest]] a nightly release wanting
+    * yesterday's card + today's batch had to rescan the corpus. This
+    * index persists what IS additive: one totals row per domain
+    * (docs/tokens/quality-micro — plain long sums) plus one row per
+    * `(domain, token)` with its occurrence count `tf` — the exact
+    * grain the one-shot card's distinct shuffle already pays, kept
+    * instead of discarded. Merging sums everything (`tf` adds over
+    * DISJOINT batches; the vocab row COUNT per domain is the exact
+    * distinct, whatever the tf values), so
+    * `dataCardOf(append(index, batch)) == dataCard(corpus ∪ batch)`
+    * bit-for-bit — append is O(batch tokens) + a vocabulary-sized
+    * merge, never a corpus rescan.
+    *
+    * Artifact size: vocabulary-sized per domain (Heaps' law — strongly
+    * sublinear in the corpus), one Parquet frame, `kind`-discriminated
+    * like the rest of the index family. An HLL sketch would shrink it
+    * further but break exactness and the cross-engine oracle — the
+    * documented trade, decided for exact.
+    *
+    * Overlap caveat shared with [[Manifest.merge]]: merging indexes of
+    * overlapping corpora double-counts totals and tf (exactly as a
+    * union would); upstream dedup gates exist to make batches
+    * disjoint. The distinct-token count is the one column immune to
+    * it.
+    */
+  def dataCardIndex(
+      df: DataFrame,
+      textCol: String,
+      domainCol: String): DataFrame = {
+    val base = df.select(
+      col(domainCol).as("domain"),
+      tokens(col(textCol)).as("__toks"),
+      qualityScore(col(textCol)).as("__q"))
+    val totals = base.groupBy(col("domain")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(org.apache.spark.sql.functions.size(col("__toks")).cast("long"))
+        .as("n_tokens"),
+      sum(round(col("__q") * 1000000).cast("long")).as("quality_micro"))
+      .select(lit(CardTotalsKind).as("kind"), col("domain"),
+        lit(null).cast("string").as("token"), col("n_docs"), col("n_tokens"),
+        col("quality_micro"), lit(null).cast("long").as("tf"))
+    val vocab = base
+      .select(col("domain"), explode(col("__toks")).as("token"))
+      .groupBy(col("domain"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .select(lit(CardVocabKind).as("kind"), col("domain"), col("token"),
+        lit(null).cast("long").as("n_docs"), lit(null).cast("long").as("n_tokens"),
+        lit(null).cast("long").as("quality_micro"), col("tf"))
+    totals.unionByName(vocab)
+  }
+
+  /** Exact fold-merge of data-card indexes (disjoint corpora — the
+    * overlap caveat above): totals and tf sum, vocabulary unions.
+    */
+  def dataCardMerge(indexes: Seq[DataFrame]): DataFrame = {
+    require(indexes.nonEmpty, "need at least one data-card index to merge")
+    val all = indexes.reduce(_ unionByName _)
+    val totals = all.filter(col("kind") === CardTotalsKind)
+      .groupBy(col("domain")).agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("quality_micro")).as("quality_micro"))
+      .select(lit(CardTotalsKind).as("kind"), col("domain"),
+        lit(null).cast("string").as("token"), col("n_docs"), col("n_tokens"),
+        col("quality_micro"), lit(null).cast("long").as("tf"))
+    val vocab = all.filter(col("kind") === CardVocabKind)
+      .groupBy(col("domain"), col("token"))
+      .agg(sum(col("tf")).as("tf"))
+      .select(lit(CardVocabKind).as("kind"), col("domain"), col("token"),
+        lit(null).cast("long").as("n_docs"), lit(null).cast("long").as("n_tokens"),
+        lit(null).cast("long").as("quality_micro"), col("tf"))
+    totals.unionByName(vocab)
+  }
+
+  /** One nightly turn of card maintenance: index the batch alone
+    * (O(batch)), fold into the standing artifact.
+    */
+  def dataCardAppend(
+      index: DataFrame,
+      batch: DataFrame,
+      textCol: String,
+      domainCol: String): DataFrame =
+    dataCardMerge(Seq(index, dataCardIndex(batch, textCol, domainCol)))
+
+  /** The release report from the artifact — same schema and values as
+    * [[dataCard]] over the indexed corpus, bit-for-bit (spec-pinned):
+    * distinct vocabulary is the per-domain vocab ROW COUNT, everything
+    * else reads off the totals row.
+    */
+  def dataCardOf(index: DataFrame, domainCol: String): DataFrame = {
+    val totals = index.filter(col("kind") === CardTotalsKind)
+      .select(col("domain").as(domainCol), col("n_docs"), col("n_tokens"),
+        col("quality_micro"))
+    val vocab = index.filter(col("kind") === CardVocabKind)
+      .groupBy(col("domain").as(domainCol))
+      .agg(count(lit(1)).as("distinct_tokens"))
+    totals.join(vocab, Seq(domainCol), "left")
+      .select(
+        col(domainCol), col("n_docs"), col("n_tokens"),
+        coalesce(col("distinct_tokens"), lit(0L)).as("distinct_tokens"),
+        when(col("n_tokens") > 0,
+          round(coalesce(col("distinct_tokens"), lit(0L)) / col("n_tokens"), 6))
+          .as("ttr"),
+        col("quality_micro"))
+  }
+
   /** Tiny per-language stopword lists (top function words; enough for an
     * n-gram-free heuristic — the classic stopword-hit language guesser).
     */

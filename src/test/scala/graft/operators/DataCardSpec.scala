@@ -59,4 +59,62 @@ class DataCardSpec extends SparkSpec {
       .select($"lang", $"quality_micro").as[(String, Long)].collect().toSet
     assert(a == b && a.forall(_._2 > 0))
   }
+
+  private def cardSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("mergeable card: append == rebuild bit-for-bit (T81)") {
+    // the nightly-maintenance contract: index yesterday's corpus once,
+    // fold today's batch in, and the card off the artifact equals a
+    // from-scratch rebuild over the union — including the NON-additive
+    // distinct-vocabulary column the index exists for
+    val ix = TextAnalysis.dataCardIndex(docs.filter($"doc_id" % 2 === 0), "text", "lang")
+    val merged = TextAnalysis.dataCardAppend(
+      ix, docs.filter($"doc_id" % 2 =!= 0), "text", "lang")
+    assert(cardSet(TextAnalysis.dataCardOf(merged, "lang")) ==
+      cardSet(TextAnalysis.dataCard(docs, "text", "lang")))
+    // three-way merge and the single-index identity
+    val thirds = Seq(0, 1, 2).map(k =>
+      TextAnalysis.dataCardIndex(docs.filter($"doc_id" % 3 === k), "text", "lang"))
+    assert(cardSet(TextAnalysis.dataCardOf(
+      TextAnalysis.dataCardMerge(thirds), "lang")) ==
+      cardSet(TextAnalysis.dataCard(docs, "text", "lang")))
+    val whole = TextAnalysis.dataCardIndex(docs, "text", "lang")
+    assert(cardSet(TextAnalysis.dataCardOf(
+      TextAnalysis.dataCardMerge(Seq(whole)), "lang")) ==
+      cardSet(TextAnalysis.dataCard(docs, "text", "lang")))
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.dataCardMerge(Seq.empty)
+    }.getMessage.contains("at least one"))
+  }
+
+  test("mergeable card: artifact persists, reopens in a fresh session, layout-invariant") {
+    val dir = java.nio.file.Files.createTempDirectory("cardix").toString
+    TextAnalysis.dataCardIndex(docs.filter($"doc_id" % 2 === 0), "text", "lang")
+      .write.parquet(s"$dir/ix")
+    val s2 = spark.newSession()
+    val reopened = s2.read.parquet(s"$dir/ix")
+    val merged = TextAnalysis.dataCardAppend(reopened, {
+      import s2.implicits._
+      s2.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter($"doc_id" % 2 =!= 0)
+    }, "text", "lang")
+    val want = cardSet(TextAnalysis.dataCard(docs, "text", "lang"))
+    assert(TextAnalysis.dataCardOf(merged, "lang").collect()
+      .map(_.toSeq).toSet == want)
+    // index layout does not move the card (repartitioned artifact)
+    assert(cardSet(TextAnalysis.dataCardOf(
+      TextAnalysis.dataCardIndex(docs.repartition(13), "text", "lang"), "lang")) == want)
+  }
+
+  test("mergeable card: a batch with no new vocabulary grows counts, not the vocab") {
+    val base = Seq(("en", "alpha beta gamma")).toDF("lang", "text")
+    val ix = TextAnalysis.dataCardIndex(base, "text", "lang")
+    val again = TextAnalysis.dataCardAppend(
+      ix, Seq(("en", "beta gamma")).toDF("lang", "text"), "text", "lang")
+    val row = TextAnalysis.dataCardOf(again, "lang")
+      .select($"n_docs", $"n_tokens", $"distinct_tokens")
+      .as[(Long, Long, Long)].head()
+    assert(row == ((2L, 5L, 3L)))
+  }
 }
