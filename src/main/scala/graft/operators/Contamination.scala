@@ -35,9 +35,32 @@ object Contamination {
     // Kernel form: this runs once per row over the full 100-TB corpus,
     // where the interpreted-HOF expression form is a linear CPU tax.
     val grams = TextDedup.shinglesKernel(col(textCol), n)
-    val benchGramsRaw = bench.select(explode(grams).as("__g")).distinct()
     val benchGrams =
-      if (broadcastBench) broadcast(benchGramsRaw) else benchGramsRaw
+      if (broadcastBench)
+        broadcast(bench.select(explode(grams).as("__g")).distinct())
+      else {
+        // Shuffled path, skew-eligible shape (r11): boilerplate grams
+        // are Zipfian, so at scale a hot gram concentrates one reducer
+        // of the gram join — the remedy is AQE's OptimizeSkewedJoin,
+        // but that rule only rewrites a join whose children are bare
+        // Sort-over-shuffle-stage shapes. A plain `.distinct()` here
+        // put its FINAL aggregate between the exchange and the join
+        // (its hash(__g) output already satisfied the join's
+        // distribution), making the join skew-INELIGIBLE exactly in
+        // the shuffled case that needs it. Grouping the distinct by
+        // (__g, crc32(__g)) keeps the same gram set (the second key is
+        // a function of the first) while its hash(__g, crc32) output
+        // no longer satisfies hash(__g) — EnsureRequirements then
+        // inserts its own exchange ABOVE the aggregate, restoring the
+        // splittable shape. Price: one extra exchange of the DISTINCT
+        // eval gram set (the minimal side); buys: the dominant
+        // exploded-train side becomes AQE-skew-splittable
+        // (spec-pinned, planted-hot-gram corpus).
+        bench.select(explode(grams).as("__g"))
+          .select(col("__g"), crc32(col("__g")).as("__gsalt"))
+          .distinct()
+          .select("__g")
+      }
     // One scan AND one kernel evaluation per training row: explode the
     // gram set (explode_outer keeps gram-less docs as a null row), mark
     // benchmark hits with a left join, and recover BOTH counts in the

@@ -232,7 +232,6 @@ object LshIndex {
     val inSh =
       (if (stop.isEmpty) inShRaw
        else inShRaw.withColumn("sh_b", pruneUdf(stop)(col("sh_b")))).persist()
-    inSh.count()
     val inBanded = inSh
       .select(col("id_incoming"),
         udf(TextDedup.sigFromHashesKernel(m.numPerm, m.seed)).apply(col("sh_b")).as("sig"))
@@ -240,7 +239,10 @@ object LshIndex {
         posexplode(transform(sequence(lit(0), lit(m.bands - 1)),
           bucketOf(col("sig"), rows, m.portableHash))).as(Seq("band", "bucket")))
       .persist()
-    inBanded.count()
+    // No eager counts: the caller's first action over inBanded fills
+    // BOTH persists in one pass (inSh is inBanded's parent), and every
+    // caller materializes its result before unpersisting these — two
+    // explicit counts here were two extra scheduled jobs per probe (r11).
     (inSh, inBanded)
   }
 

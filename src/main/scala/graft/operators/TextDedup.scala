@@ -319,20 +319,27 @@ object TextDedup {
       else shingleHashes(col(textCol), n)
     val shCached = df
       .select(col(idCol) +: sideCols.map(col) :+ shCol.as("__sh"): _*).persist()
-    val nDocs = shCached.count()
     // Document-frequency pruning: the stop set is tiny by construction
     // (at most totalShingleOccurrences / (ratio * nDocs) distinct values),
     // so collecting it to the driver and baking it into a kernel closure
     // is a broadcast-sized operation, same as an ML model's parameters.
+    // The ratio bar (with the absolute floor under it — see
+    // minHashLshDedup scaladoc) needs THIS corpus's doc count: folded
+    // into the same collect as a broadcast 1-row aggregate, so the
+    // whole stop-set computation is ONE scheduled job (a separate
+    // count() was one extra job per call — real wall at
+    // composite-pipeline job counts, r11). When pruning is off there is
+    // no eager action at all: the first bucket-size aggregate fills
+    // this persist in the same pass.
     val stop: Array[Long] =
       if (maxDocFreqRatio >= 1.0) Array.empty
       else {
-        // ratio bar with the absolute floor under it (see minHashLshDedup
-        // scaladoc): both recomputed from THIS corpus's count
-        val cutoff = math.max((nDocs * maxDocFreqRatio).toLong, minDocFreq)
+        val nDocsDf = shCached.groupBy().agg(count(lit(1)).as("__n"))
         shCached.select(explode(col("__sh")).as("__h"))
-          .groupBy("__h").count()
-          .filter(col("count") > cutoff)
+          .groupBy("__h").agg(count(lit(1)).as("__c"))
+          .join(broadcast(nDocsDf))
+          .filter(col("__c") > greatest(lit(minDocFreq),
+            (col("__n") * maxDocFreqRatio).cast("long")))
           .select("__h").collect().map(_.getLong(0))
       }
     val sh =
@@ -364,7 +371,10 @@ object TextDedup {
           posexplode(transform(sequence(lit(0), lit(bands - 1)), bucketOf))
             .as(Seq("__band", "__bucket")): _*)
       .persist()
-    banded.count()
+    // (no count here: the bucket-size aggregate below is banded's first
+    // action and fills the persist in the same pass — an explicit count
+    // was one extra scheduled job per call, which at composite-pipeline
+    // job counts is real wall; r11)
     // Cap bucket sizes: a bucket holding a large fraction of the corpus
     // carries no discriminative signal (template-heavy corpora produce
     // them) but turns the self-join quadratic on one hot key — runtime

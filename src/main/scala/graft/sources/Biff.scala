@@ -4,22 +4,32 @@ import java.nio.{ByteBuffer, ByteOrder}
 
 import scala.collection.mutable.ArrayBuffer
 
-/** Dependency-free legacy `.xls` (BIFF8) reader — the other half of the
-  * reference's `pd.read_excel` surface (etl_ui.py:850 accepts both
-  * `.xls` and `.xlsx` uploads; pandas dispatches to xlrd for the
-  * former). Like [[Xlsx]], workbooks are MB-scale human artifacts, so
-  * parsing happens on the driver and the cluster gets the DataFrame.
+/** Dependency-free legacy `.xls` (BIFF8 + BIFF5/BIFF7) reader — the
+  * other half of the reference's `pd.read_excel` surface (etl_ui.py:850
+  * accepts both `.xls` and `.xlsx` uploads; pandas dispatches to xlrd
+  * for the former, and xlrd reads Excel 5.0/95 "Book" streams too).
+  * Like [[Xlsx]], workbooks are MB-scale human artifacts, so parsing
+  * happens on the driver and the cluster gets the DataFrame.
   *
   * Scope is the same "common subset" contract as the XLSX reader: the
-  * cell grid of one worksheet — shared strings (SST + CONTINUE
+  * cell grid of one worksheet — shared strings (BIFF8 SST + CONTINUE
   * spanning), inline labels, NUMBER/RK/MULRK numerics, BOOLERR, cached
   * FORMULA results — with date-formatted numerics surfaced as ISO
   * strings through the exact [[Xlsx.serialToIso]]/[[Xlsx.isDateFormat]]
-  * logic the XLSX path uses (one date policy, not two). BIFF5/BIFF7
-  * ("Book" stream) and encrypted workbooks fail with a typed error
+  * logic the XLSX path uses (one date policy, not two).
+  *
+  * BIFF5/BIFF7 ("Book" stream, Excel 5.0/95, r11 — previously a typed
+  * convert-me error): the record grid is the BIFF8 one except that
+  * every string is a CODEPAGE-encoded byte string (no SST/LABELSST —
+  * labels are inline, FORMAT/BOUNDSHEET/STRING carry 8/16-bit byte
+  * strings) and the BOF version is 0x0500. Both stream versions share
+  * one parser parameterized on the string decoding. Encrypted
+  * workbooks and unknown BOF versions still fail with a typed error
   * telling the user to convert, never a bare parse crash.
   *
-  * Format references are the public [MS-XLS] and [MS-CFB] specs.
+  * Format references are the public [MS-XLS] and [MS-CFB] specs (plus
+  * the OpenOffice "Excel file format" documentation of the BIFF5
+  * byte-string records).
   */
 object Biff {
 
@@ -37,17 +47,17 @@ object Biff {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     require(isCfb(bytes),
       s"$path is not an OLE2 compound file — not a legacy .xls workbook")
-    val wb = new Cfb(bytes).stream("Workbook").getOrElse {
-      val legacy = new Cfb(bytes).stream("Book")
-      if (legacy.isDefined)
-        throw new IllegalArgumentException(
-          s"$path is a BIFF5/BIFF7 (Excel 5.0/95) workbook — too old for " +
-            "this reader; open it in a spreadsheet tool and save as .xlsx or CSV")
-      throw new IllegalArgumentException(
-        s"$path has no Workbook stream — not an Excel workbook " +
-          "(or an encrypted one); convert to .xlsx or CSV")
+    val cfb = new Cfb(bytes)
+    cfb.stream("Workbook") match {
+      case Some(wb) => parseWorkbook(wb, sheet, biff5 = false)
+      case None =>
+        val book = cfb.stream("Book").getOrElse {
+          throw new IllegalArgumentException(
+            s"$path has no Workbook stream — not an Excel workbook " +
+              "(or an encrypted one); convert to .xlsx or CSV")
+        }
+        parseWorkbook(book, sheet, biff5 = true)
     }
-    parseWorkbook(wb, sheet)
   }
 
   // ---- CFB (OLE2 compound file) container ---------------------------
@@ -202,6 +212,7 @@ object Biff {
     val FORMAT = 0x041E
     val XF = 0x00E0
     val DATE1904 = 0x0022
+    val CODEPAGE = 0x0042
     val FILEPASS = 0x002F
     val LABELSST = 0x00FD
     val LABEL = 0x0204
@@ -268,6 +279,38 @@ object Biff {
       sb.toString
     }
     def skip(n: Long): Unit = { var i = 0L; while (i < n) { u8(); i += 1 } }
+    /** `n` raw bytes (BIFF5 byte strings — no compression flag). */
+    def bytes(n: Int): Array[Byte] = {
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) { out(i) = u8().toByte; i += 1 }
+      out
+    }
+  }
+
+  /** The charset a BIFF5 CODEPAGE record names; 1252 is the de-facto
+    * default when the record is absent (what xlrd assumes too). Unknown
+    * or JDK-unsupported pages degrade to windows-1252 rather than
+    * failing the whole workbook on exotic text.
+    */
+  private def charsetFor(codepage: Int): java.nio.charset.Charset = {
+    val name = codepage match {
+      case 1200 => "UTF-16LE"
+      case 367 => "US-ASCII"
+      case 10000 => "x-MacRoman"
+      case n => s"windows-$n"
+    }
+    try java.nio.charset.Charset.forName(name)
+    catch { case _: Exception => java.nio.charset.Charset.forName("windows-1252") }
+  }
+
+  /** BIFF5 byte string at the cursor: cch (8- or 16-bit) + codepage
+    * bytes. No flags, no rich/ext tails.
+    */
+  private def readByteString(
+      cur: Cursor, cchBytes: Int, cs: java.nio.charset.Charset): String = {
+    val cch = if (cchBytes == 1) cur.u8() else cur.u16()
+    new String(cur.bytes(cch), cs)
   }
 
   /** XLUnicodeRichExtendedString at the cursor ([MS-XLS] 2.5.293). */
@@ -303,15 +346,18 @@ object Biff {
 
   // ---- workbook parse --------------------------------------------------
 
-  private def parseWorkbook(wb: Array[Byte], sheet: Int): Vector[Array[String]] = {
-    // globals substream: verify BIFF8, collect SST, XF formats, custom
-    // FORMATs, DATE1904, BOUNDSHEETs
+  private def parseWorkbook(
+      wb: Array[Byte], sheet: Int, biff5: Boolean): Vector[Array[String]] = {
+    // globals substream: verify the stream version, collect SST (BIFF8),
+    // XF formats, custom FORMATs, CODEPAGE (BIFF5), DATE1904, BOUNDSHEETs
     val first = records(wb, 0).next()
     require(first.id == Rec.BOF && first.data.length >= 4,
       "workbook stream does not start with a BOF record")
     val version = ByteBuffer.wrap(first.data).order(ByteOrder.LITTLE_ENDIAN).getShort(0) & 0xFFFF
-    require(version == 0x0600,
-      f"BIFF version 0x$version%04X is not BIFF8 (Excel 97-2003) — " +
+    val wanted = if (biff5) 0x0500 else 0x0600
+    require(version == wanted,
+      f"BIFF version 0x$version%04X in a ${if (biff5) "Book" else "Workbook"} " +
+        f"stream (expected 0x$wanted%04X) — " +
         "convert the workbook to .xlsx or CSV")
 
     var sst = Vector.empty[String]
@@ -319,6 +365,15 @@ object Biff {
     val xfIfmt = Vector.newBuilder[Int]
     val sheetPos = Vector.newBuilder[Int]
     var date1904 = false
+    var codepage = 1252
+
+    // one string policy per stream version: BIFF8 unicode strings,
+    // BIFF5 codepage byte strings (FORMAT carries an 8-bit length in
+    // BIFF5, 16-bit unicode in BIFF8; LABEL/STRING are 16-bit in both)
+    def readStr(cur: Cursor, cchBytes: Int): String =
+      if (biff5) readByteString(cur, cchBytes, charsetFor(codepage))
+      else readUnicodeString(cur, cchBytes)
+    val fmtCch = if (biff5) 1 else 2
 
     val it = records(wb, 0).buffered
     while (it.hasNext && it.head.id != Rec.EOF) {
@@ -327,6 +382,9 @@ object Biff {
         case Rec.FILEPASS =>
           throw new IllegalArgumentException(
             "encrypted .xls workbook — remove the password and save as .xlsx or CSV")
+        case Rec.CODEPAGE =>
+          if (r.data.length >= 2)
+            codepage = ByteBuffer.wrap(r.data).order(ByteOrder.LITTLE_ENDIAN).getShort(0) & 0xFFFF
         case Rec.SST =>
           val conts = Vector.newBuilder[Array[Byte]]
           conts += r.data
@@ -344,8 +402,9 @@ object Biff {
         case Rec.FORMAT =>
           val cur = new Cursor(Vector(r.data))
           val ifmt = cur.u16()
-          customFmt(ifmt) = readUnicodeString(cur, cchBytes = 2)
+          customFmt(ifmt) = readStr(cur, cchBytes = fmtCch)
         case Rec.XF =>
+          // ifmt sits at bytes 2-3 in both BIFF5 and BIFF8 XF layouts
           if (r.data.length >= 4)
             xfIfmt += (ByteBuffer.wrap(r.data).order(ByteOrder.LITTLE_ENDIAN).getShort(2) & 0xFFFF)
         case Rec.DATE1904 =>
@@ -393,7 +452,7 @@ object Biff {
         case Rec.LABEL =>
           val cur = new Cursor(Vector(java.util.Arrays.copyOfRange(r.data, 6, r.data.length)))
           put(b.getShort(0) & 0xFFFF, b.getShort(2) & 0xFFFF,
-            readUnicodeString(cur, cchBytes = 2))
+            readStr(cur, cchBytes = 2))
         case Rec.NUMBER =>
           put(b.getShort(0) & 0xFFFF, b.getShort(2) & 0xFFFF,
             numCell(b.getShort(4) & 0xFFFF, b.getDouble(6)))
@@ -428,7 +487,7 @@ object Biff {
                 while (sit.hasNext && !found && sit.head.id != Rec.EOF) {
                   if (sit.head.id == Rec.STRING) {
                     val s = sit.next()
-                    put(rw, c, readUnicodeString(new Cursor(Vector(s.data)), cchBytes = 2))
+                    put(rw, c, readStr(new Cursor(Vector(s.data)), cchBytes = 2))
                     found = true
                   } else if (sit.head.id == Rec.FORMULA) found = true // malformed; bail
                   else sit.next()

@@ -60,6 +60,30 @@ object ProfileScale {
     }.reduce(_ union _)
   }
 
+  /** [[scaled]] without the rotation-period cap, for factors past 10:
+    * copies k and k+10 share the alphabet mapping, so their texts are
+    * byte-identical modulo the id column. ONLY safe for aggregate-join
+    * curves (gram semi joins, manifests, cards) where cross-copy
+    * shared content shifts match density but generates no pairs — any
+    * pair-producing measurement (LSH, cross-corpus dedup) must stay on
+    * [[scaled]] and its cap.
+    */
+  def scaledLoose(spark: SparkSession, sfDir: String, factor: Int): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val span = docs.agg(max("doc_id")).head.getLong(0) + 1
+    (0 until factor).map { k =>
+      def rot(a: String, by: Int) = a.drop(by % a.length) + a.take(by % a.length)
+      val from = Letters + Uppers + Digits
+      val to = rot(Letters, k % Digits.length) + rot(Uppers, k % Digits.length) +
+        rot(Digits, k % Digits.length)
+      docs.select(
+        (col("doc_id") + lit(k * span)).as("doc_id"),
+        (if (k % Digits.length == 0) col("text") else translate(col("text"), from, to))
+          .as("text"),
+        col("lang"))
+    }.reduce(_ union _)
+  }
+
   /** sf embeddings, `factor`-way replicated with disjoint ids; vectors
     * unmodified (see the `ivf` mode comment for why that is safe here).
     */
@@ -673,6 +697,36 @@ object ProfileScale {
             "doc_id", "text", "split")
         }
         println(f"PROFILE mix_leakage factor=$f rows=$nL cold=$coldL%.1f warm=$warmL%.1f")
+      }
+      if (only.forall(_ == "leakskew")) {
+        // removeSplitLeakage under a PLANTED Zipfian hot gram, past 10x
+        // (VERDICT r10 #4): 30% of every copy's docs get one shared
+        // boilerplate sentence appended (~50 hot gram keys, each hit by
+        // 30% of ALL train docs across ALL copies — the concentration
+        // grows with f exactly like production boilerplate), the eval
+        // side carries it too, so those keys are the join's hot rows.
+        // Replication here is loose (rotation repeats past 10): fine
+        // for THIS curve because the gram join is an aggregate-shaped
+        // semi join — cross-copy shared grams shift match density, not
+        // pair counts; nothing quadratic exists to inflate. The planted
+        // rows make 'rows' DROP to the clean subset — constant fraction
+        // at every f, so the wall curve isolates the skewed-join
+        // machinery. AQE skew-join stays at DEFAULTS: the claim is the
+        // curve stays ~linear WITHOUT tuning, with the split available
+        // past the 256 MB bar (eligibility spec-pinned in
+        // TrainingOpsSpec).
+        val boiler = "the quick brown fox jumps over the lazy dog again and again"
+        val (nK, coldK, warmK) = timed { s =>
+          val base = scaledLoose(s, sfDir, f).select(
+            col("doc_id"),
+            when(col("doc_id") % 10 < 3, concat(col("text"), lit(s" $boiler")))
+              .otherwise(col("text")).as("text"))
+          graft.operators.Contamination.removeSplitLeakage(
+            graft.operators.Sampling.assignSplit(
+              base, "doc_id", trainFrac = 0.8, valFrac = 0.1),
+            "doc_id", "text", "split")
+        }
+        println(f"PROFILE leakskew factor=$f rows=$nK cold=$coldK%.1f warm=$warmK%.1f")
       }
       if (only.forall(_ == "ivf")) {
         // The IvfIndex claim (T35): indexed corpus scales with f, query

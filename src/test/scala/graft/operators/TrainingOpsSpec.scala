@@ -856,6 +856,59 @@ class ContaminationSpec extends SparkSpec {
       "the broadcast opt-in must reach the gram join as a hint")
   }
 
+  test("removeSplitLeakage planted hot gram: exact under skew, gram exchange AQE-skew-splittable") {
+    // The at-scale failure mode (VERDICT r10 #4): boilerplate grams are
+    // Zipfian — a gram shared by a large doc fraction concentrates one
+    // reducer of the shuffled gram join at 100x. The remedy Spark
+    // already ships is AQE skew-join splitting; this pins (a) results
+    // are exactly the no-skew semantics under a planted hot-gram
+    // corpus, and (b) NOTHING in the operator's plan shape (hints,
+    // outer-join side, the agg above the join) makes the gram exchange
+    // ineligible for OptimizeSkewedJoin — asserted by lowering the
+    // skew thresholds until the planted skew actually splits
+    // (isSkewJoin on the executed left-outer SMJ). Thresholds are
+    // test-lowered because a 4-partition fixture can never reach the
+    // production 256 MB bar; the ELIGIBILITY is the pin.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2kb")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1kb")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // every boilerplate 13-gram lands in ALL leaky train docs and the
+    // eval side; clean train docs are 3-periodic id strings (no
+    // 13-gram can be shared across different periods — Fine-Wilf)
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val rows = (0L until 400L).map { i =>
+      if (i % 5 == 0) (i, s"$boiler ${i}b", "val")
+      else if (i % 2 == 0) (i, s"${i}c $boiler", "train") // leaky
+      else (i, s"${i}a" * 30, "train") // clean
+    }
+    val df = s2.createDataFrame(rows).toDF("doc_id", "text", "split")
+    val out = Contamination.removeSplitLeakage(df, "doc_id", "text", "split")
+    // collect THIS frame (not a derived select): the skew assertion
+    // below reads the adaptive plan actually executed for it
+    val got = out.collect().map(_.getLong(0)).toSet
+    val want = rows.collect {
+      case (i, _, "val") => i
+      case (i, _, "train") if i % 2 != 0 => i
+    }.toSet
+    assert(got == want, "planted hot-gram skew must not change survivor semantics")
+    // the GRAM join specifically (LeftOuter on __g) — the doc-id semi
+    // join splitting too is fine but not the claim; string-matched
+    // because completed query stages are leaves to plan.collect
+    val planStr = out.queryExecution.executedPlan.toString
+    val gramJoinSplit = planStr.linesIterator.exists(l =>
+      l.contains("SortMergeJoin(skew=true)") && l.contains("LeftOuter"))
+    assert(gramJoinSplit,
+      "the planted skew must split the gram join under lowered AQE " +
+        "thresholds — if this fails the gram exchange has become " +
+        "skew-ineligible (a plan-shape regression, not a tuning issue):\n" +
+        planStr.take(4000))
+  }
+
   test("embeddingContamination: planted benchmark copy flags, far vectors pass, nulls cannot match") {
     val rnd = new scala.util.Random(7)
     def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)

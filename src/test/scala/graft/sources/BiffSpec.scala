@@ -104,6 +104,62 @@ object BiffFixture {
     cat(globalsNoBoundsheet, boundsheet, rec(0x000A, Array.empty), padding, sheet)
   }
 
+  /** A BIFF5 (Excel 5.0/95) workbook stream — the "Book" sibling of
+    * [[workbookStream]]: BOF version 0x0500, CODEPAGE-encoded byte
+    * strings everywhere (no SST/LABELSST; labels inline, FORMAT with an
+    * 8-bit length, STRING/LABEL with 16-bit lengths, BOUNDSHEET name
+    * bare cch+bytes), same numerics/date-style/formula surface.
+    * Deliberately includes cp1252 high-byte characters so the codepage
+    * decode is pinned, not just ASCII pass-through.
+    */
+  def workbookStream5(): Array[Byte] = {
+    val cp = "windows-1252"
+    def bof5(dt: Int): Array[Byte] =
+      rec(0x0809, cat(u16(0x0500), u16(dt), u16(0), u16(0)))
+    def bstr8(s: String): Array[Byte] = {
+      val bs = s.getBytes(cp); cat(Array(bs.length.toByte), bs)
+    }
+    def bstr16(s: String): Array[Byte] = {
+      val bs = s.getBytes(cp); cat(u16(bs.length), bs)
+    }
+
+    val globalsNoBoundsheet = cat(
+      bof5(dt = 0x0005),
+      rec(0x0042, u16(1252)),                    // CODEPAGE
+      rec(0x0022, u16(0)),                       // Date1904: 1900 system
+      rec(0x041E, cat(u16(0xA4), bstr8("dd/mm/yyyy"))), // custom date fmt
+      xf(0), xf(0xA4), xf(14))                   // XF 0/1/2 (same layout)
+
+    val sheet = cat(
+      bof5(dt = 0x0010),
+      cell(0x0204, 0, 0, 0, bstr16("cabeçalho")),    // LABEL, cp1252 ç
+      cell(0x0204, 0, 1, 0, bstr16("olá açúcar")),   // LABEL, cp1252 á/ç/ú
+      cell(0x0203, 1, 0, 0, f64(3.25)),              // NUMBER, general
+      cell(0x027E, 1, 1, 0, u32(rkInt(42).toLong & 0xFFFFFFFFL)), // RK int
+      rec(0x00BD, cat(u16(1), u16(2),                // MULRK cols 2..3
+        u16(0), u32(rkInt100(12345).toLong & 0xFFFFFFFFL),
+        u16(0), u32(rkFloat(1.5).toLong & 0xFFFFFFFFL),
+        u16(3))),
+      cell(0x0203, 2, 0, 2, f64(45000)),             // NUMBER, builtin date
+      cell(0x027E, 2, 1, 1, u32(rkInt(45000).toLong & 0xFFFFFFFFL)), // RK, custom date
+      cell(0x0205, 2, 2, 0, Array(1.toByte, 0.toByte)), // BOOLERR TRUE
+      cell(0x0006, 3, 0, 0, cat(f64(7.5), u16(0), u32(0), u16(0))), // FORMULA num
+      cell(0x0006, 3, 1, 0, cat(                     // FORMULA cached string
+        Array(0.toByte, 0.toByte), u32(0), u16(0xFFFF),
+        u16(0), u32(0), u16(0))),
+      rec(0x0207, bstr16("computado")),              // STRING (byte string)
+      rec(0x000A, Array.empty))
+
+    val sheetName = {
+      val bs = "Folha1".getBytes(cp); cat(Array(bs.length.toByte), bs)
+    }
+    val boundsheetLen = 4 + 4 + 2 + sheetName.length
+    val eofLen = 4
+    val sheetPos = globalsNoBoundsheet.length + boundsheetLen + eofLen
+    val boundsheet = rec(0x0085, cat(u32(sheetPos), u16(0), sheetName))
+    cat(globalsNoBoundsheet, boundsheet, rec(0x000A, Array.empty), sheet)
+  }
+
   private val Free = 0xFFFFFFFFL
   private val Eoc = 0xFFFFFFFEL
   private val FatSect = 0xFFFFFFFDL
@@ -254,11 +310,31 @@ class BiffSpec extends SparkSpec {
     assert(df.count() == 3)
   }
 
-  test("BIFF5 workbook fails with the convert-me error, not a parse crash") {
+  test("BIFF5 'Book' workbook reads: codepage labels, numerics, dates, cached formulas") {
+    val path = BiffFixture.write(
+      BiffFixture.cfb(BiffFixture.workbookStream5(), streamName = "Book"))
+    val rows = Biff.readRows(path)
+    assert(rows(0).toSeq == Seq("cabeçalho", "olá açúcar"))
+    assert(rows(1).toSeq == Seq("3.25", "42", "123.45", "1.5"))
+    assert(rows(2).toSeq == Seq("2023-03-15", "2023-03-15", "TRUE"))
+    assert(rows(3).toSeq == Seq("7.5", "computado"))
+  }
+
+  test("BIFF5 path dispatches from Xlsx.read like any .xls") {
+    val path = BiffFixture.write(
+      BiffFixture.cfb(BiffFixture.workbookStream5(), streamName = "Book"))
+    val df = Xlsx.read(spark, path)
+    assert(df.columns.toSeq == Seq("cabeçalho", "olá açúcar", "row_id"))
+    assert(df.count() == 3)
+  }
+
+  test("version mismatch in a Book stream fails typed, not a parse crash") {
+    // a BIFF8-versioned stream under the legacy name: the reader must
+    // say what it found and what it expected, not misparse strings
     val path = BiffFixture.write(
       BiffFixture.cfb(BiffFixture.workbookStream(), streamName = "Book"))
     val e = intercept[IllegalArgumentException] { Biff.readRows(path) }
-    assert(e.getMessage.contains("BIFF5"))
+    assert(e.getMessage.contains("0x0600") && e.getMessage.contains("0x0500"))
     assert(e.getMessage.contains(".xlsx or CSV"))
   }
 
