@@ -4025,6 +4025,79 @@ object SparkEntry {
       },
       Some(dataCardSql))
 
+    /** Decontamination disagreement audit
+      * ([[operators.Contamination.decontaminationAudit]], T82, r11 —
+      * VERDICT r10 "next" #7): the q51 n-gram verdict and the q99
+      * semantic verdict joined per doc with the four-way status
+      * lattice, over documents ⋈ embeddings (ids align 1:1 in the
+      * testdata). FULL oracle: q51's gram replay + q99's
+      * order-independent max-cos replay + the same flag CASEs —
+      * un-rounded doubles feed the threshold comparisons on both
+      * sides, so the boundary bits agree.
+      */
+    private val q110 = Q(
+      "q110_decontamination_audit",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select($"doc_id", $"text")
+        val e = t(s, dir, "embeddings")
+        val joined = d.join(e, $"doc_id" === $"vec_id")
+          .select($"doc_id", $"text", $"embedding")
+        operators.Contamination.decontaminationAudit(
+            joined.filter($"doc_id" % 97 =!= 0),
+            joined.filter($"doc_id" % 97 === 0),
+            "doc_id", "text", "embedding",
+            n = 13, maxContamination = 0.2, cosThreshold = 0.25)
+          .select($"doc_id", $"total_ngrams", $"overlap_ngrams",
+            round($"contamination", 6).as("contamination"),
+            round($"max_cos", 6).as("max_cos"),
+            $"ngram_flag", $"embedding_flag", $"status")
+          .orderBy("doc_id")
+      },
+      Some("""WITH tr AS (
+             |  SELECT doc_id, CASE WHEN length(text) >= 13
+             |    THEN list_distinct([substr(lower(text), i, 13)
+             |                        FOR i IN range(1, greatest(length(text) - 12, 0) + 1)])
+             |    ELSE [] END AS g
+             |  FROM documents WHERE doc_id % 97 <> 0),
+             |bg AS (
+             |  SELECT DISTINCT unnest(CASE WHEN length(text) >= 13
+             |    THEN list_distinct([substr(lower(text), i, 13)
+             |                        FOR i IN range(1, greatest(length(text) - 12, 0) + 1)])
+             |    ELSE [] END) AS g
+             |  FROM documents WHERE doc_id % 97 = 0),
+             |hits AS (
+             |  SELECT t.doc_id, count(*) AS overlap
+             |  FROM (SELECT doc_id, unnest(g) AS g FROM tr) t JOIN bg USING (g)
+             |  GROUP BY t.doc_id),
+             |ngr AS (
+             |  SELECT tr.doc_id, len(tr.g) AS total_ngrams,
+             |    coalesce(hits.overlap, 0) AS overlap_ngrams,
+             |    CASE WHEN len(tr.g) > 0
+             |      THEN CAST(coalesce(hits.overlap, 0) AS DOUBLE) / CAST(len(tr.g) AS DOUBLE)
+             |      ELSE 0.0 END AS contamination
+             |  FROM tr LEFT JOIN hits USING (doc_id)),
+             |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+             |      FROM embeddings),
+             |b AS (SELECT vec FROM v WHERE vec_id % 97 = 0),
+             |t2 AS (SELECT vec_id, vec FROM v WHERE vec_id % 97 <> 0),
+             |scored AS (
+             |  SELECT t2.vec_id,
+             |    max(list_reduce(list_prepend(0.0, list_transform(list_zip(t2.vec, b.vec), x -> x[1] * x[2])), (a, c) -> a + c)
+             |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(t2.vec, x -> x * x)), (a, c) -> a + c))
+             |       * sqrt(list_reduce(list_prepend(0.0, list_transform(b.vec, x -> x * x)), (a, c) -> a + c)))) AS max_cos
+             |  FROM t2, b GROUP BY t2.vec_id)
+             |SELECT n.doc_id, n.total_ngrams, n.overlap_ngrams,
+             |  round(n.contamination, 6) AS contamination,
+             |  round(s.max_cos, 6) AS max_cos,
+             |  CAST(CASE WHEN n.contamination > CAST(0.2 AS DOUBLE) THEN 1 ELSE 0 END AS INT) AS ngram_flag,
+             |  CAST(CASE WHEN s.max_cos >= CAST(0.25 AS DOUBLE) THEN 1 ELSE 0 END AS INT) AS embedding_flag,
+             |  CASE WHEN n.contamination > CAST(0.2 AS DOUBLE) AND s.max_cos >= CAST(0.25 AS DOUBLE) THEN 'both'
+             |       WHEN n.contamination > CAST(0.2 AS DOUBLE) THEN 'ngram_only'
+             |       WHEN s.max_cos >= CAST(0.25 AS DOUBLE) THEN 'embedding_only'
+             |       ELSE 'clean' END AS status
+             |FROM ngr n JOIN scored s ON s.vec_id = n.doc_id
+             |ORDER BY doc_id""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -4033,7 +4106,7 @@ object SparkEntry {
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
       q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
-      q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109)
+      q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

@@ -224,6 +224,61 @@ object Contamination {
     })
   }
 
+  /** Disagreement audit of the two decontamination modes (T82, r11):
+    * per train doc, BOTH the n-gram overlap verdict
+    * ([[ngramContamination]] at `maxContamination`) and the semantic
+    * verdict ([[embeddingContamination]] at `cosThreshold`), joined on
+    * the id with a `status` lattice — `both` / `ngram_only` /
+    * `embedding_only` / `clean`. The two single-mode filters each have
+    * a blind side (13-grams miss paraphrases and translations;
+    * embeddings miss verbatim snippets inside long off-topic docs and
+    * anything past the encoder's horizon), so the DISAGREEMENT set is
+    * the threshold-tuning surface: `embedding_only` rows are the
+    * paraphrase leakage the n-gram bar would ship, `ngram_only` rows
+    * the verbatim leakage the cosine bar would ship. A diagnostic
+    * REPORT, not a gate — it drops nothing; run it on a sample, read
+    * the disagreement rows, then set the two production thresholds.
+    *
+    * Scale shape: strictly the two audited operators plus one id-grain
+    * join — the n-gram side arrives already hash(id)-partitioned from
+    * its fold-back aggregate, the embedding side is a zero-shuffle
+    * scan, so the join costs one exchange of the scan side. Rows with
+    * a NULL id are excluded (the n-gram side folds them into one
+    * merged stats row, the embedding side keeps them per-row — no
+    * unambiguous pairing exists); fine for a report that gates
+    * nothing.
+    */
+  def decontaminationAudit(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      vecCol: String,
+      n: Int = 13,
+      maxContamination: Double = 0.2,
+      cosThreshold: Double = 0.25,
+      broadcastBench: Boolean = true,
+      maxBenchVectors: Int = 100000): DataFrame = {
+    val ng = ngramContamination(
+      train.select(col(idCol), col(textCol)), bench, idCol, textCol, n, broadcastBench)
+    val emb = embeddingContamination(
+      train.select(col(idCol), col(vecCol)), bench, idCol, vecCol,
+      cosThreshold, maxBenchVectors)
+      .withColumnRenamed("contaminated", "embedding_flag")
+    ng.join(emb, Seq(idCol))
+      .select(
+        col(idCol), col("total_ngrams"), col("overlap_ngrams"),
+        col("contamination"), col("max_cos"),
+        when(col("contamination") > maxContamination, lit(1)).otherwise(lit(0))
+          .as("ngram_flag"),
+        col("embedding_flag"))
+      .withColumn("status",
+        when(col("ngram_flag") === 1 && col("embedding_flag") === 1, lit("both"))
+          .when(col("ngram_flag") === 1, lit("ngram_only"))
+          .when(col("embedding_flag") === 1, lit("embedding_only"))
+          .otherwise(lit("clean")))
+  }
+
   def embeddingContamination(
       train: DataFrame,
       bench: DataFrame,

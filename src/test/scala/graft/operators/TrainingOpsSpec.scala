@@ -909,6 +909,38 @@ class ContaminationSpec extends SparkSpec {
         planStr.take(4000))
   }
 
+  test("decontaminationAudit: the four-way lattice lands each planted doc in its cell") {
+    // one doc per status: verbatim text + same vector (both), verbatim
+    // text + antipodal vector (ngram_only), unrelated text + same
+    // vector (embedding_only), unrelated + antipodal (clean), and a
+    // sub-13-char text whose only signal is semantic (embedding_only —
+    // the paraphrase blind spot the audit exists to surface)
+    val b = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val anti = Array(-1.0f, 0.0f, 0.0f, 0.0f)
+    val benchText = "the quick brown fox jumps over the lazy dog"
+    val bench = Seq((100L, benchText, b)).toDF("doc_id", "text", "embedding")
+    val train = Seq(
+      (1L, benchText, b),
+      (2L, benchText, anti),
+      (3L, "completely unrelated words carrying zero shared substrings", b),
+      (4L, "another disjoint body of text entirely on its own", anti),
+      (5L, "tiny", b))
+      .toDF("doc_id", "text", "embedding")
+    val out = Contamination.decontaminationAudit(
+      train, bench, "doc_id", "text", "embedding",
+      maxContamination = 0.2, cosThreshold = 0.25)
+    val statuses = out.select($"doc_id", $"status").as[(Long, String)]
+      .collect().toMap
+    assert(statuses == Map(
+      1L -> "both", 2L -> "ngram_only", 3L -> "embedding_only",
+      4L -> "clean", 5L -> "embedding_only"))
+    // a report, not a gate: every train doc is a row, nothing dropped
+    assert(out.count() == train.count())
+    // both verdict columns ride along for threshold tuning
+    assert(out.columns.toSet == Set("doc_id", "total_ngrams", "overlap_ngrams",
+      "contamination", "max_cos", "ngram_flag", "embedding_flag", "status"))
+  }
+
   test("embeddingContamination: planted benchmark copy flags, far vectors pass, nulls cannot match") {
     val rnd = new scala.util.Random(7)
     def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)
