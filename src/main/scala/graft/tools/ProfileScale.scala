@@ -728,6 +728,42 @@ object ProfileScale {
         }
         println(f"PROFILE leakskew factor=$f rows=$nK cold=$coldK%.1f warm=$warmK%.1f")
       }
+      if (only.forall(_ == "card")) {
+        // The T81 claim: nightly card maintenance is O(batch) + a
+        // vocabulary-sized merge, never a corpus rescan. Standing
+        // artifact built over the f-scaled corpus ONCE (persisted to
+        // Parquet — the production shape), then a FIXED 2k-doc batch
+        // folds in and the card reads off the merged artifact. The
+        // append turn should grow only with the vocabulary (Heaps-law
+        // sublinear via the rotation), while the rebuild column pays
+        // the full corpus every time.
+        val s = root.newSession()
+        val dir = java.nio.file.Files.createTempDirectory("cardix_profile").toString
+        val tb0 = System.nanoTime()
+        graft.operators.TextAnalysis.dataCardIndex(scaledLoose(s, sfDir, f), "text", "lang")
+          .write.mode("overwrite").parquet(s"$dir/ix")
+        val buildSecs = (System.nanoTime() - tb0) / 1e9
+        val batch = scaled(s, sfDir, 1).filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + lit(90000000L)).as("doc_id"), col("text"), col("lang"))
+        def turnOnce(): (Long, Double) = {
+          val t = System.nanoTime()
+          val n = graft.operators.TextAnalysis.dataCardOf(
+            graft.operators.TextAnalysis.dataCardAppend(
+              s.read.parquet(s"$dir/ix"), batch, "text", "lang"),
+            "lang").count()
+          val secs = (System.nanoTime() - t) / 1e9
+          s.catalog.clearCache(); System.gc()
+          (n, secs)
+        }
+        val (nC, turnCold) = turnOnce()
+        val (_, turnWarm) = turnOnce()
+        val (_, rebCold, rebWarm) = timed { sx =>
+          graft.operators.TextAnalysis.dataCard(scaledLoose(sx, sfDir, f).unionByName(batch), "text", "lang")
+        }
+        println(f"PROFILE card factor=$f domains=$nC build=$buildSecs%.1f " +
+          f"append_cold=$turnCold%.1f append_warm=$turnWarm%.1f " +
+          f"rebuild_cold=$rebCold%.1f rebuild_warm=$rebWarm%.1f")
+      }
       if (only.forall(_ == "ivf")) {
         // The IvfIndex claim (T35): indexed corpus scales with f, query
         // batch FIXED. The one-shot operator re-runs cell assignment (a
