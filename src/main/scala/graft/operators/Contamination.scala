@@ -224,6 +224,103 @@ object Contamination {
     })
   }
 
+  /** `kind` of eval-gram-index meta / gram rows (T83). */
+  val EvalGramMetaKind = 0
+  val EvalGramKind = 1
+
+  /** Persistable eval-gram artifact (T83, r11) — the index form of
+    * [[removeSplitLeakage]]'s eval side, for the INCREMENTAL release
+    * turn: the one-shot operator re-derives the val/test gram set from
+    * the whole corpus every run, which a nightly pipeline cannot pay.
+    * This artifact is the distinct n-gram set of everything held out so
+    * far, kind-discriminated like the rest of the index family (one
+    * meta row pinning the shingle width `n`; one row per gram), exact
+    * and exactly mergeable ([[evalGramAppend]] is a union-distinct —
+    * no approximation, nothing frozen, no rescan), so per-batch
+    * maintenance is O(batch grams) + a gram-set-sized distinct.
+    * Artifact size: distinct grams of the HELD-OUT fraction only
+    * (val/test are ~20% of docs, and gram sets saturate sublinearly).
+    */
+  def evalGramIndex(evalDocs: DataFrame, textCol: String, n: Int = 13): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val spark = evalDocs.sparkSession
+    val meta = spark.range(1).select(
+      lit(EvalGramMetaKind).as("kind"),
+      lit(null).cast("string").as("gram"),
+      lit(n).as("n"))
+    val grams = evalDocs
+      .select(explode(TextDedup.shinglesKernel(col(textCol), n)).as("gram"))
+      .distinct()
+      .select(lit(EvalGramKind).as("kind"), col("gram"), lit(null).cast("int").as("n"))
+    meta.unionByName(grams)
+  }
+
+  /** The artifact's frozen shingle width. */
+  def evalGramMeta(index: DataFrame): Int = {
+    val rows = index.filter(col("kind") === EvalGramMetaKind).select("n").collect()
+    require(rows.length == 1,
+      s"eval-gram index must carry exactly one meta row, found ${rows.length}")
+    rows.head.getInt(0)
+  }
+
+  /** Grow the artifact with a new batch's held-out docs: union-distinct
+    * of the gram rows under the frozen width — exact (append == rebuild
+    * over the union, spec-pinned), O(batch grams) + a gram-set-sized
+    * distinct exchange.
+    */
+  def evalGramAppend(index: DataFrame, newEval: DataFrame, textCol: String): DataFrame = {
+    val n = evalGramMeta(index)
+    val spark = index.sparkSession
+    val meta = spark.range(1).select(
+      lit(EvalGramMetaKind).as("kind"),
+      lit(null).cast("string").as("gram"),
+      lit(n).as("n"))
+    val grams = index.filter(col("kind") === EvalGramKind).select(col("gram"))
+      .unionByName(newEval
+        .select(explode(TextDedup.shinglesKernel(col(textCol), n)).as("gram")))
+      .distinct()
+      .select(lit(EvalGramKind).as("kind"), col("gram"), lit(null).cast("int").as("n"))
+    meta.unionByName(grams)
+  }
+
+  /** [[removeSplitLeakage]]'s gate pointed at the ARTIFACT instead of
+    * an in-corpus eval side: drop incoming TRAIN docs sharing more than
+    * `maxOverlapNgrams` grams with everything held out so far. The
+    * incremental-turn order is append-then-gate — grow the artifact
+    * with the batch's own eval docs first, and this one probe covers
+    * both batch-vs-standing and batch-vs-batch leakage. Only the batch
+    * pays shingling CPU; the artifact side is a pruned columnar scan of
+    * already-distinct grams. Same shuffled-join default and
+    * AQE-skew-eligible shape as the one-shot operator (the artifact
+    * scan arrives bare under its exchange); broadcast opt-in for
+    * genuinely small artifacts. Shipped train docs are never revisited
+    * (first-arrived discipline): a NEW eval doc can make an
+    * already-shipped train doc retroactively leaky — rebuild on the
+    * compaction cadence if that matters for the corpus.
+    *
+    * @return the surviving incoming train docs, columns preserved.
+    */
+  def removeSplitLeakageAgainst(
+      index: DataFrame,
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxOverlapNgrams: Long = 0L,
+      broadcastIndex: Boolean = false): DataFrame = {
+    require(maxOverlapNgrams >= 0, s"maxOverlapNgrams must be >= 0: $maxOverlapNgrams")
+    val n = evalGramMeta(index)
+    val gramsRaw = index.filter(col("kind") === EvalGramKind).select(col("gram").as("__g"))
+    val evalGrams = if (broadcastIndex) broadcast(gramsRaw) else gramsRaw
+    val overlaps = train
+      .select(col(idCol), explode_outer(TextDedup.shinglesKernel(col(textCol), n)).as("__g"))
+      .join(evalGrams.withColumn("__hit", lit(1L)), Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("__overlap"))
+    val okIds = overlaps.filter(col("__overlap") <= maxOverlapNgrams)
+      .select(col(idCol).as("__ok_id"))
+    train.join(okIds, train(idCol) <=> col("__ok_id"), "left_semi")
+  }
+
   /** Disagreement audit of the two decontamination modes (T82, r11):
     * per train doc, BOTH the n-gram overlap verdict
     * ([[ngramContamination]] at `maxContamination`) and the semantic

@@ -127,6 +127,224 @@ object Release {
       core.cached ++ Seq(corpus, packed))
   }
 
+  /** Standing artifacts of an INCREMENTAL release (T84, r11) — the
+    * nightly twin of [[build]]: `index` the LSH dedup corpus (grows by
+    * [[Curation.curateIncremental]]'s append), `evalGrams` the
+    * held-out gram artifact ([[Contamination.evalGramIndex]] family),
+    * `manifest` and `cardIndex` the delivery accounting
+    * ([[Manifest.merge]] / [[graft.operators.TextAnalysis.dataCardAppend]]
+    * — both exactly mergeable, so per-turn maintenance is O(batch)).
+    * All four are materialized (severed from the paths they were
+    * loaded from) so the next turn can overwrite the on-disk artifact
+    * it was derived from.
+    */
+  final case class IncrementalRelease(
+      path: String,
+      index: DataFrame,
+      evalGrams: DataFrame,
+      manifest: DataFrame,
+      cardIndex: DataFrame) {
+    def unpersist(): Unit = {
+      index.unpersist(); evalGrams.unpersist()
+      manifest.unpersist(); cardIndex.unpersist()
+    }
+  }
+
+  private def writeArtifacts(
+      path: String,
+      manifest: DataFrame,
+      evalGrams: DataFrame,
+      cardIndex: DataFrame,
+      langCol: String): (DataFrame, DataFrame, DataFrame) = {
+    // sever BEFORE overwriting: each new artifact frame is derived from
+    // the parquet dir it is about to replace — a lazy overwrite would
+    // delete its own input mid-plan. localCheckpoint materializes the
+    // (dimension / gram-set / vocabulary-sized) artifact first.
+    val m = manifest.localCheckpoint()
+    val g = evalGrams.localCheckpoint()
+    val c = cardIndex.localCheckpoint()
+    m.write.mode("overwrite").parquet(s"$path/manifest")
+    g.write.mode("overwrite").parquet(s"$path/evalgrams")
+    c.write.mode("overwrite").parquet(s"$path/cardix")
+    TextAnalysis.dataCardOf(c, langCol)
+      .write.mode("overwrite").parquet(s"$path/card")
+    (m, g, c)
+  }
+
+  /** First turn of an incremental release: the [[build]] stages minus
+    * mix and pack — curation core, split pinning, in-corpus de-leak —
+    * shipping the ANNOTATED, UNPACKED docs. Mixing and packing are
+    * deliberately export-time steps for an incremental release
+    * (temperature weights are corpus-level statistics and pack spans
+    * are cumulative shard offsets; neither can be appended
+    * consistently — see [[exportPacked]]). Besides the data + manifest
+    * + card, the turn persists the two gate artifacts tomorrow's turn
+    * probes: the LSH dedup index over the decontaminated canonical
+    * corpus (leak-dropped docs INCLUDED — a near-dup of a leaky doc is
+    * cheaper to drop at dedup than to re-judge at the gram gate) and
+    * the held-out gram artifact.
+    */
+  def initIncremental(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      path: String,
+      params: ReleaseParams = ReleaseParams()): IncrementalRelease = {
+    import org.apache.spark.storage.StorageLevel
+    require(!docs.columns.contains(SplitCol),
+      s"input already has a '$SplitCol' column — the release assigns its own")
+    val core = Curation.curateCore(docs, bench, idCol, textCol, params.curation)
+    val split = Sampling.assignSplit(
+      core.docs, idCol, params.trainFrac, params.valFrac, SplitCol)
+    val shipped = Contamination.removeSplitLeakage(
+        split, idCol, textCol, SplitCol,
+        n = params.leakageN, maxOverlapNgrams = params.maxOverlapNgrams,
+        broadcastBench = params.broadcastLeakGrams)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    shipped.write.mode("overwrite").partitionBy(SplitCol).parquet(s"$path/data")
+    val index = LshIndex.build(core.docs, idCol, textCol,
+      n = params.curation.shingleN, portableHash = params.curation.portableHash,
+      minDocFreq = params.curation.minDocFreq)
+    val (m, g, c) = writeArtifacts(path,
+      Manifest.build(shipped, SplitCol, Seq(idCol, textCol), length(col(textCol))),
+      Contamination.evalGramIndex(
+        shipped.filter(col(SplitCol) =!= "train"), textCol, params.leakageN),
+      TextAnalysis.dataCardIndex(shipped, textCol, langCol),
+      langCol)
+    core.unpersist(); shipped.unpersist()
+    IncrementalRelease(path, index, g, m, c)
+  }
+
+  /** One nightly turn: curate the batch against the standing index
+    * ([[Curation.curateIncremental]] — first-arrived across turns),
+    * pin splits with the SAME md5 rule (membership is a pure function
+    * of the id, so turns agree by construction), grow the held-out
+    * gram artifact with the batch's own eval docs and THEN gate the
+    * batch's train docs against the grown artifact — the append-first
+    * order makes one probe cover both batch-vs-standing and
+    * batch-vs-batch leakage. Ships by APPENDING into the split
+    * partition layout and fold-merges the manifest and card artifacts
+    * (exact merges — the manifest certifies everything shipped so far,
+    * not just this batch). Everything this turn pays is O(batch) plus
+    * artifact-sized merges; the shipped corpus is never rescanned.
+    *
+    * Already-shipped train docs are never revisited: a new eval doc
+    * can make yesterday's train doc retroactively leaky
+    * ([[Contamination.removeSplitLeakageAgainst]] doc) — rebuild from
+    * [[build]] on the compaction cadence if the corpus needs that
+    * guarantee tightened.
+    */
+  def appendTurn(
+      state: IncrementalRelease,
+      batch: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      params: ReleaseParams = ReleaseParams()): (IncrementalRelease, DataFrame) = {
+    require(!batch.columns.contains(SplitCol),
+      s"input already has a '$SplitCol' column — the release assigns its own")
+    val r = Curation.curateIncremental(
+      state.index, batch, bench, idCol, textCol, langCol, params.curation)
+    val split = Sampling.assignSplit(
+      r.curated, idCol, params.trainFrac, params.valFrac, SplitCol)
+    val evalSide = split.filter(col(SplitCol) =!= "train")
+    val grownGrams = Contamination.evalGramAppend(state.evalGrams, evalSide, textCol)
+    // gate needs the artifact usable twice (grow + probe) — checkpoint
+    // happens inside writeArtifacts; probe against the lazy frame here
+    val shippedTrain = Contamination.removeSplitLeakageAgainst(
+      grownGrams, split.filter(col(SplitCol) === "train"), idCol, textCol,
+      maxOverlapNgrams = params.maxOverlapNgrams,
+      broadcastIndex = params.broadcastLeakGrams)
+    // MATERIALIZE the batch BEFORE appending into `path/data`, severed
+    // from any lineage that might read that very directory (a state
+    // whose index was rebuilt from the shipped corpus — [[reopen
+    // Incremental]]). The append's own refreshByPath invalidates every
+    // cache whose plan references the written path, so a mere persist
+    // would silently RECOMPUTE over a listing that now includes the
+    // rows just appended — every batch doc dedups against itself and
+    // the manifest accounts an empty batch while the data grew. The
+    // eager local checkpoint pins content at pre-append state and
+    // guarantees the manifest folds exactly the bytes written; O(batch)
+    // storage, the same class as the write itself.
+    val shipped = shippedTrain.unionByName(evalSide).localCheckpoint()
+    shipped.write.mode("append").partitionBy(SplitCol).parquet(s"${state.path}/data")
+    val (m, g, c) = writeArtifacts(state.path,
+      Manifest.merge(Seq(state.manifest,
+        Manifest.build(shipped, SplitCol, Seq(idCol, textCol), length(col(textCol)))),
+        SplitCol),
+      grownGrams,
+      TextAnalysis.dataCardAppend(state.cardIndex, shipped, textCol, langCol),
+      langCol)
+    r.unpersist()
+    (IncrementalRelease(state.path, r.kept, g, m, c), shipped)
+  }
+
+  /** Fresh-session resume of an incremental release — the durability
+    * path: manifest, eval-gram and card artifacts reopen from their
+    * parquet homes verbatim (each is exactly what the last turn wrote);
+    * the LSH dedup index is NOT stored per turn (a corpus-sized write
+    * per O(batch) turn would defeat the design), so a restart REBUILDS
+    * it from the verified shipped corpus — exactly the compaction
+    * [[graft.operators.LshIndex.append]] prescribes on its own cadence
+    * anyway (exact counts, fresh stop set). Honest drift vs the
+    * in-memory grow-as-you-go index: leak-dropped and sample-dropped
+    * docs were in the live suppressor but are not in the shipped
+    * corpus, so their FUTURE near-dups re-enter dedup — and are then
+    * re-judged by the same quality/decontamination/leak gates that
+    * dropped their originals (spec-pinned on the leak case).
+    */
+  def reopenIncremental(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      textCol: String,
+      params: ReleaseParams = ReleaseParams()): IncrementalRelease = {
+    val data = open(spark, path, idCol, textCol)
+    val built = LshIndex.build(data, idCol, textCol,
+      n = params.curation.shingleN, portableHash = params.curation.portableHash,
+      minDocFreq = params.curation.minDocFreq)
+    // sever the rebuilt index from `path/data`: the next [[appendTurn]]
+    // APPENDS there, and the write's refreshByPath would invalidate a
+    // merely-persisted index plan — recomputing it over a listing that
+    // includes the new batch, so the batch dedups against itself. The
+    // eager local checkpoint is the reopened twin of what a live state
+    // holds anyway (the grown signature frame in executor storage).
+    val index = built.localCheckpoint()
+    built.unpersist()
+    IncrementalRelease(
+      path,
+      index,
+      spark.read.parquet(s"$path/evalgrams").localCheckpoint(),
+      spark.read.parquet(s"$path/manifest").localCheckpoint(),
+      spark.read.parquet(s"$path/cardix").localCheckpoint())
+  }
+
+  /** Export-time tail of the incremental release: reopen VERIFIED,
+    * apply the training mix over the train slice and pack the corpus
+    * that ships — the [[build]] stages 4-5 the nightly turns defer
+    * (corpus-level statistics, computed once over the accumulated
+    * release).
+    */
+  def exportPacked(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      params: ReleaseParams = ReleaseParams()): DataFrame = {
+    val corpus = open(spark, path, idCol, textCol)
+    val mixed = Sampling.temperatureMix(
+        corpus.filter(col(SplitCol) === "train"), idCol, langCol, params.mixAlpha)
+      .unionByName(corpus.filter(col(SplitCol) =!= "train"))
+    mixed.join(
+      Packing.packSequences(mixed, idCol, textCol,
+        params.curation.packBudget, params.curation.packShards),
+      Seq(idCol))
+  }
+
   /** Consumer-side reopen: [[Manifest.readVerified]] under the
     * release's hash recipe — one verification scan at ingest, failing
     * typed and naming exactly the split partitions to re-pull.

@@ -91,6 +91,36 @@ class ReleaseSpec extends SparkSpec {
     assert(!e.getMessage.contains("train="), "intact splits must not be named")
   }
 
+  test("a tampered split (one row silently dropped and rewritten) fails typed as a mismatch") {
+    // the adversarial case the lost-partition test does not cover: the
+    // directory is still there, the files parse, the schema matches —
+    // only the CONTENT changed (a partial re-upload, a truncated copy,
+    // a well-meaning manual fix). The manifest's row hash must catch it
+    // and name exactly the tampered split.
+    val path = tmp("rel_tamper")
+    val res = Release.build(train, bench, "doc_id", "text", "lang", path, params)
+    res.unpersist()
+    val valDir = s"$path/data/split=val"
+    val valRows = spark.read.parquet(valDir)
+    val dropId = valRows.select("doc_id").as[Long].head()
+    val kept = valRows.filter($"doc_id" =!= dropId).collect()
+    val schema = valRows.schema
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    rmTree(java.nio.file.Paths.get(valDir))
+    spark.createDataFrame(java.util.Arrays.asList(kept: _*), schema)
+      .write.parquet(valDir)
+    val e = intercept[IllegalArgumentException] {
+      Release.open(spark.newSession(), path, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("val=mismatch") && e.getMessage.contains("re-pull"))
+    assert(!e.getMessage.contains("train=") && !e.getMessage.contains("test="),
+      "intact splits must not be named")
+  }
+
   test("mix default alpha=1.0 is the exact identity on the train slice") {
     val path = tmp("rel_nomix")
     val res = Release.build(train, bench, "doc_id", "text", "lang", path,
@@ -103,6 +133,96 @@ class ReleaseSpec extends SparkSpec {
     assert(res.docs.count() == want.count())
     assert(res.docs.select("doc_id").exceptAll(want.select("doc_id")).isEmpty)
     res.unpersist(); core.unpersist()
+  }
+
+  test("incremental release lifecycle: accumulate verified, artifacts == rebuilds, cross-turn leak + dup dropped, restart = compaction") {
+    val path = tmp("rel_inc")
+    // pick plant ids BY SPLIT FATE (membership is a pure md5 function
+    // of the id, so it can be precomputed): a turn-1 id landing in
+    // val, and turn-2/turn-3 ids landing in train
+    val fates = Sampling.assignSplit(
+        spark.range(0L, 600L).toDF("doc_id"), "doc_id", 0.8, 0.1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val valId1 = (0L until 200L).find(fates(_) == "val").get
+    val trainId2 = (200L until 400L).find(fates(_) == "train").get
+    val trainId3 = (400L until 600L).find(fates(_) == "train").get
+    val leak = "the secret benchmark passage that must never leak into training"
+    // bulk texts are id-periodic strings: no 13-gram can be shared
+    // across different ids (different periods) or with the leak text
+    def bulk(i: Long) = s"${i}z" * 12
+    def turnDocs(from: Long, until: Long, plants: Map[Long, String]) =
+      (from until until).map(i => (i, plants.getOrElse(i, bulk(i)), "en"))
+        .toDF("doc_id", "text", "lang")
+    val bench = Seq((9999L, "benchmark body unrelated to all corpora", "en"))
+      .toDF("doc_id", "text", "lang")
+    // strict leak bar: the plants share ~16 grams with the val doc —
+    // params' lax 100-gram bar would wave them through
+    val p = params.copy(mixAlpha = 1.0, maxOverlapNgrams = 0L)
+
+    val dupSourceId = (0L until 200L).find(i => i != valId1).get
+    val st1 = Release.initIncremental(
+      turnDocs(0L, 200L, Map(valId1 -> leak)), bench, "doc_id", "text", "lang", path, p)
+    val turn2 = turnDocs(200L, 400L, Map(
+      trainId2 -> ("only a fragment: the secret benchmark passage appears among " +
+        "many otherwise unrelated words in this long ordinary crawl document " +
+        "so near-dup dedup stays silent and the GRAM GATE is what must fire"),
+      (if (trainId2 == 200L) 201L else 200L) -> bulk(dupSourceId))) // exact dup of a turn-1 doc
+    val (st2, shipped2) = Release.appendTurn(st1, turn2, bench, "doc_id", "text", "lang", p)
+    val shipped2Ids = shipped2.select("doc_id").as[Long].collect().toSet
+    assert(!shipped2Ids.contains(trainId2),
+      "a turn-2 train doc sharing grams with a turn-1 val doc must be dropped")
+    assert(!shipped2Ids.contains(if (trainId2 == 200L) 201L else 200L),
+      "an exact duplicate of a turn-1 doc must be dropped (first-arrived)")
+
+    // the accumulated release reopens VERIFIED in a fresh session, and
+    // the fold-maintained artifacts equal from-scratch rebuilds over it
+    val s2 = spark.newSession()
+    val all = Release.open(s2, path, "doc_id", "text")
+    val reManifest = Manifest.build(all, "split", Seq("doc_id", "text"),
+      length(col("text"))).collect().map(_.toSeq).toSet
+    assert(s2.read.parquet(s"$path/manifest").collect().map(_.toSeq).toSet == reManifest,
+      "fold-merged manifest must equal a from-scratch build over everything shipped")
+    val reCard = TextAnalysis.dataCard(all, "text", "lang").collect().map(_.toSeq).toSet
+    assert(s2.read.parquet(s"$path/card").collect().map(_.toSeq).toSet == reCard,
+      "fold-appended card must equal the one-shot card over everything shipped")
+
+    // restart (fresh session) = compaction rebuild; the reopened state
+    // drives a third turn: the standing-eval leak plant is still
+    // caught, and a near-dup of a SHIPPED turn-1 doc is still deduped
+    val st3 = Release.reopenIncremental(s2, path, "doc_id", "text", p)
+    val dupId3 = if (trainId3 == 400L) 401L else 400L
+    val turn3 = {
+      import s2.implicits._
+      (400L until 600L).map { i =>
+        (i,
+          if (i == trainId3)
+            "a later crawl mentions the secret benchmark passage in passing " +
+              "within its own distinct surrounding text so only the reopened " +
+              "gram artifact can catch it"
+          else if (i == dupId3) bulk(dupSourceId)
+          else bulk(i),
+          "en")
+      }.toDF("doc_id", "text", "lang")
+    }
+    val (st4, shipped3) = Release.appendTurn(st3, turn3, {
+      import s2.implicits._
+      Seq((9999L, "benchmark body unrelated to all corpora", "en"))
+        .toDF("doc_id", "text", "lang")
+    }, "doc_id", "text", "lang", p)
+    val shipped3Ids = shipped3.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!shipped3Ids.contains(trainId3),
+      "the reopened eval-gram artifact must still catch the leak")
+    assert(!shipped3Ids.contains(dupId3),
+      "a turn-3 copy of a shipped turn-1 doc must still dedup (rebuilt index)")
+    assert(Release.open(s2.newSession(), path, "doc_id", "text").count() ==
+      all.count() + shipped3.count(),
+      "the third turn's delivery must reopen verified too")
+
+    // export-time tail: mix+pack over the verified accumulated corpus
+    val packed = Release.exportPacked(s2, path, "doc_id", "text", "lang", p)
+    assert(packed.count() == all.count() + shipped3.count())
+    assert(Seq("shard", "n_tokens", "token_start").forall(packed.columns.contains))
+    st1.unpersist(); st2.unpersist(); st3.unpersist(); st4.unpersist()
   }
 
   test("typed guard: input already carrying a split column") {

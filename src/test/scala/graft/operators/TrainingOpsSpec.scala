@@ -909,6 +909,51 @@ class ContaminationSpec extends SparkSpec {
         planStr.take(4000))
   }
 
+  test("evalGramIndex family: append == rebuild, fresh-session gate, thresholds, meta guards") {
+    val e1 = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val e2 = Seq((2L, "a completely different held out document body"),
+        (3L, null.asInstanceOf[String])) // gram-less eval doc contributes nothing
+      .toDF("doc_id", "text")
+    val ix1 = Contamination.evalGramIndex(e1, "text")
+    val grown = Contamination.evalGramAppend(ix1, e2, "text")
+    val rebuilt = Contamination.evalGramIndex(e1.unionByName(e2), "text")
+    assert(grown.collect().map(_.toSeq).toSet == rebuilt.collect().map(_.toSeq).toSet,
+      "append must equal rebuild over the union, bit for bit")
+    assert(Contamination.evalGramMeta(grown) == 13)
+
+    // the artifact round-trips through parquet and gates in a fresh session
+    val dir = java.nio.file.Files.createTempDirectory("evalgrams").toString
+    grown.write.parquet(s"$dir/ix")
+    val s2 = spark.newSession()
+    val reopened = s2.read.parquet(s"$dir/ix")
+    val train = {
+      import s2.implicits._
+      Seq(
+        (10L, "xx the quick brown fox jumps yy"), // shares grams with turn-1 eval
+        (11L, "a completely different held out prefix"), // with turn-2 eval
+        (12L, "nothing in common with either of them"),
+        (13L, "tiny")) // sub-13-char: gram-less, leak-free by definition
+        .toDF("doc_id", "text")
+    }
+    def kept(max: Long) = Contamination.removeSplitLeakageAgainst(
+        reopened, train, "doc_id", "text", maxOverlapNgrams = max)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept(0L) == Set(12L, 13L))
+    assert(kept(1000L) == Set(10L, 11L, 12L, 13L), "a lax bar keeps everything")
+    // broadcast opt-in answers identically
+    assert(Contamination.removeSplitLeakageAgainst(
+        reopened, train, "doc_id", "text", broadcastIndex = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(12L, 13L))
+    // typed guards: a frame with no meta row, and a negative bar
+    assert(intercept[IllegalArgumentException] {
+      Contamination.evalGramMeta(grown.filter($"kind" =!= Contamination.EvalGramMetaKind))
+    }.getMessage.contains("meta row"))
+    assert(intercept[IllegalArgumentException] {
+      Contamination.removeSplitLeakageAgainst(grown, e1, "doc_id", "text",
+        maxOverlapNgrams = -1L)
+    }.getMessage.contains(">= 0"))
+  }
+
   test("decontaminationAudit: the four-way lattice lands each planted doc in its cell") {
     // one doc per status: verbatim text + same vector (both), verbatim
     // text + antipodal vector (ngram_only), unrelated text + same
