@@ -3795,23 +3795,12 @@ object SparkEntry {
         .orderBy("lang"),
       Some(dataCardSql))
 
-    /** Split-leakage removal
-      * ([[operators.Contamination.removeSplitLeakage]], r10): q89's
-      * md5 split composed with q51's 13-gram overlap — train docs
-      * sharing any shingle with the val/test side are dropped, eval
-      * rows pass untouched. FULL oracle: the q89 split CASE + the q51
-      * shingle recipe + an anti-join, replayed end to end.
+    /** q107/q111's shared replay: the q89 split CASE + the q51 shingle
+      * recipe + an anti-join — the declared semantics of split-leakage
+      * removal, independent of which engine path computes it.
       */
-    private val q107 = Q(
-      "q107_split_decontaminate",
-      (s, dir) => operators.Contamination.removeSplitLeakage(
-          Sampling.assignSplit(
-            t(s, dir, "documents").select($"doc_id", $"text"),
-            "doc_id", trainFrac = 0.8, valFrac = 0.1),
-          "doc_id", "text", "split")
-        .select($"doc_id", $"split")
-        .orderBy("doc_id"),
-      Some("""WITH sp AS (
+    private val splitLeakSql =
+      """WITH sp AS (
              |  SELECT doc_id, text,
              |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < 8000 THEN 'train'
              |         WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < 9000 THEN 'val'
@@ -3834,7 +3823,24 @@ object SparkEntry {
              |  FROM (SELECT doc_id, unnest(g) AS g FROM tr) t JOIN bg USING (g))
              |SELECT doc_id, split FROM sp
              |WHERE split <> 'train' OR doc_id NOT IN (SELECT doc_id FROM leaky)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin
+
+    /** Split-leakage removal
+      * ([[operators.Contamination.removeSplitLeakage]], r10): q89's
+      * md5 split composed with q51's 13-gram overlap — train docs
+      * sharing any shingle with the val/test side are dropped, eval
+      * rows pass untouched. FULL oracle: [[splitLeakSql]] end to end.
+      */
+    private val q107 = Q(
+      "q107_split_decontaminate",
+      (s, dir) => operators.Contamination.removeSplitLeakage(
+          Sampling.assignSplit(
+            t(s, dir, "documents").select($"doc_id", $"text"),
+            "doc_id", trainFrac = 0.8, valFrac = 0.1),
+          "doc_id", "text", "split")
+        .select($"doc_id", $"split")
+        .orderBy("doc_id"),
+      Some(splitLeakSql))
 
     /** THE release capstone (T80, r11): the ENTIRE delivery turn —
       * curation core (q57's stages 1-5), md5 split pinning (q89),
@@ -4098,6 +4104,80 @@ object SparkEntry {
              |FROM ngr n JOIN scored s ON s.vec_id = n.doc_id
              |ORDER BY doc_id""".stripMargin))
 
+    /** Eval-gram artifact gate
+      * ([[operators.Contamination.evalGramIndex]] /
+      * [[operators.Contamination.removeSplitLeakageAgainst]], T83,
+      * r11): the PERSISTED-ARTIFACT path to q107's declared semantics
+      * — the held-out gram set is built as a kind-discriminated index,
+      * written to parquet, reopened, and the train slice is gated
+      * against the reopened artifact (the nightly-turn shape, where
+      * re-deriving the eval side per batch is unaffordable). FULL
+      * oracle: [[splitLeakSql]] verbatim — the hash match certifies
+      * that the artifact round trip computes exactly the one-shot
+      * operator's answer, cross-engine (the q85-vs-q84 probe-parity
+      * discipline).
+      */
+    private val q111 = Q(
+      "q111_evalgram_artifact_gate",
+      (s, dir) => {
+        val split = Sampling.assignSplit(
+          t(s, dir, "documents").select($"doc_id", $"text"),
+          "doc_id", trainFrac = 0.8, valFrac = 0.1)
+        val ixPath = java.nio.file.Files.createTempDirectory("graft_evalgrams")
+          .toString + "/ix"
+        operators.Contamination.evalGramIndex(
+          split.filter($"split" =!= "train"), "text").write.parquet(ixPath)
+        operators.Contamination.removeSplitLeakageAgainst(
+            s.read.parquet(ixPath),
+            split.filter($"split" === "train"), "doc_id", "text")
+          .select($"doc_id", $"split")
+          .unionByName(split.filter($"split" =!= "train").select($"doc_id", $"split"))
+          .orderBy("doc_id")
+      },
+      Some(splitLeakSql))
+
+    /** Incremental release lifecycle ([[operators.Release
+      * .initIncremental]] / [[operators.Release.appendTurn]], T84,
+      * r11): the nightly twin of q108 — even doc_ids shipped as the
+      * first turn, odd doc_ids appended as the second (curated against
+      * the standing index, gated against the grown eval-gram
+      * artifact), and the returned frame is the `readVerified` reopen
+      * of the ACCUMULATED delivery, so the run itself certifies that
+      * the fold-merged manifest matches the shipped bytes. Rows-only
+      * BY DESIGN (the q68 discipline): a faithful SQL replay would
+      * restate q108's curation replay per turn plus q68's
+      * cross-corpus probe; the lifecycle invariants — artifacts ==
+      * from-scratch rebuilds, cross-turn leak + dup dropped, restart
+      * == compaction — are spec-pinned in ReleaseSpec instead.
+      */
+    private val q112 = Q(
+      "q112_incremental_release",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val path = java.nio.file.Files.createTempDirectory("graft_increl")
+          .toString + "/rel"
+        val p = operators.Release.ReleaseParams(
+          curation = operators.Curation.CurationParams(
+            minQuality = 0.0, maxRepetition = 1.0,
+            lshThreshold = 0.6, maxContamination = 0.5,
+            portableHash = true, minDocFreq = 0L),
+          trainFrac = 0.8, valFrac = 0.1,
+          leakageN = 13, maxOverlapNgrams = 100L)
+        val bench = docs.filter($"doc_id" % 97 === 0)
+        def half(even: Boolean) = docs
+          .filter($"doc_id" % 97 =!= 0 && ($"doc_id" % 2 === 0) === even)
+          .select($"doc_id", $"lang", $"text")
+        val st1 = operators.Release.initIncremental(
+          half(even = true), bench, "doc_id", "text", "lang", path, p)
+        val (st2, _) = operators.Release.appendTurn(
+          st1, half(even = false), bench, "doc_id", "text", "lang", p)
+        st1.unpersist(); st2.unpersist()
+        operators.Release.open(s, path, "doc_id", "text")
+          .select($"doc_id", $"lang", $"split")
+          .orderBy("doc_id")
+      },
+      None)
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -4106,7 +4186,8 @@ object SparkEntry {
       q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57,
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
       q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
-      q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110)
+      q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
+      q111, q112)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.
