@@ -196,24 +196,43 @@ object Release {
     require(!docs.columns.contains(SplitCol),
       s"input already has a '$SplitCol' column — the release assigns its own")
     val core = Curation.curateCore(docs, bench, idCol, textCol, params.curation)
+    // sever the curated corpus from its curation lineage: it is
+    // referenced five more times below (two split filters, both sides
+    // of the leak-gram join, the index build), and each reference
+    // re-embeds the full curateCore plan at analysis time (see the
+    // index comment below for the measured cost of leaving that live)
+    val corpus = core.docs.localCheckpoint()
+    core.unpersist()
     val split = Sampling.assignSplit(
-      core.docs, idCol, params.trainFrac, params.valFrac, SplitCol)
+      corpus, idCol, params.trainFrac, params.valFrac, SplitCol)
     val shipped = Contamination.removeSplitLeakage(
         split, idCol, textCol, SplitCol,
         n = params.leakageN, maxOverlapNgrams = params.maxOverlapNgrams,
         broadcastBench = params.broadcastLeakGrams)
       .persist(StorageLevel.MEMORY_AND_DISK)
     shipped.write.mode("overwrite").partitionBy(SplitCol).parquet(s"$path/data")
-    val index = LshIndex.build(core.docs, idCol, textCol,
+    // SEVER the built index from its curation lineage. The standing
+    // index is referenced many times by every future turn (meta read,
+    // stop set, bucket probe, doc join, append union), and Spark embeds
+    // the full LOGICAL plan at each reference BEFORE cache substitution
+    // — so with a live build-over-curateCore lineage the driver re-pays
+    // ANALYSIS of that whole tree per reference, multiplicatively
+    // through the turn's composition (measured: a 250-doc appendTurn
+    // spent ~2 min in driver planning with zero Spark jobs >0.3 s; the
+    // severed twin plans in seconds). The checkpoint stores exactly
+    // what the persist already holds; only the plan is truncated.
+    val built = LshIndex.build(corpus, idCol, textCol,
       n = params.curation.shingleN, portableHash = params.curation.portableHash,
       minDocFreq = params.curation.minDocFreq)
+    val index = built.localCheckpoint()
+    built.unpersist()
     val (m, g, c) = writeArtifacts(path,
       Manifest.build(shipped, SplitCol, Seq(idCol, textCol), length(col(textCol))),
       Contamination.evalGramIndex(
         shipped.filter(col(SplitCol) =!= "train"), textCol, params.leakageN),
       TextAnalysis.dataCardIndex(shipped, textCol, langCol),
       langCol)
-    core.unpersist(); shipped.unpersist()
+    shipped.unpersist(); corpus.unpersist()
     IncrementalRelease(path, index, g, m, c)
   }
 
@@ -278,8 +297,15 @@ object Release {
       grownGrams,
       TextAnalysis.dataCardAppend(state.cardIndex, shipped, textCol, langCol),
       langCol)
+    // sever the grown index exactly as [[initIncremental]] severs the
+    // built one: each turn would otherwise stack its batch-curation
+    // lineage onto the standing index's plan, and after N turns every
+    // index reference re-analyzes N turns of composition on the driver.
+    // LshIndex.append already materialized the grown data eagerly; the
+    // checkpoint copies those blocks once and truncates the plan.
+    val kept = r.kept.localCheckpoint()
     r.unpersist()
-    (IncrementalRelease(state.path, r.kept, g, m, c), shipped)
+    (IncrementalRelease(state.path, kept, g, m, c), shipped)
   }
 
   /** Fresh-session resume of an incremental release — the durability

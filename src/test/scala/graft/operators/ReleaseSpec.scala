@@ -225,6 +225,36 @@ class ReleaseSpec extends SparkSpec {
     st1.unpersist(); st2.unpersist(); st3.unpersist(); st4.unpersist()
   }
 
+  test("an appendTurn whose batch is entirely dropped leaves the delivery verified and accounting unchanged") {
+    // the degenerate nightly turn: every batch doc is an exact copy of
+    // a shipped doc, so the dedup gate drops the whole batch — the
+    // delivery must still reopen verified and the fold-merged manifest
+    // must equal the pre-turn one (an empty batch folds as a no-op,
+    // it must not corrupt the standing accounting)
+    val path = tmp("rel_empty_turn")
+    def turnDocs(from: Long, until: Long) =
+      (from until until).map(i => (i, s"${i}z" * 12, "en"))
+        .toDF("doc_id", "text", "lang")
+    val bench = Seq((9999L, "benchmark body unrelated to all corpora", "en"))
+      .toDF("doc_id", "text", "lang")
+    val p = params.copy(mixAlpha = 1.0, maxOverlapNgrams = 0L)
+    val st1 = Release.initIncremental(
+      turnDocs(0L, 120L), bench, "doc_id", "text", "lang", path, p)
+    val before = spark.read.parquet(s"$path/manifest").collect().map(_.toSeq).toSet
+    // same texts under fresh ids: every doc is an exact dup of a
+    // shipped one (exact dedup keys on text, not id)
+    val copies = turnDocs(0L, 120L)
+      .select(($"doc_id" + 1000L).as("doc_id"), $"text", $"lang")
+    val (st2, shipped) = Release.appendTurn(
+      st1, copies, bench, "doc_id", "text", "lang", p)
+    assert(shipped.count() == 0, "an all-dup batch must ship nothing")
+    assert(spark.read.parquet(s"$path/manifest").collect().map(_.toSeq).toSet == before,
+      "an empty batch must fold into the manifest as a no-op")
+    val got = Release.open(spark.newSession(), path, "doc_id", "text")
+    assert(got.count() == spark.read.parquet(s"$path/data").count())
+    st1.unpersist(); st2.unpersist()
+  }
+
   test("typed guard: input already carrying a split column") {
     val e = intercept[IllegalArgumentException] {
       Release.build(train.withColumn("split", lit("train")), bench,
