@@ -3753,14 +3753,19 @@ object SparkEntry {
       * token replay, exact distinct count, one final rounded
       * division.
       */
-    private val dataCardSql: String = {
+    /** The q106 card replay, parameterized on a WHERE predicate so the
+      * q113 drift oracle can replay a card per release slice. Returns
+      * the query WITHOUT a final ORDER BY (embedded as a CTE body).
+      */
+    private def dataCardSqlOver(where: String): String = {
         val allStops = TextAnalysis.stopwords.flatMap(_._2).distinct
           .map(w => s"'$w'").mkString("[", ", ", "]")
+        val pred = if (where.isEmpty) "" else s" WHERE $where"
         s"""WITH tk AS (
            |  SELECT lang, text,
            |    CASE WHEN text IS NULL OR trim(text) = '' THEN []
            |         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
-           |  FROM documents),
+           |  FROM documents$pred),
            |q AS (
            |  SELECT lang, toks,
            |    CASE WHEN text IS NULL OR len(toks) = 0 THEN 0.0
@@ -3785,8 +3790,10 @@ object SparkEntry {
            |       CASE WHEN n_tokens > 0
            |            THEN round(CAST(coalesce(distinct_tokens, 0) AS DOUBLE) / n_tokens, 6) END AS ttr,
            |       quality_micro
-           |FROM totals t LEFT JOIN vocab v USING (lang) ORDER BY lang""".stripMargin
+           |FROM totals t LEFT JOIN vocab v USING (lang)""".stripMargin
       }
+
+    private val dataCardSql: String = dataCardSqlOver("") + "\nORDER BY lang"
 
     private val q106 = Q(
       "q106_data_card",
@@ -4178,6 +4185,155 @@ object SparkEntry {
       },
       None)
 
+    /** Release drift report ([[operators.TextAnalysis.dataCardDiff]],
+      * T85, r11): yesterday's card (docs with `doc_id % 3 <> 0`) vs
+      * today's (all docs) — the per-domain added/removed/common status,
+      * count deltas, integer-micro token-share and mean-quality moves.
+      * FULL oracle: the q106 card replay once per slice + the same
+      * null-safe full join and integral-division arithmetic (deltas
+      * can be negative, which is exactly where rounded doubles lose
+      * cross-engine parity — so every derived column is a long).
+      */
+    private val q113 = Q(
+      "q113_data_card_drift",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        operators.TextAnalysis.dataCardDiff(
+            operators.TextAnalysis.dataCard(
+              docs.filter($"doc_id" % 3 =!= 0), "text", "lang"),
+            operators.TextAnalysis.dataCard(docs, "text", "lang"),
+            "lang")
+          .orderBy("lang")
+      },
+      Some {
+        def shared(card: String) =
+          s"""  SELECT lang, n_docs, n_tokens, distinct_tokens,
+             |    CAST(CASE WHEN (SELECT coalesce(sum(n_tokens), 0) FROM $card) > 0
+             |         THEN n_tokens * 1000000 // (SELECT coalesce(sum(n_tokens), 0) FROM $card)
+             |    END AS BIGINT) AS token_share_micro,
+             |    CASE WHEN n_docs > 0 THEN quality_micro // n_docs END AS mean_quality_micro
+             |  FROM $card""".stripMargin
+        s"""WITH card_a AS (
+           |${dataCardSqlOver("doc_id % 3 <> 0")}),
+           |card_b AS (
+           |${dataCardSqlOver("")}),
+           |wa AS (
+           |${shared("card_a")}),
+           |wb AS (
+           |${shared("card_b")})
+           |SELECT coalesce(wa.lang, wb.lang) AS lang,
+           |  CASE WHEN wa.n_docs IS NULL THEN 'added'
+           |       WHEN wb.n_docs IS NULL THEN 'removed'
+           |       ELSE 'common' END AS status,
+           |  wa.n_docs AS n_docs_a, wb.n_docs AS n_docs_b,
+           |  coalesce(wb.n_docs, 0) - coalesce(wa.n_docs, 0) AS docs_delta,
+           |  wa.n_tokens AS n_tokens_a, wb.n_tokens AS n_tokens_b,
+           |  coalesce(wb.n_tokens, 0) - coalesce(wa.n_tokens, 0) AS tokens_delta,
+           |  wa.distinct_tokens AS distinct_tokens_a,
+           |  wb.distinct_tokens AS distinct_tokens_b,
+           |  coalesce(wb.distinct_tokens, 0) - coalesce(wa.distinct_tokens, 0) AS vocab_delta,
+           |  wa.token_share_micro AS token_share_micro_a,
+           |  wb.token_share_micro AS token_share_micro_b,
+           |  coalesce(wb.token_share_micro, 0) - coalesce(wa.token_share_micro, 0) AS share_delta_micro,
+           |  wa.mean_quality_micro AS mean_quality_micro_a,
+           |  wb.mean_quality_micro AS mean_quality_micro_b,
+           |  coalesce(wb.mean_quality_micro, 0) - coalesce(wa.mean_quality_micro, 0) AS quality_delta_micro
+           |FROM wa FULL JOIN wb ON wa.lang IS NOT DISTINCT FROM wb.lang
+           |ORDER BY lang""".stripMargin
+      })
+
+    /** PII tagging + redaction ([[operators.Pii.scan]], T86, r11): the
+      * pre-release scrub — per-document email/IPv4/phone counts on the
+      * raw text and the masked text (email -> IPv4 -> phone order).
+      * The synthetic corpus carries no PII, so the query plants a
+      * deterministic footer derived from `doc_id` (the q97
+      * construct-in-query discipline) — one email, one phone, one
+      * IPv4 per doc, concatenated IDENTICALLY in both engines (`||`
+      * null-propagates exactly like Spark's `concat`). FULL oracle:
+      * the same RE2-safe patterns (no `\b`, no lookaround — the
+      * operator's cross-engine pattern discipline) replayed through
+      * DuckDB's regexp_extract_all/regexp_replace.
+      */
+    private val q114 = Q(
+      "q114_pii_scan",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val aug = docs.select(
+          $"doc_id",
+          concat($"text",
+            lit(" contact u"), $"doc_id".cast("string"),
+            lit("@ex"), ($"doc_id" % 7).cast("string"),
+            lit(".org or +155500"),
+            lpad(($"doc_id" % 100000).cast("string"), 5, "0"),
+            lit(" ip "), ($"doc_id" % 256).cast("string"),
+            lit(".0.0."), ($"doc_id" % 100).cast("string")).as("text"))
+        operators.Pii.scan(aug, "doc_id", "text").orderBy("doc_id")
+      },
+      Some {
+        val e = operators.Pii.EmailPattern
+        val i = operators.Pii.Ipv4Pattern
+        val p = operators.Pii.PhonePattern
+        s"""WITH aug AS (
+           |  SELECT doc_id,
+           |    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex' ||
+           |    CAST(doc_id % 7 AS VARCHAR) || '.org or +155500' ||
+           |    lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0') || ' ip ' ||
+           |    CAST(doc_id % 256 AS VARCHAR) || '.0.0.' ||
+           |    CAST(doc_id % 100 AS VARCHAR) AS text
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id,
+           |    CASE WHEN text IS NULL THEN 0
+           |         ELSE len(regexp_extract_all(text, '$e')) END AS n_emails,
+           |    CASE WHEN text IS NULL THEN 0
+           |         ELSE len(regexp_extract_all(text, '$i')) END AS n_ipv4,
+           |    CASE WHEN text IS NULL THEN 0
+           |         ELSE len(regexp_extract_all(text, '$p')) END AS n_phones,
+           |    regexp_replace(regexp_replace(regexp_replace(text,
+           |      '$e', '<EMAIL>', 'g'), '$i', '<IPV4>', 'g'),
+           |      '$p', '<PHONE>', 'g') AS redacted
+           |  FROM aug)
+           |SELECT doc_id,
+           |  CAST(n_emails AS BIGINT) AS n_emails,
+           |  CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+           |  CAST(n_phones AS BIGINT) AS n_phones,
+           |  CAST(n_emails + n_ipv4 + n_phones AS BIGINT) AS pii_total,
+           |  redacted
+           |FROM c ORDER BY doc_id""".stripMargin
+      })
+
+    /** Exact per-domain quantiles ([[operators.Quantiles
+      * .exactQuantiles]], T87, r11): p25/p50/p90/p99 of document
+      * length per lang — `percentile_disc` semantics (smallest value
+      * whose cumulative count reaches `ceil(q * n)`) over a sort-based
+      * window, exact at any group size (Spark's own `percentile`
+      * buffers whole groups in memory; `percentile_approx` is a
+      * sketch no other engine replays). FULL oracle: the identical
+      * row_number window + integer micro-unit rank arithmetic — no
+      * double ever enters the rank, so the boundary rows agree
+      * bit-for-bit.
+      */
+    private val q115 = Q(
+      "q115_length_quantiles",
+      (s, dir) => operators.Quantiles.exactQuantiles(
+          t(s, dir, "documents")
+            .selectExpr("lang", "CAST(length(text) AS BIGINT) AS len"),
+          "lang", "len", Seq(0.25, 0.5, 0.9, 0.99))
+        .orderBy("lang", "quantile"),
+      Some("""WITH v AS (
+             |  SELECT lang, CAST(length(text) AS BIGINT) AS v
+             |  FROM documents WHERE text IS NOT NULL),
+             |r AS (
+             |  SELECT lang, v,
+             |         row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+             |         count(*) OVER (PARTITION BY lang) AS n
+             |  FROM v),
+             |t AS (SELECT CAST(unnest([250000, 500000, 900000, 990000]) AS BIGINT) AS qm)
+             |SELECT lang, qm / 1000000.0 AS quantile, n, v AS value
+             |FROM r, t
+             |WHERE rn = (qm * n + 999999) // 1000000
+             |ORDER BY lang, quantile""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -4187,7 +4343,7 @@ object SparkEntry {
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
       q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
       q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-      q111, q112)
+      q111, q112, q113, q114, q115)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII tagging and redaction (T86, r11) — the Dolma/CCNet-style
+  * pre-release scrub every shipped training corpus runs: count and
+  * mask email addresses, IPv4 literals, and international-format
+  * phone numbers. A TAGGER plus a REWRITER, never a row filter —
+  * documents keep their identity (the release decides per-policy
+  * whether to drop high-PII docs via the counts, the way the
+  * [[QualityClassifier]] gate consumes quality scores).
+  *
+  * Pattern discipline — every regex is chosen to mean THE SAME THING
+  * in Java's engine (Spark executors) and RE2 (the DuckDB oracle):
+  *
+  *  - no backreferences, no lookaround (RE2 has neither);
+  *  - no `\b`: Java's word boundary is Unicode-aware while RE2's is
+  *    ASCII, so `\b` silently diverges next to accented letters —
+  *    exactly the text a multilingual corpus is full of. The patterns
+  *    instead anchor on their own required punctuation (`@`, dots,
+  *    `+`), accepting the documented looseness that a digit run
+  *    longer than the cap matches its prefix;
+  *  - ASCII character classes only (`[0-9]`-style via `\d`, which is
+  *    ASCII in both engines by default).
+  *
+  * Counts are computed per kind on the ORIGINAL text (kinds are
+  * independent signals; a mask must not hide one kind from another's
+  * counter). Redaction applies sequentially email -> IPv4 -> phone —
+  * emails contain dots and digits, so masking them first keeps their
+  * host part from feeding the IPv4/phone patterns.
+  *
+  * Scale shape: pure scan-side `regexp_extract_all`/`regexp_replace`
+  * compositions — whole-stage codegen, zero shuffle, zero UDF
+  * (PlanSpec-pinned). On 100 TB this is a map-only pass that fuses
+  * into whatever scan precedes it.
+  */
+object Pii {
+
+  /** ASCII email: local part, `@`, dotted host with a >=2-letter TLD. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 literal (1-3 digits per octet; no range check —
+    * the tagger's job is recall, the policy layer's is precision).
+    */
+  val Ipv4Pattern = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  /** International-format phone: `+` then 7-15 digits (E.164 length). */
+  val PhonePattern = "\\+\\d{7,15}"
+
+  val EmailMask = "<EMAIL>"
+  val Ipv4Mask = "<IPV4>"
+  val PhoneMask = "<PHONE>"
+
+  private def countOf(text: Column, pattern: String): Column =
+    when(text.isNull, lit(0L))
+      .otherwise(size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long"))
+
+  /** Per-document PII tag counts on the raw text. */
+  def scanColumns(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> countOf(text, EmailPattern),
+    "n_ipv4" -> countOf(text, Ipv4Pattern),
+    "n_phones" -> countOf(text, PhonePattern))
+
+  /** The masked text: email -> IPv4 -> phone, in that order (see the
+    * class doc for why the order is load-bearing). Null rides through.
+    */
+  def redactColumn(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, EmailMask),
+        Ipv4Pattern, Ipv4Mask),
+      PhonePattern, PhoneMask)
+
+  /** The q114 surface: id, per-kind counts, total, and the redacted
+    * text. Output: `idCol`, `n_emails`, `n_ipv4`, `n_phones`,
+    * `pii_total`, `redacted`.
+    */
+  def scan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val counts = scanColumns(text)
+    df.select(
+      (col(idCol) +: counts.map { case (n, c) => c.as(n) }) :+
+        counts.map(_._2).reduce(_ + _).as("pii_total") :+
+        redactColumn(text).as("redacted"): _*)
+  }
+}

@@ -241,6 +241,87 @@ object TextAnalysis {
         col("quality_micro"))
   }
 
+  /** Release DRIFT report (T85, r11) — the per-domain diff of two
+    * [[dataCard]] frames (yesterday's release report vs today's): the
+    * QA surface a corpus build reads before shipping, answering "which
+    * domains appeared/vanished, whose token share moved, did mean
+    * quality drift". Complements [[Manifest.diff]] exactly: the
+    * manifest diff certifies WHICH BYTES changed; the card diff reads
+    * WHAT THE CHANGE DID to the corpus statistics.
+    *
+    * Every derived column is chosen for exact cross-engine replay, the
+    * [[dataCard]] discipline extended to differences (which can be
+    * NEGATIVE — where rounding half-up and half-away-from-zero part
+    * ways, so no rounded doubles in any delta):
+    *
+    *  - count deltas (`docs_delta`, `tokens_delta`, `vocab_delta`) are
+    *    plain long subtractions with the absent side coalesced to 0;
+    *  - token SHARE is integer micro-units via long division
+    *    (`n_tokens * 1000000 / total_tokens`, truncating — both
+    *    engines truncate positive long division identically), so
+    *    `share_delta_micro` is an exact integer;
+    *  - mean quality is `quality_micro / n_docs` (long division of the
+    *    card's integer quality mass), so `quality_delta_micro` is an
+    *    exact integer;
+    *  - `status` is `added` / `removed` / `common` off the join sides.
+    *
+    * Null domains are real rows in a card (documents with no domain
+    * label), so the join is null-safe (`<=>` — the J6 convention).
+    *
+    * Scale shape: cards are dimension-sized (one row per domain), so
+    * the diff is a broadcast-broadcast join plus two 1-row total
+    * aggregates ([[graft.etl.Pipeline]]'s A1 broadcast-rescale
+    * pattern) — nothing corpus-sized is touched; the corpus cost was
+    * paid when the cards were built (or folded from the T81 index).
+    */
+  def dataCardDiff(
+      cardA: DataFrame,
+      cardB: DataFrame,
+      domainCol: String): DataFrame = {
+    def withShare(card: DataFrame, side: String): DataFrame = {
+      val total = card.agg(
+        coalesce(sum(col("n_tokens")), lit(0L)).as(s"__total_$side"))
+      card.crossJoin(broadcast(total)).select(
+        col(domainCol).as(s"__dom_$side"),
+        col("n_docs").as(s"n_docs_$side"),
+        col("n_tokens").as(s"n_tokens_$side"),
+        col("distinct_tokens").as(s"distinct_tokens_$side"),
+        // integral DIV, not `/`: Spark's `/` is double division, and a
+        // double quotient cast back to long can truncate one off the
+        // exact integer quotient DuckDB's `//` computes
+        when(col(s"__total_$side") > 0,
+          expr(s"n_tokens * 1000000 DIV __total_$side"))
+          .as(s"token_share_micro_$side"),
+        when(col("n_docs") > 0, expr("quality_micro DIV n_docs"))
+          .as(s"mean_quality_micro_$side"))
+    }
+    val a = withShare(cardA, "a")
+    val b = withShare(cardB, "b")
+    a.join(b, col("__dom_a") <=> col("__dom_b"), "full_outer")
+      .select(
+        coalesce(col("__dom_a"), col("__dom_b")).as(domainCol),
+        when(col("n_docs_a").isNull, lit("added"))
+          .when(col("n_docs_b").isNull, lit("removed"))
+          .otherwise(lit("common")).as("status"),
+        col("n_docs_a"), col("n_docs_b"),
+        (coalesce(col("n_docs_b"), lit(0L)) -
+          coalesce(col("n_docs_a"), lit(0L))).as("docs_delta"),
+        col("n_tokens_a"), col("n_tokens_b"),
+        (coalesce(col("n_tokens_b"), lit(0L)) -
+          coalesce(col("n_tokens_a"), lit(0L))).as("tokens_delta"),
+        col("distinct_tokens_a"), col("distinct_tokens_b"),
+        (coalesce(col("distinct_tokens_b"), lit(0L)) -
+          coalesce(col("distinct_tokens_a"), lit(0L))).as("vocab_delta"),
+        col("token_share_micro_a"), col("token_share_micro_b"),
+        (coalesce(col("token_share_micro_b"), lit(0L)) -
+          coalesce(col("token_share_micro_a"), lit(0L)))
+          .as("share_delta_micro"),
+        col("mean_quality_micro_a"), col("mean_quality_micro_b"),
+        (coalesce(col("mean_quality_micro_b"), lit(0L)) -
+          coalesce(col("mean_quality_micro_a"), lit(0L)))
+          .as("quality_delta_micro"))
+  }
+
   /** Tiny per-language stopword lists (top function words; enough for an
     * n-gram-free heuristic — the classic stopword-hit language guesser).
     */

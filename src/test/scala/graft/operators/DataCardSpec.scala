@@ -117,4 +117,57 @@ class DataCardSpec extends SparkSpec {
       .as[(Long, Long, Long)].head()
     assert(row == ((2L, 5L, 3L)))
   }
+
+  test("card drift: planted added/removed/common statuses and exact deltas (T85)") {
+    // yesterday: web (4 tokens of 2 distinct) + books; today: web grew
+    // by one doc, books vanished, code appeared
+    val a = TextAnalysis.dataCard(Seq(
+      ("web", "x y x y"), ("books", "a b c")).toDF("dom", "text"), "text", "dom")
+    val b = TextAnalysis.dataCard(Seq(
+      ("web", "x y x y"), ("web", "z z"), ("code", "if else")).toDF("dom", "text"),
+      "text", "dom")
+    val d = TextAnalysis.dataCardDiff(a, b, "dom").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(d("books").getString(1) == "removed")
+    assert(d("code").getString(1) == "added")
+    assert(d("web").getString(1) == "common")
+    // web: docs 1 -> 2, tokens 4 -> 6, vocab 2 -> 3
+    assert(d("web").getAs[Long]("docs_delta") == 1L)
+    assert(d("web").getAs[Long]("tokens_delta") == 2L)
+    assert(d("web").getAs[Long]("vocab_delta") == 1L)
+    // shares: A totals 7 tokens -> web 4/7; B totals 8 -> web 6/8
+    assert(d("web").getAs[Long]("token_share_micro_a") == 4L * 1000000L / 7L)
+    assert(d("web").getAs[Long]("token_share_micro_b") == 6L * 1000000L / 8L)
+    assert(d("web").getAs[Long]("share_delta_micro") ==
+      6L * 1000000L / 8L - 4L * 1000000L / 7L)
+    // removed side: B columns null, deltas fold the side to zero
+    assert(d("books").isNullAt(d("books").fieldIndex("n_docs_b")))
+    assert(d("books").getAs[Long]("docs_delta") == -1L)
+    assert(d("books").getAs[Long]("tokens_delta") == -3L)
+  }
+
+  test("card drift: identical cards diff to all-common, all-zero deltas") {
+    val card = TextAnalysis.dataCard(docs, "text", "lang")
+    val d = TextAnalysis.dataCardDiff(card, card, "lang").collect()
+    assert(d.nonEmpty)
+    assert(d.forall(_.getString(1) == "common"))
+    Seq("docs_delta", "tokens_delta", "vocab_delta",
+        "share_delta_micro", "quality_delta_micro").foreach { c =>
+      assert(d.forall(r => r.getAs[Long](c) == 0L), c)
+    }
+  }
+
+  test("card drift: null domain rows join null-safely instead of cross-firing") {
+    val a = TextAnalysis.dataCard(Seq(
+      (null.asInstanceOf[String], "u v"), ("en", "a")).toDF("dom", "text"),
+      "text", "dom")
+    val b = TextAnalysis.dataCard(Seq(
+      (null.asInstanceOf[String], "u v w")).toDF("dom", "text"), "text", "dom")
+    val d = TextAnalysis.dataCardDiff(a, b, "dom").collect()
+    assert(d.length == 2)
+    val nullRow = d.find(_.isNullAt(0)).get
+    assert(nullRow.getString(1) == "common" &&
+      nullRow.getAs[Long]("tokens_delta") == 1L)
+    assert(d.find(r => !r.isNullAt(0)).get.getString(1) == "removed")
+  }
 }

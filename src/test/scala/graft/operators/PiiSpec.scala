@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** PII tagging + redaction (T86): planted fixtures for each kind, the
+  * load-bearing mask order, the documented looseness decisions
+  * (no `\b`, no octet range check, digit-cap prefix matching), and the
+  * null/empty contract.
+  */
+class PiiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scanOne(text: String) = {
+    val r = Pii.scan(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text").head()
+    (r.getAs[Long]("n_emails"), r.getAs[Long]("n_ipv4"),
+      r.getAs[Long]("n_phones"), r.getAs[String]("redacted"))
+  }
+
+  test("each kind tags and masks; total folds the kinds") {
+    val (e, i, p, red) = scanOne(
+      "write a.b+c_d%x@mail.example.co reach 10.0.0.1 or +4915123456789 now")
+    assert((e, i, p) == ((1L, 1L, 1L)))
+    assert(red == "write <EMAIL> reach <IPV4> or <PHONE> now")
+    val tot = Pii.scan(Seq((1L, "x@y.org and 1.2.3.4")).toDF("doc_id", "text"),
+      "doc_id", "text").head().getAs[Long]("pii_total")
+    assert(tot == 2L)
+  }
+
+  test("mask order is load-bearing: an email's dotted-digit local part never leaks an IPV4 mask") {
+    // counts are per-kind on the RAW text (independent signals — the
+    // ipv4 counter does see the digits inside the email), but the
+    // redaction masks the email FIRST, so the shipped text carries one
+    // <EMAIL> and no <IPV4>
+    val (e, i, _, red) = scanOne("ping 1.2.3.4@host.com please")
+    assert(e == 1L)
+    assert(i == 1L)
+    assert(red == "ping <EMAIL> please")
+    assert(!red.contains(Pii.Ipv4Mask))
+  }
+
+  test("null and empty texts: zero counts, null/empty redaction") {
+    val rows = Pii.scan(
+      Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "   ")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Long]("pii_total") == 0L && rows(1L).isNullAt(5))
+    assert(rows(2L).getAs[Long]("pii_total") == 0L &&
+      rows(2L).getAs[String]("redacted") == "")
+    assert(rows(3L).getAs[Long]("pii_total") == 0L)
+  }
+
+  test("documented looseness: digit caps match prefixes, octets are unchecked") {
+    // 16 digits after '+': the 15-digit E.164 cap matches the prefix
+    // (one tag, the last digit survives the mask) — the no-`\b`
+    // decision's visible edge, identical in both engines
+    val (_, _, p1, red1) = scanOne("call +1234567890123456")
+    assert(p1 == 1L && red1 == "call <PHONE>6")
+    // out-of-range octets still tag (recall over precision)
+    val (_, i2, _, _) = scanOne("host 999.999.999.999 up")
+    assert(i2 == 1L)
+    // unicode adjacency: no `\b` means an accented letter before '+'
+    // does not suppress the match (Java and RE2 would disagree on \b)
+    val (_, _, p3, _) = scanOne("café+4912345678")
+    assert(p3 == 1L)
+  }
+
+  test("multiple occurrences count and mask independently") {
+    val (e, i, p, red) = scanOne(
+      "a@b.co c@d.org 1.1.1.1 2.2.2.2 +1234567 +7654321")
+    assert((e, i, p) == ((2L, 2L, 2L)))
+    assert(red == "<EMAIL> <EMAIL> <IPV4> <IPV4> <PHONE> <PHONE>")
+  }
+
+  test("scan is a zero-exchange, zero-UDF, single-scan plan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Pii.scan(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"pii scan must not shuffle:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"pii scan must stay codegen:\n$plan")
+    val scans = "ReadSchema".r.findAllIn(plan).size
+    assert(scans == 1, s"expected one corpus scan, got $scans")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Exact distributed quantiles (T87): percentile_disc semantics on
+  * planted fixtures, tie handling, per-key independence, the null and
+  * guard contracts, the one-exchange plan shape, and the approx twin's
+  * tolerance pin.
+  */
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("percentile_disc semantics on a planted 1..10 group") {
+    val df = (1 to 10).map(v => ("k", v.toLong)).toDF("key", "v")
+    val got = Quantiles.exactQuantiles(df, "key", "v", Seq(0.1, 0.25, 0.5, 1.0))
+      .select($"quantile", $"n", $"value").as[(Double, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    // rank = ceil(q * 10): 1, 3 (ceil 2.5), 5, 10
+    assert(got == Seq((0.1, 10L, 1L), (0.25, 10L, 3L), (0.5, 10L, 5L), (1.0, 10L, 10L)))
+  }
+
+  test("ties: the value at the rank, not the distinct value") {
+    val df = Seq(1L, 1L, 1L, 2L).map(("k", _)).toDF("key", "v")
+    val got = Quantiles.exactQuantiles(df, "key", "v", Seq(0.5, 1.0))
+      .select($"quantile", $"value").as[(Double, Long)].collect().toMap
+    assert(got(0.5) == 1L && got(1.0) == 2L)
+  }
+
+  test("keys are independent; null values are excluded; all-null keys vanish") {
+    val df = Seq(
+      ("a", Some(10L)), ("a", Some(20L)), ("a", None),
+      ("b", Some(5L)),
+      ("c", None)).toDF("key", "v")
+    val got = Quantiles.exactQuantiles(df, "key", "v", Seq(0.5))
+      .select($"key", $"n", $"value").as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // a: n=2 (null dropped), rank ceil(1)=1 -> 10; b: the single row
+    assert(got == Map("a" -> ((2L, 10L)), "b" -> ((1L, 5L))))
+  }
+
+  test("layout invariance: repartitioned input gives identical rows") {
+    val base = docs.selectExpr("lang", "CAST(length(text) AS BIGINT) AS v")
+    val a = Quantiles.exactQuantiles(base, "lang", "v", Seq(0.5, 0.9))
+      .collect().map(_.toSeq).toSet
+    val b = Quantiles.exactQuantiles(base.repartition(13), "lang", "v", Seq(0.5, 0.9))
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("plan shape: exactly one exchange (the window sort), no join") {
+    val base = docs.selectExpr("lang", "CAST(length(text) AS BIGINT) AS v")
+    val plan = Quantiles.exactQuantiles(base, "lang", "v", Seq(0.5, 0.99))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected the one window exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"no join expected:\n$plan")
+  }
+
+  test("approx twin lands within sketch tolerance of the exact answer") {
+    val base = docs.selectExpr("lang", "CAST(length(text) AS BIGINT) AS v")
+    val qs = Seq(0.5, 0.9)
+    val exact = Quantiles.exactQuantiles(base, "lang", "v", qs)
+      .select($"lang", $"quantile", $"value").as[(String, Double, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val approx = Quantiles.approxQuantiles(base, "lang", "v", qs)
+      .select($"lang", $"quantile", $"value").as[(String, Double, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, ev) =>
+      val av = approx(k)
+      assert(math.abs(av - ev).toDouble <= math.max(2.0, ev * 0.05),
+        s"$k: approx $av vs exact $ev")
+    }
+  }
+
+  test("guards: empty and out-of-range quantiles, micro-unit collisions") {
+    val df = Seq(("k", 1L)).toDF("key", "v")
+    assert(intercept[IllegalArgumentException] {
+      Quantiles.exactQuantiles(df, "key", "v", Seq.empty)
+    }.getMessage.contains("at least one"))
+    assert(intercept[IllegalArgumentException] {
+      Quantiles.exactQuantiles(df, "key", "v", Seq(0.0))
+    }.getMessage.contains("(0, 1]"))
+    assert(intercept[IllegalArgumentException] {
+      Quantiles.exactQuantiles(df, "key", "v", Seq(1.5))
+    }.getMessage.contains("(0, 1]"))
+    assert(intercept[IllegalArgumentException] {
+      Quantiles.exactQuantiles(df, "key", "v", Seq(0.5, 0.5000001))
+    }.getMessage.contains("collide"))
+  }
+}
