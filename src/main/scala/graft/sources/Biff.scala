@@ -487,7 +487,15 @@ object Biff {
                 while (sit.hasNext && !found && sit.head.id != Rec.EOF) {
                   if (sit.head.id == Rec.STRING) {
                     val s = sit.next()
-                    put(rw, c, readStr(new Cursor(Vector(s.data)), cchBytes = 2))
+                    // a long cached result spans CONTINUE records: gather
+                    // them into one logical stream (the SST discipline —
+                    // BIFF8 restarts the compression grbit per part, which
+                    // Cursor.chars honors; BIFF5 byte strings continue raw)
+                    val parts = Vector.newBuilder[Array[Byte]]
+                    parts += s.data
+                    while (sit.hasNext && sit.head.id == Rec.CONTINUE)
+                      parts += sit.next().data
+                    put(rw, c, readStr(new Cursor(parts.result()), cchBytes = 2))
                     found = true
                   } else if (sit.head.id == Rec.FORMULA) found = true // malformed; bail
                   else sit.next()

@@ -160,6 +160,58 @@ object BiffFixture {
     cat(globalsNoBoundsheet, boundsheet, rec(0x000A, Array.empty), sheet)
   }
 
+  /** Minimal BIFF8 workbook whose one cell is a cached-formula STRING
+    * split across a CONTINUE mid-string, with the continuation flipping
+    * the compression grbit to uncompressed UTF-16 — the [MS-XLS]
+    * STRING-record continuation case ("abcd" 8-bit + "efgh" 16-bit).
+    */
+  def workbookStreamContinuedString(): Array[Byte] = {
+    val globalsNoBoundsheet = cat(bof(dt = 0x0005), xf(0))
+    val sheet = cat(
+      bof(dt = 0x0010),
+      cell(0x0006, 0, 0, 0, cat(
+        Array(0.toByte, 0.toByte), u32(0), u16(0xFFFF),
+        u16(0), u32(0), u16(0))),
+      rec(0x0207, cat(u16(8), Array(0.toByte), "abcd".getBytes("ISO-8859-1"))),
+      rec(0x003C, cat(Array(1.toByte),
+        "efgh".flatMap(ch => Seq(ch.toByte, 0.toByte)).toArray)),
+      rec(0x000A, Array.empty))
+    val sheetName = str8("Sheet1")
+    val boundsheetLen = 4 + 4 + 2 + sheetName.length
+    val sheetPos = globalsNoBoundsheet.length + boundsheetLen + 4
+    val boundsheet = rec(0x0085, cat(u32(sheetPos), u16(0), sheetName))
+    cat(globalsNoBoundsheet, boundsheet, rec(0x000A, Array.empty), sheet)
+  }
+
+  /** The BIFF5 twin: the cached STRING is a CODEPAGE byte string whose
+    * bytes continue RAW across the CONTINUE boundary (no grbit byte —
+    * the byte-string layout has no compression flag to restate).
+    */
+  def workbookStream5ContinuedString(): Array[Byte] = {
+    val cp = "windows-1252"
+    def bof5(dt: Int): Array[Byte] =
+      rec(0x0809, cat(u16(0x0500), u16(dt), u16(0), u16(0)))
+    val full = "computado até"
+    val bytes = full.getBytes(cp)
+    val (head, tail) = bytes.splitAt(4)
+    val globalsNoBoundsheet = cat(bof5(dt = 0x0005), rec(0x0042, u16(1252)), xf(0))
+    val sheet = cat(
+      bof5(dt = 0x0010),
+      cell(0x0006, 0, 0, 0, cat(
+        Array(0.toByte, 0.toByte), u32(0), u16(0xFFFF),
+        u16(0), u32(0), u16(0))),
+      rec(0x0207, cat(u16(bytes.length), head)),
+      rec(0x003C, tail),
+      rec(0x000A, Array.empty))
+    val sheetName = {
+      val bs = "Folha1".getBytes(cp); cat(Array(bs.length.toByte), bs)
+    }
+    val boundsheetLen = 4 + 4 + 2 + sheetName.length
+    val sheetPos = globalsNoBoundsheet.length + boundsheetLen + 4
+    val boundsheet = rec(0x0085, cat(u32(sheetPos), u16(0), sheetName))
+    cat(globalsNoBoundsheet, boundsheet, rec(0x000A, Array.empty), sheet)
+  }
+
   private val Free = 0xFFFFFFFFL
   private val Eoc = 0xFFFFFFFEL
   private val FatSect = 0xFFFFFFFDL
@@ -326,6 +378,26 @@ class BiffSpec extends SparkSpec {
     val df = Xlsx.read(spark, path)
     assert(df.columns.toSeq == Seq("cabeçalho", "olá açúcar", "row_id"))
     assert(df.count() == 3)
+  }
+
+  test("BIFF8 cached-formula STRING spans a CONTINUE with a grbit restart") {
+    // the carried NEXT.md case: a long cached result's STRING record
+    // continues, the continuation restating the compression flag
+    // ("abcd" compressed + "efgh" uncompressed UTF-16)
+    val path = BiffFixture.write(
+      BiffFixture.cfb(BiffFixture.workbookStreamContinuedString()))
+    val rows = Biff.readRows(path)
+    assert(rows(0).toSeq == Seq("abcdefgh"))
+  }
+
+  test("BIFF5 cached-formula byte STRING continues raw across a CONTINUE") {
+    // byte strings carry no compression flag, so the continuation is
+    // raw codepage bytes — incl. a cp1252 high byte after the split
+    val path = BiffFixture.write(
+      BiffFixture.cfb(BiffFixture.workbookStream5ContinuedString(),
+        streamName = "Book"))
+    val rows = Biff.readRows(path)
+    assert(rows(0).toSeq == Seq("computado até"))
   }
 
   test("version mismatch in a Book stream fails typed, not a parse crash") {
