@@ -859,6 +859,32 @@ object ProfileScale {
         }
         println(f"PROFILE ivf_oneshot factor=$f rows=$nOne cold=$oneCold%.1f warm=$oneWarm%.1f")
       }
+      if (only.forall(_ == "quant")) {
+        // The T87 claim: exact quantiles are one window sort per key —
+        // cost tracks the corpus linearithmically, output stays
+        // dimension-sized (langs x qs). The rotation preserves text
+        // LENGTH exactly, so every factor computes quantiles over the
+        // same per-key length distribution replicated f-fold — the
+        // curve measures the sort/shuffle machinery, not value drift.
+        val (n, cold, warm) = timed { s =>
+          graft.operators.Quantiles.exactQuantiles(
+            scaled(s, sfDir, f)
+              .select(col("lang"), length(col("text")).cast("long").as("len")),
+            "lang", "len", Seq(0.25, 0.5, 0.9, 0.99))
+        }
+        println(f"PROFILE quantiles factor=$f rows=$n cold=$cold%.1f warm=$warm%.1f")
+      }
+      if (only.forall(_ == "pii")) {
+        // The T86 claim: the PII scan is a zero-shuffle map-only pass —
+        // cost is exactly linear in the corpus with no exchange to
+        // misbehave. timed() counts the scan output, forcing the full
+        // regex work per row.
+        val (n, cold, warm) = timed { s =>
+          graft.operators.Pii.scan(scaled(s, sfDir, f), "doc_id", "text")
+            .filter(col("pii_total") >= 0)
+        }
+        println(f"PROFILE pii_scan factor=$f rows=$n cold=$cold%.1f warm=$warm%.1f")
+      }
     }
     root.stop()
   }
