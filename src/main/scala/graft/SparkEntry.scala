@@ -4334,6 +4334,45 @@ object SparkEntry {
              |WHERE rn = (qm * n + 999999) // 1000000
              |ORDER BY lang, quantile""".stripMargin))
 
+    /** Contamination evidence ([[operators.Contamination
+      * .contaminationEvidence]], T88, r11): the forensics complement of
+      * q51 — one row per (train doc, benchmark doc) pair sharing
+      * 13-grams, with the shared count and the smallest shared gram as
+      * the inspectable receipt. FULL oracle: the q51 shingle CTEs on
+      * both sides + the same pair aggregate (count(*) is exact because
+      * per-doc grams are distinct; min(gram) compares UTF-8 bytes in
+      * both engines).
+      */
+    private val q116 = Q(
+      "q116_contamination_evidence",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        operators.Contamination.contaminationEvidence(
+            docs.filter($"doc_id" % 97 =!= 0),
+            docs.filter($"doc_id" % 97 === 0),
+            "doc_id", "doc_id", "text", n = 13, minShared = 1L)
+          .orderBy("doc_id", "bench_id")
+      },
+      Some("""WITH tr AS (
+             |  SELECT doc_id, CASE WHEN length(text) >= 13
+             |    THEN list_distinct([substr(lower(text), i, 13)
+             |                        FOR i IN range(1, greatest(length(text) - 12, 0) + 1)])
+             |    ELSE [] END AS g
+             |  FROM documents WHERE doc_id % 97 <> 0),
+             |bn AS (
+             |  SELECT doc_id AS bench_id, CASE WHEN length(text) >= 13
+             |    THEN list_distinct([substr(lower(text), i, 13)
+             |                        FOR i IN range(1, greatest(length(text) - 12, 0) + 1)])
+             |    ELSE [] END AS g
+             |  FROM documents WHERE doc_id % 97 = 0)
+             |SELECT t.doc_id, b.bench_id,
+             |       count(*) AS shared_ngrams, min(t.g) AS sample_gram
+             |FROM (SELECT doc_id, unnest(g) AS g FROM tr) t
+             |JOIN (SELECT bench_id, unnest(g) AS g FROM bn) b ON t.g = b.g
+             |GROUP BY 1, 2
+             |HAVING count(*) >= 1
+             |ORDER BY doc_id, bench_id""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -4343,7 +4382,7 @@ object SparkEntry {
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
       q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
       q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-      q111, q112, q113, q114, q115)
+      q111, q112, q113, q114, q115, q116)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

@@ -376,6 +376,56 @@ object Contamination {
           .otherwise(lit("clean")))
   }
 
+  /** Contamination EVIDENCE report (T88, r11) — the forensics
+    * complement of [[ngramContamination]]: that operator says HOW MUCH
+    * of a train doc overlaps the benchmark corpus; this one says WITH
+    * WHOM and SHOWS ONE RECEIPT — one row per (train doc, benchmark
+    * doc) pair sharing at least `minShared` character n-grams, with
+    * the shared-gram count and the lexicographically smallest shared
+    * gram as the inspectable sample. This is the surface an incident
+    * review ("which benchmark leaked into this shard, and is the match
+    * real or boilerplate?") and threshold tuning actually read — the
+    * [[decontaminationAudit]] lattice says a doc disagrees, the
+    * evidence row says why.
+    *
+    * A REPORT, never a gate: pairs below `minShared` simply don't
+    * appear; no document is dropped anywhere.
+    *
+    * Exactness: shingles are per-doc DISTINCT (the [[TextDedup]]
+    * kernel), so each shared gram contributes exactly one joined row
+    * and `count(*)` IS the distinct shared-gram count; `min(gram)`
+    * compares UTF-8 bytes in both engines (Spark's UTF8String order ==
+    * DuckDB's binary collation). Scale shape inherited from
+    * [[ngramContamination]]: benchmark grams broadcast by default
+    * (benchmark corpora are MBs); `broadcastBench = false` flips to
+    * the shuffled gram join for corpus-sized right sides (the T78
+    * default), then one (train, bench)-pair aggregate. Output rows are
+    * bounded by `minShared` — raise it when boilerplate grams make the
+    * pair set noisy.
+    */
+  def contaminationEvidence(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      benchIdCol: String,
+      textCol: String,
+      n: Int = 13,
+      minShared: Long = 1L,
+      broadcastBench: Boolean = true): DataFrame = {
+    require(minShared >= 1L, s"minShared must be >= 1: $minShared")
+    val grams = TextDedup.shinglesKernel(col(textCol), n)
+    val tg = train.select(col(idCol), explode(grams).as("__g"))
+    val bgRaw = bench.select(col(benchIdCol).as("__bench_id"), explode(grams).as("__g"))
+    val bg = if (broadcastBench) broadcast(bgRaw) else bgRaw
+    tg.join(bg, Seq("__g"))
+      .groupBy(col(idCol), col("__bench_id"))
+      .agg(
+        count(lit(1)).as("shared_ngrams"),
+        min(col("__g")).as("sample_gram"))
+      .filter(col("shared_ngrams") >= minShared)
+      .withColumnRenamed("__bench_id", "bench_id")
+  }
+
   def embeddingContamination(
       train: DataFrame,
       bench: DataFrame,

@@ -269,10 +269,12 @@ object TextAnalysis {
     * label), so the join is null-safe (`<=>` — the J6 convention).
     *
     * Scale shape: cards are dimension-sized (one row per domain), so
-    * the diff is a broadcast-broadcast join plus two 1-row total
-    * aggregates ([[graft.etl.Pipeline]]'s A1 broadcast-rescale
-    * pattern) — nothing corpus-sized is touched; the corpus cost was
-    * paid when the cards were built (or folded from the T81 index).
+    * every exchange here moves domain-count rows: the two 1-row totals
+    * ride [[graft.etl.Pipeline]]'s A1 broadcast-rescale pattern, and
+    * the full-outer domain join (which Spark cannot broadcast — full
+    * outer needs both sides partitioned) shuffles two card-sized
+    * inputs. Nothing corpus-sized is touched; the corpus cost was paid
+    * when the cards were built (or folded from the T81 index).
     */
   def dataCardDiff(
       cardA: DataFrame,

@@ -71,6 +71,32 @@ class PiiSpec extends SparkSpec {
     assert(red == "<EMAIL> <EMAIL> <IPV4> <IPV4> <PHONE> <PHONE>")
   }
 
+  test("the same scan runs under a file stream (stateless, append mode)") {
+    // tagging + masking is a per-row projection — no state, no
+    // watermark — so the identical call runs under readStream and
+    // yields exactly the batch answer (the stateless-op discipline
+    // chunkByTokens and DecontaminationGate pin for their families);
+    // this is the streaming ingest scrub path
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("pii_stream").toString
+    (0 to 2).foreach { k =>
+      docs.filter($"doc_id" % 3 === k).coalesce(1)
+        .write.parquet(s"$dir/in/b$k.parquet")
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*/")
+    val q = Pii.scan(stream, "doc_id", "text")
+      .writeStream.outputMode("append").format("memory").queryName("pii_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
+    val streamed = spark.table("pii_out")
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSet
+    val batch = Pii.scan(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("scan is a zero-exchange, zero-UDF, single-scan plan") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = Pii.scan(docs, "doc_id", "text")

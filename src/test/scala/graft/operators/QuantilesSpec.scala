@@ -75,6 +75,31 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("random-data parity with a driver reference (the percentile_disc law)") {
+    // the window + integer-rank plumbing vs a naive sort on the driver,
+    // over random keys/values with heavy ties and sprinkled nulls
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 800).map { _ =>
+      (s"k${rnd.nextInt(7)}",
+        if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(50).toLong))
+    }
+    val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val got = Quantiles.exactQuantiles(rows.toDF("key", "v"), "key", "v", qs)
+      .select($"key", $"quantile", $"n", $"value")
+      .as[(String, Double, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val want = rows.collect { case (k, Some(v)) => (k, v) }
+      .groupBy(_._1).flatMap { case (k, kvs) =>
+        val sorted = kvs.map(_._2).sorted
+        val n = sorted.length
+        qs.map { q =>
+          val rank = ((math.round(q * 1e6) * n + 999999L) / 1000000L).toInt
+          (k, q) -> ((n.toLong, sorted(rank - 1)))
+        }
+      }
+    assert(got == want)
+  }
+
   test("guards: empty and out-of-range quantiles, micro-unit collisions") {
     val df = Seq(("k", 1L)).toDF("key", "v")
     assert(intercept[IllegalArgumentException] {

@@ -1048,6 +1048,41 @@ class ContaminationSpec extends SparkSpec {
       .as[(Long, Option[Double], Int)].head()
     assert(got._2.exists(c => math.abs(c - 1.0) < 1e-12) && got._3 == 1)
   }
+
+  test("contaminationEvidence: per-pair receipts — counts, sample gram, minShared bar (T88)") {
+    // train doc 1 shares exactly 3 4-grams with bench 100 (abcd bcde
+    // cdef) and 0 with bench 101; train doc 2 shares 1 with bench 101
+    val train = Seq(
+      (1L, "abcdefgh"), (2L, "zzzzzz"), (3L, "qq"), (4L, (null: String)))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "abcdefxx"), (101L, "zzzz")).toDF("doc_id", "text")
+    val got = Contamination.contaminationEvidence(
+        train, bench, "doc_id", "doc_id", "text", n = 4)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 100L, 3L, "abcd"),
+      (2L, 101L, 1L, "zzzz")))
+    // the bar filters pairs, never mutates surviving rows
+    val barred = Contamination.contaminationEvidence(
+        train, bench, "doc_id", "doc_id", "text", n = 4, minShared = 2L)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(barred == Set((1L, 100L, 3L, "abcd")))
+    assert(intercept[IllegalArgumentException] {
+      Contamination.contaminationEvidence(
+        train, bench, "doc_id", "doc_id", "text", n = 4, minShared = 0L)
+    }.getMessage.contains("minShared"))
+  }
+
+  test("contaminationEvidence: broadcast and shuffled joins agree bit-for-bit") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = docs.filter($"doc_id" % 97 =!= 0)
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    def run(b: Boolean) = Contamination.contaminationEvidence(
+        train, bench, "doc_id", "doc_id", "text", n = 13, broadcastBench = b)
+      .collect().map(_.toSeq).toSet
+    val a = run(true)
+    assert(a == run(false) && a.nonEmpty)
+  }
 }
 
 class SamplingSpec extends SparkSpec {
