@@ -76,12 +76,85 @@ object Pii {
     * text. Output: `idCol`, `n_emails`, `n_ipv4`, `n_phones`,
     * `pii_total`, `redacted`.
     */
-  def scan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def scan(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    scanPatterns(df, idCol, textCol, Seq(
+      Pattern("emails", EmailPattern, EmailMask),
+      Pattern("ipv4", Ipv4Pattern, Ipv4Mask),
+      Pattern("phones", PhonePattern, PhoneMask)))
+
+  /** One registry entry: `name` becomes the `n_<name>` count column,
+    * `regex` must pass [[validatePortable]], `mask` replaces matches in
+    * redaction order (the Seq order given to [[scanPatterns]]).
+    */
+  final case class Pattern(name: String, regex: String, mask: String)
+
+  /** Reject regex constructs that mean DIFFERENT THINGS in Java (the
+    * Spark executors) and RE2 (every replay engine in DuckDB's family)
+    * — the operator's whole correctness story is that one pattern
+    * string is one semantics everywhere, so non-portable constructs
+    * fail TYPED at registration instead of silently diverging at the
+    * first accented character or backreference:
+    *
+    *  - `\b`/`\B`: Java word boundaries are Unicode-aware, RE2's are
+    *    ASCII (divergence class, not a missing feature);
+    *  - lookarounds `(?=`, `(?!`, `(?<=`, `(?<!`: RE2 has none;
+    *  - backreferences `\1`..`\9`, `\k<`: RE2 has none;
+    *  - possessive quantifiers `*+`, `++`, `?+`, `{n,m}+`: RE2 has
+    *    none (and Java's change match outcomes, not just performance);
+    *  - atomic groups `(?>`: same.
+    *
+    * The check is syntactic over the pattern string with escapes
+    * honored (`\\b` is a literal backspace-class escape pair, fine).
+    * It is a GUARD, not a parser: constructs it cannot see (e.g.
+    * exotic character-class intersections) remain the author's
+    * responsibility, documented here.
+    */
+  def validatePortable(regex: String): Unit = {
+    // strip escaped-escape pairs first so `\\b` (literal backslash + b)
+    // does not read as a word boundary, then scan for the offenders
+    val s = regex.replace("\\\\", "")
+    def fail(construct: String, why: String): Nothing =
+      throw new IllegalArgumentException(
+        s"non-portable regex construct '$construct' in pattern '$regex': $why " +
+          "— patterns must mean the same thing in Java and RE2")
+    if (s.contains("\\b") || s.contains("\\B"))
+      fail("\\b", "Java word boundaries are Unicode-aware, RE2's are ASCII")
+    for (la <- Seq("(?=", "(?!", "(?<=", "(?<!"))
+      if (s.contains(la)) fail(la, "RE2 has no lookaround")
+    if (s.contains("(?>")) fail("(?>", "RE2 has no atomic groups")
+    if (raw"\\[1-9]".r.findFirstIn(s).isDefined || s.contains("\\k<"))
+      fail("backreference", "RE2 has no backreferences")
+    if (raw"(\*|\+|\?|\})\+".r.findFirstIn(s).isDefined)
+      fail("possessive quantifier", "RE2 has none and Java's change matches")
+    // and it must at least be a valid Java pattern
+    java.util.regex.Pattern.compile(regex)
+  }
+
+  /** [[scan]] over a caller-supplied pattern registry: one `n_<name>`
+    * count column per entry (counts on the RAW text, independent
+    * signals), `pii_total`, and `redacted` masked in REGISTRY ORDER —
+    * order is load-bearing exactly as in [[scan]] (put patterns whose
+    * matches can contain other kinds' fragments first). Every regex
+    * must pass [[validatePortable]]. Same scale shape as [[scan]]:
+    * scan-side codegen, zero shuffle, zero UDF.
+    */
+  def scanPatterns(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      patterns: Seq[Pattern]): DataFrame = {
+    require(patterns.nonEmpty, "need at least one pattern")
+    require(patterns.map(_.name).distinct.size == patterns.size,
+      s"pattern names collide: ${patterns.map(_.name).mkString(", ")}")
+    patterns.foreach(p => validatePortable(p.regex))
     val text = col(textCol)
-    val counts = scanColumns(text)
+    val counts = patterns.map(p => s"n_${p.name}" -> countOf(text, p.regex))
+    val redacted = patterns.foldLeft(text) { (c, p) =>
+      regexp_replace(c, p.regex, p.mask)
+    }
     df.select(
       (col(idCol) +: counts.map { case (n, c) => c.as(n) }) :+
         counts.map(_._2).reduce(_ + _).as("pii_total") :+
-        redactColumn(text).as("redacted"): _*)
+        redacted.as("redacted"): _*)
   }
 }

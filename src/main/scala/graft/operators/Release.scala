@@ -57,7 +57,15 @@ object Release {
       broadcastLeakGrams: Boolean = false,
       // 1.0 = natural mix (exact identity); lower flattens toward
       // uniform over the domain column
-      mixAlpha: Double = 1.0)
+      mixAlpha: Double = 1.0,
+      // scrub-at-ingest: mask PII ([[Pii.redactColumn]]) BEFORE stage 1
+      // so every downstream signal — quality, shingles, the dedup index,
+      // leak grams, the shipped bytes the manifest certifies — is
+      // computed over the text that actually ships; a post-hoc redact
+      // would leave the index signed over raw text and batch probes
+      // (incremental turns) matching against a corpus that no longer
+      // exists. Default off: masking is a policy decision.
+      piiMask: Boolean = false)
 
   /** The shipped release: `docs` (what was written — curated,
     * split-assigned, de-leaked, mixed, packed), `manifest` and `card`
@@ -72,6 +80,13 @@ object Release {
     def unpersist(): Unit = cached.foreach(_.unpersist())
   }
 
+  /** Scrub-at-ingest (see [[ReleaseParams.piiMask]]): everything
+    * downstream sees only the text that ships.
+    */
+  private def scrubbed(df: DataFrame, textCol: String, params: ReleaseParams): DataFrame =
+    if (params.piiMask) df.withColumn(textCol, Pii.redactColumn(col(textCol)))
+    else df
+
   def build(
       docs: DataFrame,
       bench: DataFrame,
@@ -85,8 +100,10 @@ object Release {
       s"input already has a '$SplitCol' column — the release assigns its own")
     val spark = docs.sparkSession
 
-    // 1: curation core (annotate/gate/dedup/canonicalize/decontaminate)
-    val core = Curation.curateCore(docs, bench, idCol, textCol, params.curation)
+    // 0: optional ingest scrub; 1: curation core
+    // (annotate/gate/dedup/canonicalize/decontaminate)
+    val core = Curation.curateCore(
+      scrubbed(docs, textCol, params), bench, idCol, textCol, params.curation)
 
     // 2: pin split membership
     val split = Sampling.assignSplit(
@@ -195,7 +212,8 @@ object Release {
     import org.apache.spark.storage.StorageLevel
     require(!docs.columns.contains(SplitCol),
       s"input already has a '$SplitCol' column — the release assigns its own")
-    val core = Curation.curateCore(docs, bench, idCol, textCol, params.curation)
+    val core = Curation.curateCore(
+      scrubbed(docs, textCol, params), bench, idCol, textCol, params.curation)
     // sever the curated corpus from its curation lineage: it is
     // referenced five more times below (two split filters, both sides
     // of the leak-gram join, the index build), and each reference
@@ -266,7 +284,8 @@ object Release {
     require(!batch.columns.contains(SplitCol),
       s"input already has a '$SplitCol' column — the release assigns its own")
     val r = Curation.curateIncremental(
-      state.index, batch, bench, idCol, textCol, langCol, params.curation)
+      state.index, scrubbed(batch, textCol, params), bench,
+      idCol, textCol, langCol, params.curation)
     val split = Sampling.assignSplit(
       r.curated, idCol, params.trainFrac, params.valFrac, SplitCol)
     val evalSide = split.filter(col(SplitCol) =!= "train")

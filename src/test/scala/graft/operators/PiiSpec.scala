@@ -97,6 +97,67 @@ class PiiSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("pattern registry: custom patterns scan and mask in registry order") {
+    val pats = Seq(
+      Pii.Pattern("iban", "[A-Z]{2}\\d{2}[A-Z0-9]{11,30}", "<IBAN>"),
+      Pii.Pattern("digits", "\\d{4,}", "<NUM>"))
+    val r = Pii.scanPatterns(
+      Seq((1L, "pay PT50123456789012345678901 ref 99887766")).toDF("doc_id", "text"),
+      "doc_id", "text", pats).head()
+    // counts on the RAW text: the digit run inside the IBAN counts too
+    assert(r.getAs[Long]("n_iban") == 1L)
+    assert(r.getAs[Long]("n_digits") == 2L)
+    assert(r.getAs[Long]("pii_total") == 3L)
+    // registry order: IBAN masked first, so its digits never become <NUM>
+    assert(r.getAs[String]("redacted") == "pay <IBAN> ref <NUM>")
+  }
+
+  test("pattern registry: non-portable constructs fail typed at registration") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    def rejects(regex: String, construct: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        Pii.scanPatterns(df, "doc_id", "text",
+          Seq(Pii.Pattern("p", regex, "<X>")))
+      }
+      assert(e.getMessage.contains("non-portable"), s"$regex: ${e.getMessage}")
+      assert(e.getMessage.contains(construct), s"$regex: ${e.getMessage}")
+    }
+    rejects("\\bword\\b", "\\b")
+    rejects("a(?=b)", "(?=")
+    rejects("a(?!b)", "(?!")
+    rejects("(?<=a)b", "(?<=")
+    rejects("(?<!a)b", "(?<!")
+    rejects("(?>ab)c", "(?>")
+    rejects("(a)\\1", "backreference")
+    rejects("a*+b", "possessive")
+    // an escaped literal backslash before 'b' is NOT a word boundary
+    Pii.validatePortable("a\\\\b")
+    // still must be a valid Java pattern
+    intercept[java.util.regex.PatternSyntaxException] {
+      Pii.validatePortable("[unclosed")
+    }
+    // registry hygiene: empty and name-colliding registries fail typed
+    assert(intercept[IllegalArgumentException] {
+      Pii.scanPatterns(df, "doc_id", "text", Seq.empty)
+    }.getMessage.contains("at least one"))
+    assert(intercept[IllegalArgumentException] {
+      Pii.scanPatterns(df, "doc_id", "text", Seq(
+        Pii.Pattern("p", "a", "<A>"), Pii.Pattern("p", "b", "<B>")))
+    }.getMessage.contains("collide"))
+  }
+
+  test("default scan == the three-entry registry (the built-ins ride the same path)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50).select("doc_id", "text")
+    val a = Pii.scan(docs, "doc_id", "text").collect().map(_.toSeq).toSet
+    val b = Pii.scanPatterns(docs, "doc_id", "text", Seq(
+      Pii.Pattern("emails", Pii.EmailPattern, Pii.EmailMask),
+      Pii.Pattern("ipv4", Pii.Ipv4Pattern, Pii.Ipv4Mask),
+      Pii.Pattern("phones", Pii.PhonePattern, Pii.PhoneMask)))
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("scan is a zero-exchange, zero-UDF, single-scan plan") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = Pii.scan(docs, "doc_id", "text")

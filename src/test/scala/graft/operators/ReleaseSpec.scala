@@ -262,4 +262,34 @@ class ReleaseSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("split"))
   }
+
+  test("scrub-at-ingest: piiMask ships only masked text, one-call and incremental alike") {
+    // plant PII into every doc: the shipped bytes (what readVerified
+    // reopens and the manifest certifies) must carry masks, never raw
+    // addresses — in both release shapes
+    val planted = train.withColumn("text",
+      concat($"text", lit(" mail u"), $"doc_id".cast("string"),
+        lit("@leak.example.com or 10.0.0."), ($"doc_id" % 250).cast("string")))
+    val p = params.copy(piiMask = true)
+
+    val path1 = tmp("rel_scrub")
+    val r = Release.build(planted, bench, "doc_id", "text", "lang", path1, p)
+    val shipped = Release.open(spark, path1, "doc_id", "text")
+      .select($"text").as[String].collect()
+    r.unpersist()
+    assert(shipped.nonEmpty)
+    assert(shipped.forall(t => !t.contains("@leak.example.com")))
+    assert(shipped.forall(t => t.contains(Pii.EmailMask) && t.contains(Pii.Ipv4Mask)))
+
+    val path2 = tmp("rel_scrub_inc")
+    val st1 = Release.initIncremental(
+      planted.filter($"doc_id" % 2 === 0), bench, "doc_id", "text", "lang", path2, p)
+    val (st2, batchShipped) = Release.appendTurn(
+      st1, planted.filter($"doc_id" % 2 =!= 0), bench, "doc_id", "text", "lang", p)
+    val incShipped = Release.open(spark, path2, "doc_id", "text")
+      .select($"text").as[String].collect()
+    st1.unpersist(); st2.unpersist(); batchShipped.unpersist()
+    assert(incShipped.nonEmpty)
+    assert(incShipped.forall(t => !t.contains("@leak.example.com")))
+  }
 }
