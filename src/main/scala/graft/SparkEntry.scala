@@ -4373,6 +4373,53 @@ object SparkEntry {
              |HAVING count(*) >= 1
              |ORDER BY doc_id, bench_id""".stripMargin))
 
+    /** Custom-registry PII scan ([[operators.Pii.scanPatterns]], T86,
+      * r11): q114 proved the built-ins replay; this proves the
+      * REGISTRY path does — caller-supplied IBAN-ish and long-digit-run
+      * patterns (both [[operators.Pii.validatePortable]]-clean) over a
+      * planted account footer, masked in registry order (IBAN first,
+      * so its digit run never leaks a <NUM> mask). FULL oracle: the
+      * same two patterns replayed through DuckDB regexp functions.
+      */
+    private val q117 = Q(
+      "q117_pii_registry",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val aug = docs.select(
+          $"doc_id",
+          concat($"text",
+            lit(" acct PT"), lpad(($"doc_id" % 100).cast("string"), 2, "0"),
+            lit("ZZ"), lpad($"doc_id".cast("string"), 16, "7"),
+            lit(" case "), lpad(($"doc_id" % 10000).cast("string"), 6, "4"))
+            .as("text"))
+        operators.Pii.scanPatterns(aug, "doc_id", "text", Seq(
+          operators.Pii.Pattern("iban", "[A-Z]{2}\\d{2}[A-Z0-9]{11,30}", "<IBAN>"),
+          operators.Pii.Pattern("digits", "\\d{6,}", "<NUM>")))
+          .orderBy("doc_id")
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id,
+             |    text || ' acct PT' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+             |    'ZZ' || lpad(CAST(doc_id AS VARCHAR), 16, '7') ||
+             |    ' case ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 6, '4') AS text
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id,
+             |    CASE WHEN text IS NULL THEN 0
+             |         ELSE len(regexp_extract_all(text, '[A-Z]{2}\d{2}[A-Z0-9]{11,30}')) END AS n_iban,
+             |    CASE WHEN text IS NULL THEN 0
+             |         ELSE len(regexp_extract_all(text, '\d{6,}')) END AS n_digits,
+             |    regexp_replace(regexp_replace(text,
+             |      '[A-Z]{2}\d{2}[A-Z0-9]{11,30}', '<IBAN>', 'g'),
+             |      '\d{6,}', '<NUM>', 'g') AS redacted
+             |  FROM aug)
+             |SELECT doc_id,
+             |  CAST(n_iban AS BIGINT) AS n_iban,
+             |  CAST(n_digits AS BIGINT) AS n_digits,
+             |  CAST(n_iban + n_digits AS BIGINT) AS pii_total,
+             |  redacted
+             |FROM c ORDER BY doc_id""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -4382,7 +4429,7 @@ object SparkEntry {
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
       q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
       q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-      q111, q112, q113, q114, q115, q116)
+      q111, q112, q113, q114, q115, q116, q117)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.
