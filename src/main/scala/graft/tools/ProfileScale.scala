@@ -859,6 +859,22 @@ object ProfileScale {
         }
         println(f"PROFILE ivf_oneshot factor=$f rows=$nOne cold=$oneCold%.1f warm=$oneWarm%.1f")
       }
+      if (only.forall(_ == "evidence")) {
+        // The T88 claim: evidence is the q51 gram join kept at pair
+        // grain — train side scales with f, bench side FIXED (f=1
+        // bench docs), so cost should track the train explode ~linearly
+        // and the pair-row output stays bounded by real overlap (the
+        // rotation de-correlates copies, so cross-copy pairs don't
+        // pile up quadratically).
+        val (n, cold, warm) = timed { s =>
+          val corpus = scaled(s, sfDir, f)
+          graft.operators.Contamination.contaminationEvidence(
+            corpus.filter(col("doc_id") % 97 =!= 0),
+            scaled(s, sfDir, 1).filter(col("doc_id") % 97 === 0),
+            "doc_id", "doc_id", "text", n = 13)
+        }
+        println(f"PROFILE evidence factor=$f pairs=$n cold=$cold%.1f warm=$warm%.1f")
+      }
       if (only.forall(_ == "quant")) {
         // The T87 claim: exact quantiles are one window sort per key —
         // cost tracks the corpus linearithmically, output stays
