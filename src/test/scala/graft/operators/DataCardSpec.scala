@@ -157,6 +157,46 @@ class DataCardSpec extends SparkSpec {
     }
   }
 
+  test("card drift: diff(a,b) and diff(b,a) are exactly antisymmetric for random corpora") {
+    // deltas negate, added/removed swap, *_a/*_b columns mirror — the
+    // all-long design makes this EXACT (a rounded-double delta would
+    // only be approximately antisymmetric)
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 400).map { _ =>
+      (s"d${rnd.nextInt(6)}",
+        (0 until rnd.nextInt(12)).map(_ => s"w${rnd.nextInt(30)}").mkString(" "))
+    }
+    val cardA = TextAnalysis.dataCard(rows.take(250).toDF("dom", "text"), "text", "dom")
+    val cardB = TextAnalysis.dataCard(rows.drop(150).toDF("dom", "text"), "text", "dom")
+    def byDom(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => Option(r.getString(0)).getOrElse("§null") -> r).toMap
+    val ab = byDom(TextAnalysis.dataCardDiff(cardA, cardB, "dom"))
+    val ba = byDom(TextAnalysis.dataCardDiff(cardB, cardA, "dom"))
+    assert(ab.keySet == ba.keySet && ab.nonEmpty)
+    val negate = Seq("docs_delta", "tokens_delta", "vocab_delta",
+      "share_delta_micro", "quality_delta_micro")
+    val mirror = Seq("n_docs", "n_tokens", "distinct_tokens",
+      "token_share_micro", "mean_quality_micro")
+    ab.foreach { case (dom, f) =>
+      val r = ba(dom)
+      val (sf, sr) = (f.getString(1), r.getString(1))
+      assert(sf == (sr match {
+        case "added" => "removed"; case "removed" => "added"; case s => s
+      }), s"$dom: $sf vs $sr")
+      negate.foreach { c =>
+        assert(f.getAs[Long](c) == -r.getAs[Long](c), s"$dom.$c")
+      }
+      mirror.foreach { c =>
+        def g(row: org.apache.spark.sql.Row, n: String) = {
+          val i = row.fieldIndex(n)
+          if (row.isNullAt(i)) None else Some(row.getLong(i))
+        }
+        assert(g(f, s"${c}_a") == g(r, s"${c}_b"), s"$dom.${c}_a")
+        assert(g(f, s"${c}_b") == g(r, s"${c}_a"), s"$dom.${c}_b")
+      }
+    }
+  }
+
   test("card drift: null domain rows join null-safely instead of cross-firing") {
     val a = TextAnalysis.dataCard(Seq(
       (null.asInstanceOf[String], "u v"), ("en", "a")).toDF("dom", "text"),
