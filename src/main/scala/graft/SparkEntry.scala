@@ -4209,7 +4209,7 @@ object SparkEntry {
         def shared(card: String) =
           s"""  SELECT lang, n_docs, n_tokens, distinct_tokens,
              |    CAST(CASE WHEN (SELECT coalesce(sum(n_tokens), 0) FROM $card) > 0
-             |         THEN n_tokens * 1000000 // (SELECT coalesce(sum(n_tokens), 0) FROM $card)
+             |         THEN CAST(n_tokens AS HUGEINT) * 1000000 // (SELECT coalesce(sum(n_tokens), 0) FROM $card)
              |    END AS BIGINT) AS token_share_micro,
              |    CASE WHEN n_docs > 0 THEN quality_micro // n_docs END AS mean_quality_micro
              |  FROM $card""".stripMargin

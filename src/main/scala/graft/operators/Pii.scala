@@ -124,7 +124,18 @@ object Pii {
     if (s.contains("(?>")) fail("(?>", "RE2 has no atomic groups")
     if (raw"\\[1-9]".r.findFirstIn(s).isDefined || s.contains("\\k<"))
       fail("backreference", "RE2 has no backreferences")
-    if (raw"(\*|\+|\?|\})\+".r.findFirstIn(s).isDefined)
+    // named groups: Java spells them `(?<name>`, RE2 only accepts
+    // `(?P<name>` — the same pattern string cannot mean a named group in
+    // both engines, so both spellings fail typed (use a plain group).
+    // `(?<=`/`(?<!` were already rejected above as lookbehind, so any
+    // surviving `(?<` is the Java named-group form.
+    if (s.contains("(?<") || s.contains("(?P<"))
+      fail("named group", "Java spells named groups (?<n>, RE2 (?P<n>) — use a plain group")
+    // a quantifier char PRECEDED BY A BACKSLASH is an escaped literal
+    // (`\++` = one-or-more literal '+', valid and identical in both
+    // engines) — only an unescaped quantifier followed by '+' is the
+    // Java possessive form (r11 ADVICE)
+    if (raw"(?<!\\)[*+?}]\+".r.findFirstIn(s).isDefined)
       fail("possessive quantifier", "RE2 has none and Java's change matches")
     // and it must at least be a valid Java pattern
     java.util.regex.Pattern.compile(regex)
@@ -146,7 +157,17 @@ object Pii {
     require(patterns.nonEmpty, "need at least one pattern")
     require(patterns.map(_.name).distinct.size == patterns.size,
       s"pattern names collide: ${patterns.map(_.name).mkString(", ")}")
-    patterns.foreach(p => validatePortable(p.regex))
+    patterns.foreach { p =>
+      validatePortable(p.regex)
+      // the mask is passed to regexp_replace as the REPLACEMENT string,
+      // where Java reads `$N` as a group reference and `\` as an escape
+      // (and DuckDB reads `\N` — a different syntax again), so a mask
+      // containing either would redact differently per engine or throw
+      // (r11 ADVICE). Masks are literal text by contract.
+      require(!p.mask.contains('$') && !p.mask.contains('\\'),
+        s"mask '${p.mask}' for pattern '${p.name}' contains '$$' or '\\' — " +
+          "replacement-string syntax differs between engines; masks must be literal text")
+    }
     val text = col(textCol)
     val counts = patterns.map(p => s"n_${p.name}" -> countOf(text, p.regex))
     val redacted = patterns.foldLeft(text) { (c, p) =>

@@ -290,9 +290,15 @@ object TextAnalysis {
         col("distinct_tokens").as(s"distinct_tokens_$side"),
         // integral DIV, not `/`: Spark's `/` is double division, and a
         // double quotient cast back to long can truncate one off the
-        // exact integer quotient DuckDB's `//` computes
+        // exact integer quotient DuckDB's `//` computes. The multiply
+        // widens to DECIMAL(38,0) FIRST: `n_tokens * 1000000` in long
+        // arithmetic silently wraps past ~9.2e12 tokens per domain
+        // (~35 TB of text — inside the design scale), yielding a
+        // wrong/negative share (r11 ADVICE). The quotient is <= 1e6, so
+        // DIV lands it back in a long; the oracle mirrors the widening
+        // via HUGEINT.
         when(col(s"__total_$side") > 0,
-          expr(s"n_tokens * 1000000 DIV __total_$side"))
+          expr(s"CAST(n_tokens AS DECIMAL(38,0)) * 1000000 DIV __total_$side"))
           .as(s"token_share_micro_$side"),
         when(col("n_docs") > 0, expr("quality_micro DIV n_docs"))
           .as(s"mean_quality_micro_$side"))

@@ -40,6 +40,13 @@ object ManifestGate {
     * `checkpointEvery`-th batch durably writes the post-merge manifest
     * to `<checkpointPath>/manifest_<seq>` — the [[GateCheckpoints]]
     * family contract; reopen with [[latestCheckpoint]] on restart.
+    *
+    * `maxRows` ENFORCES the dimension-sized contract the state design
+    * assumes: the merged manifest lives on the driver heap, so a
+    * high-cardinality group column (per-file groups on a long-running
+    * stream) would otherwise grow it unboundedly toward a driver OOM
+    * (r11 ADVICE). Crossing the cap fails typed — re-group on a coarser
+    * column, or raise the cap knowingly (~50 bytes/row of driver heap).
     */
   final class Gate(
       initialManifest: DataFrame,
@@ -47,7 +54,8 @@ object ManifestGate {
       hashCols: Seq[String],
       sizeExpr: Column,
       checkpointPath: Option[String] = None,
-      checkpointEvery: Int = 0) {
+      checkpointEvery: Int = 0,
+      maxRows: Int = 1 << 20) {
 
     private var manifest: DataFrame = initialManifest
     private var batches = 0L
@@ -77,7 +85,14 @@ object ManifestGate {
       val merged = Manifest.merge(
         Seq(manifest, Manifest.build(batch, groupCol, hashCols, sizeExpr)),
         groupCol)
-      val rows = merged.collect()
+      // limit(cap+1): the typed guard never pulls more than one row past
+      // the contract, so a mis-grouped stream fails fast instead of
+      // materializing an unbounded frame on the way to the error
+      val rows = merged.limit(maxRows + 1).collect()
+      require(rows.length <= maxRows,
+        s"merged manifest exceeds $maxRows rows — the gate's driver-local state " +
+          s"is sized for DIMENSION-grain manifests (one row per shard/domain, " +
+          s"'$groupCol' here); re-group on a coarser column or raise maxRows knowingly")
       manifest = merged.sparkSession.createDataFrame(
         java.util.Arrays.asList(rows: _*), merged.schema)
       batches += 1

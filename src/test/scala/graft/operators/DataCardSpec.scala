@@ -197,6 +197,32 @@ class DataCardSpec extends SparkSpec {
     }
   }
 
+  test("card drift: token shares stay exact past the long-multiply horizon (r11 ADVICE)") {
+    // a domain with > ~9.2e12 tokens wraps `n_tokens * 1000000` in long
+    // arithmetic (that's ~35 TB of text — inside the design scale); the
+    // share multiply widens to DECIMAL(38,0) first, so shares stay in
+    // [0, 1e6] and exact. Cards are constructed directly: the diff's
+    // contract is over card frames, not raw corpora.
+    val big = 4000000000000000000L // 4e18, near the long ceiling
+    val card = Seq(
+      ("web", 10L, big, 5L, 0.5, 100L),
+      ("code", 10L, big / 3L, 5L, 0.5, 100L))
+      .toDF("dom", "n_docs", "n_tokens", "distinct_tokens", "ttr", "quality_micro")
+    val d = TextAnalysis.dataCardDiff(card, card, "dom").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val total = big + big / 3L
+    // exact integer shares via BigInt reference — no wrap, no negative
+    val wantWeb = (BigInt(big) * 1000000 / BigInt(total)).toLong
+    val wantCode = (BigInt(big / 3L) * 1000000 / BigInt(total)).toLong
+    assert(d("web").getAs[Long]("token_share_micro_a") == wantWeb)
+    assert(d("code").getAs[Long]("token_share_micro_a") == wantCode)
+    assert(d.values.forall(r => r.getAs[Long]("share_delta_micro") == 0L))
+    assert(d.values.forall { r =>
+      val s = r.getAs[Long]("token_share_micro_b")
+      s >= 0L && s <= 1000000L
+    })
+  }
+
   test("card drift: null domain rows join null-safely instead of cross-firing") {
     val a = TextAnalysis.dataCard(Seq(
       (null.asInstanceOf[String], "u v"), ("en", "a")).toDF("dom", "text"),

@@ -130,8 +130,23 @@ class PiiSpec extends SparkSpec {
     rejects("(?>ab)c", "(?>")
     rejects("(a)\\1", "backreference")
     rejects("a*+b", "possessive")
+    rejects("a++b", "possessive")
+    rejects("a{2,3}+", "possessive")
+    // named groups spell differently per engine (Java (?<n>, RE2 (?P<n>))
+    rejects("(?<year>\\d{4})", "named group")
+    rejects("(?P<year>\\d{4})", "named group")
+    // ESCAPED quantifier chars are literals — `\++` is one-or-more of a
+    // literal '+', valid and identical in both engines (r11 ADVICE: the
+    // old check false-positived on these)
+    Pii.validatePortable("\\++")
+    Pii.validatePortable("a\\?+")
+    Pii.validatePortable("x\\}+")
+    Pii.validatePortable("a+\\+") // quantifier then literal plus: fine
     // an escaped literal backslash before 'b' is NOT a word boundary
     Pii.validatePortable("a\\\\b")
+    // ...but an escaped-backslash pair BEFORE a quantifier is still the
+    // possessive form (one-or-more-possessive of a literal backslash)
+    rejects("a\\\\++", "possessive")
     // still must be a valid Java pattern
     intercept[java.util.regex.PatternSyntaxException] {
       Pii.validatePortable("[unclosed")
@@ -144,6 +159,14 @@ class PiiSpec extends SparkSpec {
       Pii.scanPatterns(df, "doc_id", "text", Seq(
         Pii.Pattern("p", "a", "<A>"), Pii.Pattern("p", "b", "<B>")))
     }.getMessage.contains("collide"))
+    // masks are literal text: `$`/`\` mean group-reference/escape to
+    // Java and something ELSE again to DuckDB (r11 ADVICE) — typed
+    // rejection instead of per-engine divergent redaction
+    Seq("<$1>", "a\\mask").foreach { m =>
+      assert(intercept[IllegalArgumentException] {
+        Pii.scanPatterns(df, "doc_id", "text", Seq(Pii.Pattern("p", "a", m)))
+      }.getMessage.contains("literal"), m)
+    }
   }
 
   test("default scan == the three-entry registry (the built-ins ride the same path)") {

@@ -97,6 +97,24 @@ class ManifestGateSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("dimension-size contract is ENFORCED: a high-cardinality group fails typed at the cap") {
+    // the gate's state is driver-heap by design; a per-file-grain group
+    // column on a long stream would grow it unboundedly (r11 ADVICE) —
+    // crossing maxRows must fail typed, naming the contract, instead of
+    // inching toward a driver OOM
+    val fine = new ManifestGate.Gate(mf(docs), "lang",
+      Seq("doc_id", "text"), length($"text"), maxRows = 100)
+    fine.accountBatch(docs.limit(1)) // 5 langs << 100: passes
+    val tight = new ManifestGate.Gate(
+      Manifest.build(docs, "doc_id", Seq("doc_id", "text"), length($"text")),
+      "doc_id", Seq("doc_id", "text"), length($"text"), maxRows = 100)
+    val e = intercept[IllegalArgumentException] {
+      tight.accountBatch(docs.limit(1))
+    }
+    assert(e.getMessage.contains("DIMENSION-grain"))
+    assert(e.getMessage.contains("100"))
+  }
+
   test("under a real file stream: final manifest == build over initial + all streamed batches") {
     val kept = docs.filter($"doc_id" % 3 === 0)
     val streamedSide = docs.filter($"doc_id" % 3 =!= 0)
