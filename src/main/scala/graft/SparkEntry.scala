@@ -4118,11 +4118,13 @@ object SparkEntry {
       * — the held-out gram set is built as a kind-discriminated index,
       * written to parquet, reopened, and the train slice is gated
       * against the reopened artifact (the nightly-turn shape, where
-      * re-deriving the eval side per batch is unaffordable). FULL
-      * oracle: [[splitLeakSql]] verbatim — the hash match certifies
-      * that the artifact round trip computes exactly the one-shot
-      * operator's answer, cross-engine (the q85-vs-q84 probe-parity
-      * discipline).
+      * re-deriving the eval side per batch is unaffordable). Since r12
+      * the artifact stores md5-64 GRAM HASHES, never raw held-out text
+      * (VERDICT r11 #2). FULL oracle: [[splitLeakSql]] verbatim — the
+      * hash match certifies that the hashed-artifact round trip
+      * computes exactly the one-shot operator's answer, cross-engine
+      * (the q85-vs-q84 probe-parity discipline), collision-free here
+      * by the 64-bit trade documented at the operator.
       */
     private val q111 = Q(
       "q111_evalgram_artifact_gate",

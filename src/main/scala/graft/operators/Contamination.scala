@@ -228,32 +228,60 @@ object Contamination {
   val EvalGramMetaKind = 0
   val EvalGramKind = 1
 
-  /** Persistable eval-gram artifact (T83, r11) — the index form of
-    * [[removeSplitLeakage]]'s eval side, for the INCREMENTAL release
-    * turn: the one-shot operator re-derives the val/test gram set from
-    * the whole corpus every run, which a nightly pipeline cannot pay.
-    * This artifact is the distinct n-gram set of everything held out so
-    * far, kind-discriminated like the rest of the index family (one
-    * meta row pinning the shingle width `n`; one row per gram), exact
-    * and exactly mergeable ([[evalGramAppend]] is a union-distinct —
-    * no approximation, nothing frozen, no rescan), so per-batch
-    * maintenance is O(batch grams) + a gram-set-sized distinct.
-    * Artifact size: distinct grams of the HELD-OUT fraction only
-    * (val/test are ~20% of docs, and gram sets saturate sublinearly).
+  /** Persistable eval-gram artifact (T83, r11; HASHED r12) — the index
+    * form of [[removeSplitLeakage]]'s eval side, for the INCREMENTAL
+    * release turn: the one-shot operator re-derives the val/test gram
+    * set from the whole corpus every run, which a nightly pipeline
+    * cannot pay. This artifact is the distinct n-gram set of everything
+    * held out so far, kind-discriminated like the rest of the index
+    * family (one meta row pinning the shingle width `n`; one row per
+    * gram), exact and exactly mergeable ([[evalGramAppend]] is a
+    * union-distinct — no approximation, nothing frozen, no rescan), so
+    * per-batch maintenance is O(batch grams) + a gram-set-sized
+    * distinct.
+    *
+    * Gram rows store [[TextDedup.md5TokenHash64]] of the gram, NOT the
+    * gram text (r11 VERDICT #2): the raw form wrote verbatim 13-char
+    * fragments of HELD-OUT documents to disk — 2-3x the bytes AND
+    * exactly the eval-text leakage the T86 scrub discipline exists to
+    * avoid shipping. The documented trade: a 64-bit collision can only
+    * INFLATE a train doc's overlap count (a false hit), never hide
+    * leakage — the gate errs toward dropping, the decontamination
+    * direction — and at 10^9 distinct grams the expected colliding
+    * pairs are ~0.03. DuckDB replays the hash via the md5 recipe in
+    * [[TextDedup.md5TokenHash64]]'s doc, so the artifact stays
+    * cross-engine replayable. Artifact size: 8 bytes per distinct gram
+    * of the HELD-OUT fraction only (val/test are ~20% of docs, and
+    * gram sets saturate sublinearly); measured record in SCALE.md
+    * `evalgrams`.
     */
   def evalGramIndex(evalDocs: DataFrame, textCol: String, n: Int = 13): DataFrame = {
     require(n >= 1, s"n must be >= 1: $n")
     val spark = evalDocs.sparkSession
     val meta = spark.range(1).select(
       lit(EvalGramMetaKind).as("kind"),
-      lit(null).cast("string").as("gram"),
+      lit(null).cast("long").as("gram_hash"),
       lit(n).as("n"))
+    // hash BEFORE distinct: artifact rows must be unique per HASH (a
+    // duplicate hash row would double-count every probe hit), and the
+    // distinct exchange moves 8-byte longs instead of gram strings
     val grams = evalDocs
       .select(explode(TextDedup.shinglesKernel(col(textCol), n)).as("gram"))
+      .select(TextDedup.md5TokenHash64(col("gram")).as("gram_hash"))
       .distinct()
-      .select(lit(EvalGramKind).as("kind"), col("gram"), lit(null).cast("int").as("n"))
+      .select(lit(EvalGramKind).as("kind"), col("gram_hash"), lit(null).cast("int").as("n"))
     meta.unionByName(grams)
   }
+
+  /** Typed schema guard: pre-r12 artifacts stored raw gram text; they
+    * cannot be probed by hash and must be rebuilt (the compaction path
+    * [[graft.operators.Release.reopenIncremental]] runs anyway).
+    */
+  private def requireHashedArtifact(index: DataFrame): Unit =
+    require(index.columns.contains("gram_hash"),
+      "eval-gram artifact has no 'gram_hash' column — artifacts store md5-64 " +
+        "gram hashes (r12); rebuild the artifact with evalGramIndex (a pre-r12 " +
+        "raw-gram artifact cannot be probed by hash)")
 
   /** The artifact's frozen shingle width. */
   def evalGramMeta(index: DataFrame): Int = {
@@ -269,17 +297,19 @@ object Contamination {
     * distinct exchange.
     */
   def evalGramAppend(index: DataFrame, newEval: DataFrame, textCol: String): DataFrame = {
+    requireHashedArtifact(index)
     val n = evalGramMeta(index)
     val spark = index.sparkSession
     val meta = spark.range(1).select(
       lit(EvalGramMetaKind).as("kind"),
-      lit(null).cast("string").as("gram"),
+      lit(null).cast("long").as("gram_hash"),
       lit(n).as("n"))
-    val grams = index.filter(col("kind") === EvalGramKind).select(col("gram"))
+    val grams = index.filter(col("kind") === EvalGramKind).select(col("gram_hash"))
       .unionByName(newEval
-        .select(explode(TextDedup.shinglesKernel(col(textCol), n)).as("gram")))
+        .select(explode(TextDedup.shinglesKernel(col(textCol), n)).as("gram"))
+        .select(TextDedup.md5TokenHash64(col("gram")).as("gram_hash")))
       .distinct()
-      .select(lit(EvalGramKind).as("kind"), col("gram"), lit(null).cast("int").as("n"))
+      .select(lit(EvalGramKind).as("kind"), col("gram_hash"), lit(null).cast("int").as("n"))
     meta.unionByName(grams)
   }
 
@@ -300,6 +330,36 @@ object Contamination {
     *
     * @return the surviving incoming train docs, columns preserved.
     */
+  /** Per-doc overlap counts against the (hashed) artifact — the shared
+    * probe of [[removeSplitLeakageAgainst]] and the T89 retroactive
+    * monitor: batch grams are hashed with the artifact's own recipe
+    * ([[TextDedup.md5TokenHash64]]) and left-joined against the
+    * artifact's already-distinct hash rows. The `explode_outer` null
+    * row (gram-less doc) hashes to null, which matches nothing — its
+    * overlap folds to 0, leak-free by definition.
+    *
+    * @return one row per `train` doc: idCol, `overlap_ngrams`.
+    */
+  def overlapAgainst(
+      index: DataFrame,
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      broadcastIndex: Boolean = false): DataFrame = {
+    requireHashedArtifact(index)
+    val n = evalGramMeta(index)
+    val gramsRaw = index.filter(col("kind") === EvalGramKind)
+      .select(col("gram_hash").as("__gh"))
+    val evalGrams = if (broadcastIndex) broadcast(gramsRaw) else gramsRaw
+    train
+      .select(col(idCol),
+        explode_outer(TextDedup.shinglesKernel(col(textCol), n)).as("__g"))
+      .select(col(idCol), TextDedup.md5TokenHash64(col("__g")).as("__gh"))
+      .join(evalGrams.withColumn("__hit", lit(1L)), Seq("__gh"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("overlap_ngrams"))
+  }
+
   def removeSplitLeakageAgainst(
       index: DataFrame,
       train: DataFrame,
@@ -308,15 +368,8 @@ object Contamination {
       maxOverlapNgrams: Long = 0L,
       broadcastIndex: Boolean = false): DataFrame = {
     require(maxOverlapNgrams >= 0, s"maxOverlapNgrams must be >= 0: $maxOverlapNgrams")
-    val n = evalGramMeta(index)
-    val gramsRaw = index.filter(col("kind") === EvalGramKind).select(col("gram").as("__g"))
-    val evalGrams = if (broadcastIndex) broadcast(gramsRaw) else gramsRaw
-    val overlaps = train
-      .select(col(idCol), explode_outer(TextDedup.shinglesKernel(col(textCol), n)).as("__g"))
-      .join(evalGrams.withColumn("__hit", lit(1L)), Seq("__g"), "left")
-      .groupBy(col(idCol))
-      .agg(sum(coalesce(col("__hit"), lit(0L))).as("__overlap"))
-    val okIds = overlaps.filter(col("__overlap") <= maxOverlapNgrams)
+    val okIds = overlapAgainst(index, train, idCol, textCol, broadcastIndex)
+      .filter(col("overlap_ngrams") <= maxOverlapNgrams)
       .select(col(idCol).as("__ok_id"))
     train.join(okIds, train(idCol) <=> col("__ok_id"), "left_semi")
   }

@@ -562,6 +562,27 @@ object TextDedup {
   def md5TokenHash(w: Column): Column =
     conv(substring(md5(w), 1, 8), 16, 10).cast("long")
 
+  /** Engine-portable SIGNED 64-bit token hash: the first 16 md5 hex
+    * digits, folded as `signed(hi32) * 2^32 + lo32`. The high half is
+    * wrapped to signed BEFORE the multiply so every intermediate fits
+    * int64 EXACTLY (max = (2^31-1)*2^32 + (2^32-1) = 2^63-1, min =
+    * -2^63) — no HUGEINT widening, no ANSI overflow, and DuckDB replays
+    * it bit-for-bit as
+    * `(CASE WHEN h >= 2147483648 THEN h - 4294967296 ELSE h END)
+    *    * 4294967296 + l`
+    * with `h`/`l` = `CAST('0x'||substr(md5(t),1,8|9,8) AS BIGINT)`
+    * (16 hex digits cast directly would overflow DuckDB's BIGINT
+    * parse). 64 bits is the artifact-hash width: at 10^9 distinct
+    * grams the expected number of colliding pairs is ~0.03
+    * (n^2 / 2^65), vs certain heavy collision at 32 bits.
+    */
+  def md5TokenHash64(w: Column): Column = {
+    val hex = md5(w)
+    val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
+    when(hi >= 2147483648L, hi - 4294967296L).otherwise(hi) * 4294967296L + lo
+  }
+
   /** Token-hash mode for [[simHash]]: each mode carries both its
     * expression form (the oracle recipe, kept for parity testing and SQL
     * generation) and the compiled per-token JVM form the kernel uses.

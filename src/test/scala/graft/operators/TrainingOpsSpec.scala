@@ -952,6 +952,30 @@ class ContaminationSpec extends SparkSpec {
       Contamination.removeSplitLeakageAgainst(grown, e1, "doc_id", "text",
         maxOverlapNgrams = -1L)
     }.getMessage.contains(">= 0"))
+
+    // r12: the artifact stores md5-64 gram HASHES, never held-out text —
+    // no string column anywhere in the schema, and the hash rows are the
+    // portable recipe (replayable cross-engine), unique per hash
+    import org.apache.spark.sql.types.StringType
+    assert(!grown.schema.fields.exists(_.dataType == StringType),
+      s"artifact must carry no raw eval text: ${grown.schema.treeString}")
+    val hashes = grown.filter($"kind" === Contamination.EvalGramKind)
+      .select($"gram_hash").collect().map(_.getLong(0))
+    assert(hashes.length == hashes.distinct.length)
+    val wantHashes = e1.unionByName(e2)
+      .select(org.apache.spark.sql.functions.explode(
+        TextDedup.shinglesKernel($"text", 13)).as("g"))
+      .select(TextDedup.md5TokenHash64($"g").as("h"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(hashes.toSet == wantHashes)
+    // a pre-r12 raw-gram artifact fails TYPED at probe and append time
+    val legacy = grown.withColumnRenamed("gram_hash", "gram")
+    assert(intercept[IllegalArgumentException] {
+      Contamination.removeSplitLeakageAgainst(legacy, train, "doc_id", "text")
+    }.getMessage.contains("gram_hash"))
+    assert(intercept[IllegalArgumentException] {
+      Contamination.evalGramAppend(legacy, e2, "text")
+    }.getMessage.contains("gram_hash"))
   }
 
   test("decontaminationAudit: the four-way lattice lands each planted doc in its cell") {
