@@ -52,6 +52,60 @@ object Pii {
   val Ipv4Mask = "<IPV4>"
   val PhoneMask = "<PHONE>"
 
+  /** IPv6 literal, full form (8 hex groups) or `::`-compressed with
+    * hex groups REQUIRED on both sides (`2001:db8::1`, `a:b::c:d`).
+    * Documented looseness, all three directions: edge-compressed forms
+    * (`::1`, `fe80::`) are NOT matched — a one-sided `::` pattern tags
+    * every hex-lettered `::` identifier pair in a code corpus
+    * (`std::vector` survives, but so does the loopback spelling); a
+    * both-sides-hex identifier pair (`d::ab` inside `std::abs`) still
+    * false-positives — the narrow residue of having no `\b`; and there
+    * is no validity check on group counts across the `::` (recall over
+    * precision, the IPv4 octet discipline). Alternation order is
+    * full-form first; both Java and RE2 match alternatives
+    * leftmost-first, so the two engines pick the same branch.
+    */
+  val Ipv6Pattern =
+    "([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}" +
+      "|([0-9A-Fa-f]{1,4}:){1,7}:[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){0,6}"
+
+  /** IBAN-shaped account number: 2-letter country, 2 check digits,
+    * 11-30 alphanumerics (the q117 registry pattern, promoted to a
+    * built-in). No country-length table and no mod-97 check — the
+    * tagger's job is recall; the policy layer prunes.
+    */
+  val IbanPattern = "[A-Z]{2}\\d{2}[A-Z0-9]{11,30}"
+
+  /** Payment-card number: the 4-4-4-N grouped form (space or dash
+    * separated) or a bare 13-19 digit run. Documented looseness: no
+    * Luhn check, and the bare-run branch matches any long digit run
+    * (account numbers, order ids) — by design, the same
+    * recall-over-precision call as the digit-cap prefix matching.
+    */
+  val CreditCardPattern =
+    "\\d{4}[ -]\\d{4}[ -]\\d{4}[ -]\\d{1,7}|\\d{13,19}"
+
+  val Ipv6Mask = "<IPV6>"
+  val IbanMask = "<IBAN>"
+  val CreditCardMask = "<CARD>"
+
+  /** The widened built-in registry (r12, VERDICT r11 #7) — the default
+    * trio plus IPv6/IBAN/card, every regex [[validatePortable]]-clean,
+    * in redaction order: email first (its host part feeds the IP and
+    * digit patterns), then the colon-anchored kinds, then PHONES
+    * BEFORE the digit-run kinds (a `+`-prefixed 13-digit run is a
+    * phone; the bare-run card branch would otherwise eat it and ship
+    * `+<CARD>`), then IBAN before card (an IBAN's interior digit run
+    * is already masked when the card pattern scans).
+    */
+  def widePatterns: Seq[Pattern] = Seq(
+    Pattern("emails", EmailPattern, EmailMask),
+    Pattern("ipv6", Ipv6Pattern, Ipv6Mask),
+    Pattern("ipv4", Ipv4Pattern, Ipv4Mask),
+    Pattern("phones", PhonePattern, PhoneMask),
+    Pattern("iban", IbanPattern, IbanMask),
+    Pattern("cards", CreditCardPattern, CreditCardMask))
+
   private def countOf(text: Column, pattern: String): Column =
     when(text.isNull, lit(0L))
       .otherwise(size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long"))

@@ -27,10 +27,10 @@ import org.apache.spark.sql.functions._
   * Plan shape: ONE exchange (hash by key for the window sort), then a
   * codegen'd explode×filter that keeps exactly |qs| rows per key — the
   * row amplification lives inside a filter that never materializes.
-  * At 100 TB the per-key sort is the honest price of an exact
-  * quantile; keys are domains (thousands), so parallelism is bounded
-  * by key count — for few-key corpora pre-salt into subgroups and
-  * merge, or accept the approx twin below.
+  * Parallelism is bounded by key count (each key's sort is one task):
+  * right for domain-grain cards with thousands of keys; for FEW-KEY
+  * corpora use [[exactQuantilesScalable]] — bit-equal answers with no
+  * single-task stage (r12) — or the approx twin below.
   *
   * Nulls in the value column are excluded (the `percentile_disc`
   * convention); a key whose values are all null produces no rows.
@@ -61,6 +61,86 @@ object Quantiles {
       .withColumn("__qm", explode(typedLit(qMicro)))
       // integral DIV: ceil(q * n) with no double in the loop
       .where(col("__rn") === expr("(__qm * __n + 999999) DIV 1000000"))
+      .select(
+        col(keyCol),
+        (col("__qm") / lit(1000000.0)).as("quantile"),
+        col("__n").as("n"),
+        col(valueCol).as("value"))
+  }
+
+  /** The FEW-KEY exact path (r12, VERDICT r11 #3) — bit-equal to
+    * [[exactQuantiles]] behind the same surface, with no single-task
+    * sort anywhere: [[exactQuantiles]]' per-key window serializes a
+    * whole key into one task, so a one-domain corpus runs its entire
+    * sort on one core. This twin decomposes the rank into exact pieces
+    * every stage of which is parallel:
+    *
+    *  1. `groupBy(key, value).count()` — ties collapse map-side; the
+    *     counts frame is bounded by |distinct (key, value)| (for
+    *     discrete values like document lengths it is dimension-sized
+    *     REGARDLESS of corpus size; for continuous values it stays
+    *     corpus-sized, which the next stages tolerate);
+    *  2. `repartitionByRange(key, value)` — each output partition is a
+    *     value-CONTIGUOUS slice of one or more keys, and partition ids
+    *     order by value within a key (the RangePartitioner contract;
+    *     exactness never depends on where the sampled boundaries land);
+    *  3. a window over `(key, partition)` — the local cumulative count
+    *     sorts only its own slice, in parallel across slices;
+    *  4. per-(key, partition) totals (a dimension-sized frame: at most
+    *     shuffle-partitions rows per key) give each slice its exclusive
+    *     prefix offset and each key its total `n` — window sorts over
+    *     this TINY frame only;
+    *  5. global rank of a value = slice offset + local cumulative; the
+    *     target rank is the same integer micro-unit `ceil(q * n)`, and
+    *     the answer row is the one whose rank interval
+    *     `(cum - cnt, cum]` covers it — exactly one per (key, q).
+    *
+    * Price vs the window twin: two extra exchanges of the COUNTS frame
+    * (range + hash) plus a broadcast of the offsets — the right trade
+    * the moment any key is big enough to care; keep [[exactQuantiles]]
+    * for many-small-keys cards where one exchange wins. Same contract:
+    * `percentile_disc` semantics, nulls excluded, null keys are real
+    * groups (the offsets join is null-safe), identical output schema.
+    */
+  def exactQuantilesScalable(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    require(qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1]: ${qs.mkString(", ")}")
+    val qMicro = qs.map(q => math.round(q * 1e6))
+    require(qMicro.distinct.size == qMicro.size,
+      s"quantiles collide at micro-unit precision: ${qs.mkString(", ")}")
+    val counts = df.select(col(keyCol), col(valueCol))
+      .where(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), col(valueCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val ranged = counts
+      .repartitionByRange(col(keyCol), col(valueCol))
+      .withColumn("__part", spark_partition_id())
+    val bySlice = Window.partitionBy(col(keyCol), col("__part"))
+      .orderBy(col(valueCol))
+    val local = ranged.withColumn("__lcum", sum(col("__cnt")).over(bySlice))
+    // dimension-sized: <= shuffle-partitions rows per key; its windows
+    // sort slices-per-key rows, never corpus rows
+    val byKey = Window.partitionBy(col("__k"))
+    val byKeyParts = byKey.orderBy(col("__p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged
+      .groupBy(col(keyCol).as("__k"), col("__part").as("__p"))
+      .agg(sum(col("__cnt")).as("__psum"))
+      .select(col("__k"), col("__p"),
+        coalesce(sum(col("__psum")).over(byKeyParts), lit(0L)).as("__off"),
+        sum(col("__psum")).over(byKey).as("__n"))
+    local
+      .join(broadcast(offsets),
+        col(keyCol) <=> col("__k") && col("__part") === col("__p"))
+      .withColumn("__cum", col("__off") + col("__lcum"))
+      .withColumn("__qm", explode(typedLit(qMicro)))
+      .withColumn("__r", expr("(__qm * __n + 999999) DIV 1000000"))
+      .where(col("__cum") - col("__cnt") < col("__r") && col("__r") <= col("__cum"))
       .select(
         col(keyCol),
         (col("__qm") / lit(1000000.0)).as("quantile"),

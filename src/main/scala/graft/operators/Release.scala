@@ -390,6 +390,85 @@ object Release {
       Seq(idCol))
   }
 
+  /** Retroactive-leakage MONITOR (T89, r12 — VERDICT r11 #4): the
+    * incremental release never revisits shipped train docs, so a NEW
+    * eval doc can make an already-shipped train doc retroactively
+    * leaky ([[Contamination.removeSplitLeakageAgainst]] doc). This is
+    * the T49 monitor discipline for that gap: probe the SHIPPED train
+    * corpus (reopened VERIFIED) against the grown eval-gram artifact
+    * and report every train doc now over the bar — a REPORT, never a
+    * gate (run it on the nightly cadence; [[rebuildIfLeaky]] is the
+    * closed loop). Cost: one shipped-corpus scan + the artifact-sized
+    * gram join — the same shape as one turn's gate, pointed backward.
+    *
+    * @return one row per leaky SHIPPED train doc: idCol,
+    *         `overlap_ngrams` (> maxOverlapNgrams by construction).
+    */
+  def retroLeakageReport(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      textCol: String,
+      maxOverlapNgrams: Long = 0L,
+      broadcastIndex: Boolean = false): DataFrame = {
+    val shipped = open(spark, path, idCol, textCol)
+    Contamination.overlapAgainst(
+        spark.read.parquet(s"$path/evalgrams"),
+        shipped.filter(col(SplitCol) === "train"), idCol, textCol, broadcastIndex)
+      .filter(col("overlap_ngrams") > maxOverlapNgrams)
+  }
+
+  /** The monitor's closed remedy loop (the [[graft.operators.LshIndex]]
+    * `rebuildIfStale` discipline): if [[retroLeakageReport]] is empty,
+    * this is exactly [[reopenIncremental]]; otherwise REWRITE the
+    * release without the retroactively-leaky train docs — data,
+    * manifest, card — and rebuild the dedup index from the compacted
+    * corpus. The eval-gram artifact is UNCHANGED (eval docs are the
+    * reference, not the suspect). The rewrite is the compaction the
+    * incremental design already prescribes on restart, with the leak
+    * dropped on the way through; everything it pays is one shipped-
+    * corpus scan + rewrite, which is the honest price of retroactively
+    * tightening a first-arrived guarantee.
+    *
+    * @return the fresh state over the compacted release, and how many
+    *         shipped train docs were dropped.
+    */
+  def rebuildIfLeaky(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      params: ReleaseParams = ReleaseParams()): (IncrementalRelease, Long) = {
+    val leaky = retroLeakageReport(spark, path, idCol, textCol,
+        params.maxOverlapNgrams, params.broadcastLeakGrams)
+      .select(col(idCol).as("__leak_id"))
+      .localCheckpoint() // consumed twice (count + anti join) and must
+                         // not re-read path/data mid-rewrite
+    val nLeaky = leaky.count()
+    if (nLeaky == 0L) (reopenIncremental(spark, path, idCol, textCol, params), 0L)
+    else {
+      val shipped = open(spark, path, idCol, textCol)
+      // null-safe anti join (the J6 convention): a null-id leaky group
+      // must drop its shipped rows, not vanish from the join
+      val keep = shipped
+        .join(leaky, shipped(idCol) <=> col("__leak_id"), "left_anti")
+        .localCheckpoint() // sever from path/data BEFORE the overwrite
+      keep.write.mode("overwrite").partitionBy(SplitCol).parquet(s"$path/data")
+      val (m, g, c) = writeArtifacts(path,
+        Manifest.build(keep, SplitCol, Seq(idCol, textCol), length(col(textCol))),
+        spark.read.parquet(s"$path/evalgrams"),
+        TextAnalysis.dataCardIndex(keep, textCol, langCol),
+        langCol)
+      val built = LshIndex.build(keep, idCol, textCol,
+        n = params.curation.shingleN, portableHash = params.curation.portableHash,
+        minDocFreq = params.curation.minDocFreq)
+      val index = built.localCheckpoint()
+      built.unpersist()
+      (IncrementalRelease(path, index, g, m, c), nLeaky)
+    }
+  }
+
   /** Consumer-side reopen: [[Manifest.readVerified]] under the
     * release's hash recipe — one verification scan at ingest, failing
     * typed and naming exactly the split partitions to re-pull.

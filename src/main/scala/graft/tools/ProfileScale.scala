@@ -890,6 +890,32 @@ object ProfileScale {
         }
         println(f"PROFILE quantiles factor=$f rows=$n cold=$cold%.1f warm=$warm%.1f")
       }
+      if (only.forall(_ == "quantkey")) {
+        // The r12 claim (VERDICT r11 #3): on a ONE-KEY corpus the window
+        // twin funnels every row through one hash partition and sorts it
+        // in a single task, while the scalable twin stays parallel. The
+        // sf documents slice is too small to expose that (a 500k-long
+        // single-task sort is milliseconds), so this one profile
+        // synthesizes f x 10M rows under ONE key with UNIQUE scrambled
+        // values — the worst case: nothing collapses at the (key, value)
+        // aggregate, the range partitioner carries the whole sort.
+        def oneKey(s: SparkSession) = s.range(f * 10000000L)
+          .select(lit("all").as("k"),
+            // bit-mixed ids: unique values in shuffled order, so range
+            // sampling is honest (an already-sorted input would be)
+            expr("hash(id, 7L)").cast("long").as("v"))
+        val (_, wCold, wWarm) = timed { s =>
+          graft.operators.Quantiles.exactQuantiles(
+            oneKey(s), "k", "v", Seq(0.25, 0.5, 0.9, 0.99))
+        }
+        val (n, sCold, sWarm) = timed { s =>
+          graft.operators.Quantiles.exactQuantilesScalable(
+            oneKey(s), "k", "v", Seq(0.25, 0.5, 0.9, 0.99))
+        }
+        println(f"PROFILE quantkey factor=$f rows=$n " +
+          f"window_cold=$wCold%.1f window_warm=$wWarm%.1f " +
+          f"scalable_cold=$sCold%.1f scalable_warm=$sWarm%.1f")
+      }
       if (only.forall(_ == "pii")) {
         // The T86 claim: the PII scan is a zero-shuffle map-only pass —
         // cost is exactly linear in the corpus with no exchange to

@@ -169,6 +169,52 @@ class PiiSpec extends SparkSpec {
     }
   }
 
+  test("widened built-ins: IPv6 forms match per the documented looseness") {
+    def scanIpv6(text: String) = {
+      val r = Pii.scanPatterns(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", Seq(Pii.Pattern("ipv6", Pii.Ipv6Pattern, Pii.Ipv6Mask))).head()
+      (r.getAs[Long]("n_ipv6"), r.getAs[String]("redacted"))
+    }
+    // full form and both-sides-compressed match and mask
+    assert(scanIpv6("at 2001:0db8:85a3:0000:0000:8a2e:0370:7334 now") ==
+      ((1L, "at <IPV6> now")))
+    assert(scanIpv6("via 2001:db8::1 ok") == ((1L, "via <IPV6> ok")))
+    assert(scanIpv6("a:b::c:d") == ((1L, "<IPV6>")))
+    // documented looseness: edge-compressed forms do NOT match...
+    assert(scanIpv6("loopback ::1 here")._1 == 0L)
+    assert(scanIpv6("prefix fe80:: done")._1 == 0L)
+    // ...which is what keeps code text intact
+    assert(scanIpv6("use std::vector or boost::bind") ==
+      ((0L, "use std::vector or boost::bind")))
+    // the documented residue: hex-only identifiers on BOTH sides
+    assert(scanIpv6("call std::abs now")._1 == 1L)
+  }
+
+  test("widened built-ins: IBAN and card forms; wide-registry mask order") {
+    val r = Pii.scanPatterns(
+      Seq((1L, "acct PT50000201231234567890154 pay 4111-1111 1111-1111 " +
+        "or 4111111111111111 mail x@y.org ip 10.0.0.1 v6 2001:db8::2 " +
+        "call +3519123456789")).toDF("doc_id", "text"),
+      "doc_id", "text", Pii.widePatterns).head()
+    assert(r.getAs[Long]("n_emails") == 1L)
+    assert(r.getAs[Long]("n_ipv6") == 1L)
+    assert(r.getAs[Long]("n_ipv4") == 1L)
+    assert(r.getAs[Long]("n_iban") == 1L)
+    // counts are on the RAW text: the IBAN's interior digit run and the
+    // phone digits also hit the bare-run card branch (documented
+    // looseness: 3 = grouped card + bare card + IBAN interior)
+    assert(r.getAs[Long]("n_cards") == 4L)
+    assert(r.getAs[Long]("n_phones") == 1L)
+    val red = r.getAs[String]("redacted")
+    // registry order: IBAN masked before the card pattern scans, so its
+    // interior digits ship as <IBAN>, not <CARD>; the grouped and bare
+    // card forms each mask whole
+    assert(red == "acct <IBAN> pay <CARD> or <CARD> mail <EMAIL> " +
+      "ip <IPV4> v6 <IPV6> call <PHONE>", red)
+    // every wide pattern is validatePortable-clean by construction
+    Pii.widePatterns.foreach(p => Pii.validatePortable(p.regex))
+  }
+
   test("default scan == the three-entry registry (the built-ins ride the same path)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(50).select("doc_id", "text")

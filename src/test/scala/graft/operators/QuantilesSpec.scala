@@ -100,6 +100,67 @@ class QuantilesSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("scalable twin: bit-equal to exactQuantiles over random keys, ties, nulls, null keys") {
+    // the r12 few-key path decomposes the rank into range-partitioned
+    // pieces — same percentile_disc answer, bit for bit, including the
+    // null-KEY group (its offsets join is null-safe) and heavy ties
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 1200).map { _ =>
+      (if (rnd.nextInt(15) == 0) None else Some(s"k${rnd.nextInt(5)}"),
+        if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(40).toLong))
+    }
+    val df = rows.toDF("key", "v")
+    val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.9, 1.0)
+    def rowSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+    val a = rowSet(Quantiles.exactQuantiles(df, "key", "v", qs))
+    val b = rowSet(Quantiles.exactQuantilesScalable(df, "key", "v", qs))
+    assert(a == b && a.nonEmpty)
+    // and on real data at the q115 shape
+    val base = docs.selectExpr("lang", "CAST(length(text) AS BIGINT) AS v")
+    assert(rowSet(Quantiles.exactQuantiles(base, "lang", "v", Seq(0.5, 0.99))) ==
+      rowSet(Quantiles.exactQuantilesScalable(base, "lang", "v", Seq(0.5, 0.99))))
+  }
+
+  test("scalable twin: ONE key stays bit-equal and no corpus window is keyed on the key alone") {
+    val df = (1 to 5000).map(v => ("only", (v % 937).toLong)).toDF("key", "v")
+    val qs = Seq(0.1, 0.5, 0.9, 0.99)
+    val scalable = Quantiles.exactQuantilesScalable(df, "key", "v", qs)
+    assert(scalable.collect().map(_.toSeq).toSet ==
+      Quantiles.exactQuantiles(df, "key", "v", qs).collect().map(_.toSeq).toSet)
+    // plan pin (the single-task-stage guard): the corpus-grain window
+    // is partitioned by (key, slice) — never by the key alone; windows
+    // keyed on the key alone exist ONLY over the dimension-sized
+    // offsets aggregate (grouped by key AND slice, so its row count is
+    // bounded by shuffle partitions per key, not by the corpus)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val windows = scalable.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    val (sliceWins, keyWins) = windows.partition(_.partitionSpec.size == 2)
+    assert(sliceWins.size == 1,
+      s"expected exactly one (key, slice) window: ${windows.map(_.partitionSpec)}")
+    keyWins.foreach { w =>
+      val dimAgg = w.collectFirst {
+        case a: Aggregate if a.groupingExpressions.size == 2 => a
+      }
+      assert(dimAgg.isDefined,
+        s"a key-alone window must sit over the (key, slice) offsets aggregate:\n$w")
+    }
+  }
+
+  test("scalable twin: guards match the window twin") {
+    val df = Seq(("k", 1L)).toDF("key", "v")
+    assert(intercept[IllegalArgumentException] {
+      Quantiles.exactQuantilesScalable(df, "key", "v", Seq.empty)
+    }.getMessage.contains("at least one"))
+    assert(intercept[IllegalArgumentException] {
+      Quantiles.exactQuantilesScalable(df, "key", "v", Seq(1.5))
+    }.getMessage.contains("(0, 1]"))
+    assert(intercept[IllegalArgumentException] {
+      Quantiles.exactQuantilesScalable(df, "key", "v", Seq(0.5, 0.5000001))
+    }.getMessage.contains("collide"))
+  }
+
   test("guards: empty and out-of-range quantiles, micro-unit collisions") {
     val df = Seq(("k", 1L)).toDF("key", "v")
     assert(intercept[IllegalArgumentException] {

@@ -225,6 +225,80 @@ class ReleaseSpec extends SparkSpec {
     st1.unpersist(); st2.unpersist(); st3.unpersist(); st4.unpersist()
   }
 
+  test("retroactive leakage: a late eval doc fires the monitor; rebuildIfLeaky compacts and silences it (T89)") {
+    val path = tmp("rel_retro")
+    val fates = Sampling.assignSplit(
+        spark.range(0L, 400L).toDF("doc_id"), "doc_id", 0.8, 0.1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trainId1 = (0L until 200L).find(fates(_) == "train").get
+    val evalId2 = (200L until 400L).find(fates(_) != "train").get
+    val secret = "the secret passage shipped to training before evaluation existed"
+    def bulk(i: Long) = s"${i}z" * 12
+    def turnDocs(from: Long, until: Long, plants: Map[Long, String]) =
+      (from until until).map(i => (i, plants.getOrElse(i, bulk(i)), "en"))
+        .toDF("doc_id", "text", "lang")
+    val bench = Seq((9999L, "benchmark body unrelated to all corpora", "en"))
+      .toDF("doc_id", "text", "lang")
+    val p = params.copy(mixAlpha = 1.0, maxOverlapNgrams = 0L)
+
+    // turn 1: the secret ships as a TRAIN doc — no eval gram covers it
+    // yet, so the turn's own gate and the monitor both stay silent
+    val st1 = Release.initIncremental(
+      turnDocs(0L, 200L, Map(trainId1 -> secret)), bench,
+      "doc_id", "text", "lang", path, p)
+    assert(Release.retroLeakageReport(spark, path, "doc_id", "text").isEmpty,
+      "nothing is retroactively leaky before the late eval doc arrives")
+
+    // turn 2: an EVAL doc quoting the passage arrives, EMBEDDED in a
+    // long unrelated body (Jaccard stays under the LSH bar, so dedup
+    // cannot drop it — the lifecycle spec's plant discipline); the
+    // already-shipped train doc is now retroactively leaky, which the
+    // turn itself never notices (first-arrived: shipped docs are not
+    // revisited)
+    val evalQuote = "an evaluation item later quotes " + secret +
+      " inside a much longer surrounding prompt with plenty of additional " +
+      "words keeping the shingle jaccard low so near dup dedup stays silent"
+    val (st2, shipped2) = Release.appendTurn(
+      st1, turnDocs(200L, 400L, Map(evalId2 -> evalQuote)), bench,
+      "doc_id", "text", "lang", p)
+    assert(shipped2.select("doc_id").as[Long].collect().toSet.contains(evalId2),
+      "the quoting eval doc itself ships (eval rows are the reference)")
+
+    // the monitor fires, naming exactly the shipped train doc — and it
+    // is a REPORT: the delivery is untouched by running it
+    val before = Release.open(spark.newSession(), path, "doc_id", "text").count()
+    val report = Release.retroLeakageReport(spark, path, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("overlap_ngrams")).toMap
+    assert(report.keySet == Set(trainId1), s"got $report")
+    assert(report(trainId1) > 0L)
+    assert(Release.open(spark.newSession(), path, "doc_id", "text").count() == before)
+
+    // the closed loop: rebuildIfLeaky compacts the shipped corpus,
+    // drops exactly the leaky doc, leaves a VERIFIED delivery whose
+    // artifacts equal from-scratch rebuilds, and silences the monitor
+    val (st3, dropped) = Release.rebuildIfLeaky(
+      spark, path, "doc_id", "text", "lang", p)
+    assert(dropped == 1L)
+    val s2 = spark.newSession()
+    val after = Release.open(s2, path, "doc_id", "text")
+    assert(after.count() == before - 1)
+    assert(!after.select("doc_id").collect().map(_.getLong(0)).contains(trainId1))
+    assert(Release.retroLeakageReport(spark, path, "doc_id", "text").isEmpty,
+      "the rebuild must silence the monitor")
+    assert(s2.read.parquet(s"$path/manifest").collect().map(_.toSeq).toSet ==
+      Manifest.build(after, "split", Seq("doc_id", "text"), length(col("text")))
+        .collect().map(_.toSeq).toSet,
+      "the rebuilt manifest must equal a from-scratch build over the compacted corpus")
+
+    // a clean release rebuilds as the identity: reopen, zero dropped
+    val (st4, dropped2) = Release.rebuildIfLeaky(
+      spark, path, "doc_id", "text", "lang", p)
+    assert(dropped2 == 0L)
+    assert(Release.open(spark.newSession(), path, "doc_id", "text").count() ==
+      before - 1)
+    st1.unpersist(); st2.unpersist(); st3.unpersist(); st4.unpersist()
+  }
+
   test("an appendTurn whose batch is entirely dropped leaves the delivery verified and accounting unchanged") {
     // the degenerate nightly turn: every batch doc is an exact copy of
     // a shipped doc, so the dedup gate drops the whole batch — the
