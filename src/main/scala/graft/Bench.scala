@@ -304,9 +304,21 @@ object Bench {
     var minPar = probes.min
     val DegradeFactor = 1.3
     val DegradeSlackSec = 0.15 // absolute slack so tiny minima don't flap
+    // r12 (VERDICT r11 #1): the degrade baseline is the QUIETER of the
+    // run's best probe and the recorded quiet-box reference. The r11
+    // artifact shipped a 1.8x-contended pipeline_1m UNSTAMPED because
+    // the box was loaded for the whole run — every probe was uniformly
+    // high, so nothing looked degraded relative to minPar. Anchoring on
+    // the absolute quiet band (SCALE.md: 0.41-0.44 s at <=8 threads on
+    // this box) makes uniform contention stamp every entry it touched,
+    // composites included; a genuinely quiet run is unaffected (minPar
+    // ~= the reference). The reference is THIS box's — recalibrate in
+    // SCALE.md if the driver hardware ever changes.
+    val QuietParRef = 0.44
     def probesDegraded(b: Double, a: Double): Boolean = {
       val worst = math.max(b, a)
-      worst > minPar * DegradeFactor && worst - minPar > DegradeSlackSec
+      val base = math.min(minPar, QuietParRef)
+      worst > base * DegradeFactor && worst - base > DegradeSlackSec
     }
     val healed = firstPass.map { case (segName, fn, entries, b, a) =>
       if (!probesDegraded(b, a)) (segName, entries, false)
@@ -391,9 +403,13 @@ object Bench {
     // to tell clobbered detail from a real full run. Partial detail
     // goes to a separate file instead.
     val detailFile = if (only.isEmpty) "bench_detail.json" else "bench_detail_partial.json"
+    // the full degraded list always lives here — the stdout line caps
+    // its inline copy (see below) to survive the driver's tail capture
+    val degradedDetail =
+      s""","degraded_entries":${degradedEntries.map(jsonStr).mkString("[", ",", "]")}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(detailFile),
-      s"""{"queries":$detailJson,"billing_note":"stdout line reports the warm second run of each query in a fresh session on a shared context","sf":${jsonStr(sfDir)}}""".getBytes("UTF-8"))
+      s"""{"queries":$detailJson,"billing_note":"stdout line reports the warm second run of each query in a fresh session on a shared context"$degradedDetail,"sf":${jsonStr(sfDir)}}""".getBytes("UTF-8"))
 
     val errJson = errors.map { case (n, e) => jsonStr(n) + ":" + jsonStr(e) }
       .mkString("{", ",", "}")
@@ -425,9 +441,15 @@ object Bench {
         s""","calibration":{"first":${ms(calFirst)},"last":${ms(calLast)},""" +
         s""""parallel":{"threads":$probeThreads,"min":${ms(probes.min)},"max":${ms(probes.max)},"n":${probes.length}}}""" +
         s""","degraded":${degradedEntries.nonEmpty}""" +
-        (if (degradedEntries.nonEmpty)
+        // inline list capped at 24 names: a fully-contended run stamps
+        // every entry, and ~125 names would overflow the driver's 2000-
+        // char stdout tail capture and break its JSON parse — "ALL" +
+        // count inline, full list in the detail file (always written)
+        (if (degradedEntries.isEmpty) ""
+        else if (degradedEntries.length <= 24)
           s""","degraded_entries":${degradedEntries.map(jsonStr).mkString("[", ",", "]")}"""
-        else "")
+        else
+          s""","degraded_entries":["ALL"],"degraded_count":${degradedEntries.length}""")
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","billing":"warm","queries":${jsonNumMap(warm)}$pipelineField$pipelineDenseField$curateField$curateLearnedField$steadyField,"detail":${jsonStr(detailFile)}$sentinel,"errors":$errJson,"sf":${jsonStr(sfDir)}}""")
     root.stop()
     if (errors.nonEmpty) sys.exit(1)
