@@ -4462,11 +4462,16 @@ object SparkEntry {
       "q119_pii_wide_registry",
       (s, dir) => {
         val docs = t(s, dir, "documents")
+        // footer exercises BOTH alternation branches of the two
+        // branched patterns cross-engine: compressed AND full-form
+        // IPv6; grouped card AND (via the IBAN's interior digit run)
+        // the bare 13-19-digit branch
         val aug = docs.select(
           $"doc_id",
           concat($"text",
             lit(" v6 2001:db8:"), ($"doc_id" % 10000).cast("string"),
             lit("::"), ($"doc_id" % 100 + 1).cast("string"),
+            lit(" full 1:2:3:4:5:6:7:"), (($"doc_id" % 9000) + 1000).cast("string"),
             lit(" acct PT"), lpad(($"doc_id" % 100).cast("string"), 2, "0"),
             lit("ZZ"), lpad($"doc_id".cast("string"), 16, "7"),
             lit(" card 4111-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
@@ -4490,7 +4495,8 @@ object SparkEntry {
         s"""WITH aug AS (
            |  SELECT doc_id,
            |    text || ' v6 2001:db8:' || CAST(doc_id % 10000 AS VARCHAR) || '::' ||
-           |    CAST(doc_id % 100 + 1 AS VARCHAR) || ' acct PT' ||
+           |    CAST(doc_id % 100 + 1 AS VARCHAR) || ' full 1:2:3:4:5:6:7:' ||
+           |    CAST((doc_id % 9000) + 1000 AS VARCHAR) || ' acct PT' ||
            |    lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || 'ZZ' ||
            |    lpad(CAST(doc_id AS VARCHAR), 16, '7') || ' card 4111-' ||
            |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-1111-' ||

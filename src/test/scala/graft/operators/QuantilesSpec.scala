@@ -148,6 +148,25 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("value-type audit: both twins agree on DOUBLE and STRING values (rank math is type-free)") {
+    // the rank arithmetic touches only COUNTS; the value column just
+    // needs a total order — so negative/fractional doubles and UTF-8
+    // strings ride both twins unchanged, `value` keeping its input type
+    val rnd = new scala.util.Random(37)
+    val dbl = (0 until 600).map(_ =>
+      (s"k${rnd.nextInt(4)}", rnd.nextGaussian() * 100.0)).toDF("key", "v")
+    val qs = Seq(0.25, 0.5, 0.9)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toSeq).toSet
+    val dw = Quantiles.exactQuantiles(dbl, "key", "v", qs)
+    assert(dw.schema("value").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(rows(dw) == rows(Quantiles.exactQuantilesScalable(dbl, "key", "v", qs)))
+    val str = (0 until 500).map(i =>
+      (s"k${i % 3}", s"w${rnd.nextInt(40)}é${rnd.nextInt(9)}")).toDF("key", "v")
+    val sw = Quantiles.exactQuantiles(str, "key", "v", qs)
+    assert(sw.schema("value").dataType == org.apache.spark.sql.types.StringType)
+    assert(rows(sw) == rows(Quantiles.exactQuantilesScalable(str, "key", "v", qs)))
+  }
+
   test("scalable twin: guards match the window twin") {
     val df = Seq(("k", 1L)).toDF("key", "v")
     assert(intercept[IllegalArgumentException] {
