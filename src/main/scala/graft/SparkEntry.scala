@@ -4650,6 +4650,48 @@ object SparkEntry {
            |ORDER BY doc_id""".stripMargin
       })
 
+    /** Weighted exact quantiles ([[operators.Quantiles
+      * .exactQuantilesWeighted]], T91, r12): document-length
+      * percentiles by TOKEN MASS per lang — the card statistic the
+      * row-count form cannot express (a million tiny docs stop
+      * drowning out the giants that dominate training compute).
+      * Weight = the q106 token recipe, so empty/null texts carry zero
+      * mass and are unselectable. FULL oracle: the identical
+      * tie-collapse aggregate + cumulative-weight window + the
+      * HUGEINT-widened integer rank (total token mass passes the
+      * long-multiply horizon at ~35 TB/key — the r11 dataCardDiff
+      * overflow class, widened on BOTH sides here from day one).
+      */
+    private val q123 = Q(
+      "q123_weighted_quantiles",
+      (s, dir) => operators.Quantiles.exactQuantilesWeighted(
+          t(s, dir, "documents").select(
+            $"lang",
+            length($"text").cast("long").as("len"),
+            size(operators.TextAnalysis.tokens($"text")).cast("long").as("wt")),
+          "lang", "len", "wt", Seq(0.25, 0.5, 0.9, 0.99))
+        .orderBy("lang", "quantile"),
+      Some("""WITH w AS (
+             |  SELECT lang, CAST(length(text) AS BIGINT) AS v,
+             |    CAST(len(CASE WHEN text IS NULL OR trim(text) = '' THEN []
+             |             ELSE string_split_regex(lower(trim(text)), '\s+') END) AS BIGINT) AS wt
+             |  FROM documents),
+             |g AS (
+             |  SELECT lang, v, CAST(sum(wt) AS BIGINT) AS w
+             |  FROM w WHERE v IS NOT NULL AND wt IS NOT NULL AND wt > 0
+             |  GROUP BY lang, v),
+             |r AS (
+             |  SELECT lang, v, w,
+             |         CAST(sum(w) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cum,
+             |         CAST(sum(w) OVER (PARTITION BY lang) AS BIGINT) AS tw
+             |  FROM g),
+             |t AS (SELECT CAST(unnest([250000, 500000, 900000, 990000]) AS BIGINT) AS qm)
+             |SELECT lang, qm / 1000000.0 AS quantile, tw AS total_weight, v AS value
+             |FROM r, t
+             |WHERE cum - w < CAST((CAST(qm AS HUGEINT) * tw + 999999) // 1000000 AS BIGINT)
+             |  AND CAST((CAST(qm AS HUGEINT) * tw + 999999) // 1000000 AS BIGINT) <= cum
+             |ORDER BY lang, quantile""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -4659,7 +4701,7 @@ object SparkEntry {
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
       q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
       q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-      q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122)
+      q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

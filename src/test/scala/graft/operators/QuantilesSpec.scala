@@ -180,6 +180,59 @@ class QuantilesSpec extends SparkSpec {
     }.getMessage.contains("collide"))
   }
 
+  test("weighted quantiles: planted mass distribution picks by cumulative weight") {
+    // values 1,2,3 with weights 1,1,8 (total 10): the mass sits at 3,
+    // so medians-by-weight land there while the unweighted median is 2
+    val df = Seq(("k", 1L, 1L), ("k", 2L, 1L), ("k", 3L, 8L)).toDF("key", "v", "w")
+    val got = Quantiles.exactQuantilesWeighted(df, "key", "v", "w", Seq(0.1, 0.2, 0.5, 1.0))
+      .select($"quantile", $"total_weight", $"value").as[(Double, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    // ranks = ceil(q * 10): 1 -> v1, 2 -> v2, 5 -> v3, 10 -> v3
+    assert(got == Seq((0.1, 10L, 1L), (0.2, 10L, 2L), (0.5, 10L, 3L), (1.0, 10L, 3L)))
+    // tied values pool their weights
+    val tied = Seq(("k", 5L, 3L), ("k", 5L, 4L), ("k", 9L, 3L)).toDF("key", "v", "w")
+    val t = Quantiles.exactQuantilesWeighted(tied, "key", "v", "w", Seq(0.7, 1.0))
+      .select($"quantile", $"value").as[(Double, Long)].collect().toMap
+    assert(t(0.7) == 5L && t(1.0) == 9L) // rank 7 falls exactly on 5's cum
+  }
+
+  test("weighted quantiles: all-1 weights degenerate to the unweighted law") {
+    val base = docs.selectExpr("lang", "CAST(length(text) AS BIGINT) AS v", "1L AS w")
+    val qs = Seq(0.25, 0.5, 0.9, 0.99)
+    val unweighted = Quantiles.exactQuantiles(base, "lang", "v", qs)
+      .select($"lang", $"quantile", $"n".as("total_weight"), $"value")
+      .collect().map(_.toSeq).toSet
+    val weighted = Quantiles.exactQuantilesWeighted(base, "lang", "v", "w", qs)
+      .collect().map(_.toSeq).toSet
+    assert(weighted == unweighted && weighted.nonEmpty)
+  }
+
+  test("weighted quantiles: zero/null weights and null values are unselectable mass") {
+    val df = Seq(
+      ("a", Some(10L), Some(0L)), // zero mass: excluded
+      ("a", Some(20L), Some(2L)),
+      ("a", None, Some(5L)),      // null value: excluded
+      ("a", Some(30L), None),     // null weight: excluded
+      ("b", Some(7L), Some(0L))). // a key with ONLY zero mass vanishes
+      toDF("key", "v", "w")
+    val got = Quantiles.exactQuantilesWeighted(df, "key", "v", "w", Seq(0.5, 1.0))
+      .select($"key", $"total_weight", $"value").as[(String, Long, Long)].collect()
+    // both quantiles land on the single surviving (a, 20) row; b is gone
+    assert(got.length == 2 && got.forall(_ == (("a", 2L, 20L))))
+  }
+
+  test("weighted quantiles: the rank multiply survives token-mass past the long horizon") {
+    // two values carrying 4e18 weight each: total 8e18 fits a long, but
+    // q_micro * total = 8e24 does NOT — the DECIMAL(38,0) widening is
+    // what keeps the rank exact (the r11 dataCardDiff overflow class)
+    val big = 4000000000000000000L
+    val df = Seq(("k", 1L, big), ("k", 2L, big)).toDF("key", "v", "w")
+    val got = Quantiles.exactQuantilesWeighted(df, "key", "v", "w", Seq(0.5, 1.0))
+      .select($"quantile", $"total_weight", $"value").as[(Double, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((0.5, 2 * big, 1L), (1.0, 2 * big, 2L)))
+  }
+
   test("guards: empty and out-of-range quantiles, micro-unit collisions") {
     val df = Seq(("k", 1L)).toDF("key", "v")
     assert(intercept[IllegalArgumentException] {
