@@ -4662,16 +4662,12 @@ object SparkEntry {
       * long-multiply horizon at ~35 TB/key — the r11 dataCardDiff
       * overflow class, widened on BOTH sides here from day one).
       */
-    private val q123 = Q(
-      "q123_weighted_quantiles",
-      (s, dir) => operators.Quantiles.exactQuantilesWeighted(
-          t(s, dir, "documents").select(
-            $"lang",
-            length($"text").cast("long").as("len"),
-            size(operators.TextAnalysis.tokens($"text")).cast("long").as("wt")),
-          "lang", "len", "wt", Seq(0.25, 0.5, 0.9, 0.99))
-        .orderBy("lang", "quantile"),
-      Some("""WITH w AS (
+    /** Shared by q123 (window form) and q124 (scalable form): the two
+      * weighted twins promise bit-equal answers — one SQL oracles both
+      * (the q115/q118 discipline).
+      */
+    private val weightedQuantilesSql =
+      """WITH w AS (
              |  SELECT lang, CAST(length(text) AS BIGINT) AS v,
              |    CAST(len(CASE WHEN text IS NULL OR trim(text) = '' THEN []
              |             ELSE string_split_regex(lower(trim(text)), '\s+') END) AS BIGINT) AS wt
@@ -4690,7 +4686,36 @@ object SparkEntry {
              |FROM r, t
              |WHERE cum - w < CAST((CAST(qm AS HUGEINT) * tw + 999999) // 1000000 AS BIGINT)
              |  AND CAST((CAST(qm AS HUGEINT) * tw + 999999) // 1000000 AS BIGINT) <= cum
-             |ORDER BY lang, quantile""".stripMargin))
+             |ORDER BY lang, quantile""".stripMargin
+
+    private def weightedQuantilesQuery(
+        s: SparkSession, dir: String,
+        run: (DataFrame, String, String, String, Seq[Double]) => DataFrame): DataFrame =
+      run(
+        t(s, dir, "documents").select(
+          $"lang",
+          length($"text").cast("long").as("len"),
+          size(operators.TextAnalysis.tokens($"text")).cast("long").as("wt")),
+        "lang", "len", "wt", Seq(0.25, 0.5, 0.9, 0.99))
+        .orderBy("lang", "quantile")
+
+    private val q123 = Q(
+      "q123_weighted_quantiles",
+      (s, dir) => weightedQuantilesQuery(s, dir,
+        operators.Quantiles.exactQuantilesWeighted(_, _, _, _, _)),
+      Some(weightedQuantilesSql))
+
+    /** The weighted twin's scalable form ([[operators.Quantiles
+      * .exactQuantilesWeightedScalable]], T91 x T90): q123's answer on
+      * q118's plan — token-mass percentiles that never serialize a
+      * one-domain corpus into one sort task. FULL oracle: q123's SQL
+      * verbatim.
+      */
+    private val q124 = Q(
+      "q124_weighted_quantiles_scalable",
+      (s, dir) => weightedQuantilesQuery(s, dir,
+        operators.Quantiles.exactQuantilesWeightedScalable(_, _, _, _, _)),
+      Some(weightedQuantilesSql))
 
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -4701,7 +4726,7 @@ object SparkEntry {
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
       q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
       q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-      q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123)
+      q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

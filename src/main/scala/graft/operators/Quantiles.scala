@@ -106,18 +106,55 @@ object Quantiles {
       df: DataFrame,
       keyCol: String,
       valueCol: String,
-      qs: Seq[Double]): DataFrame = {
+      qs: Seq[Double]): DataFrame =
+    scalableRank(
+      df.select(col(keyCol), col(valueCol))
+        .where(col(valueCol).isNotNull)
+        .groupBy(col(keyCol), col(valueCol))
+        .agg(count(lit(1)).as("__cnt")),
+      keyCol, valueCol, qs, totalName = "n")
+
+  /** The weighted twin's scalable form (T91 x T90): [[
+    * exactQuantilesWeighted]]'s answer with [[exactQuantilesScalable]]'s
+    * plan — the mass per (key, value) replaces the tie count and the
+    * same range-partitioned rank decomposition runs unchanged, so a
+    * one-domain token-mass percentile never serializes into one task.
+    * Bit-equal to the window form (spec-pinned; q124 replays q123's
+    * SQL). Same contract: integral weights, zero/null mass excluded.
+    */
+  def exactQuantilesWeightedScalable(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      weightCol: String,
+      qs: Seq[Double]): DataFrame =
+    scalableRank(
+      df.select(col(keyCol), col(valueCol), col(weightCol).cast("long").as("__wt"))
+        .where(col(valueCol).isNotNull && col("__wt").isNotNull && col("__wt") > 0)
+        .groupBy(col(keyCol), col(valueCol))
+        .agg(sum(col("__wt")).as("__cnt")),
+      keyCol, valueCol, qs, totalName = "total_weight")
+
+  /** Shared range-partitioned rank decomposition over a (key, value,
+    * mass) frame whose rows are unique per (key, value): stages 2-5 of
+    * [[exactQuantilesScalable]]'s doc. The rank multiply widens to
+    * DECIMAL(38,0) (the weighted total is token mass — past the long
+    * horizon at ~35 TB/key; for the unweighted twin the widening is
+    * free insurance).
+    */
+  private def scalableRank(
+      masses: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      qs: Seq[Double],
+      totalName: String): DataFrame = {
     require(qs.nonEmpty, "need at least one quantile")
     require(qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantiles must be in (0, 1]: ${qs.mkString(", ")}")
     val qMicro = qs.map(q => math.round(q * 1e6))
     require(qMicro.distinct.size == qMicro.size,
       s"quantiles collide at micro-unit precision: ${qs.mkString(", ")}")
-    val counts = df.select(col(keyCol), col(valueCol))
-      .where(col(valueCol).isNotNull)
-      .groupBy(col(keyCol), col(valueCol))
-      .agg(count(lit(1)).as("__cnt"))
-    val ranged = counts
+    val ranged = masses
       .repartitionByRange(col(keyCol), col(valueCol))
       .withColumn("__part", spark_partition_id())
     val bySlice = Window.partitionBy(col(keyCol), col("__part"))
@@ -139,12 +176,13 @@ object Quantiles {
         col(keyCol) <=> col("__k") && col("__part") === col("__p"))
       .withColumn("__cum", col("__off") + col("__lcum"))
       .withColumn("__qm", explode(typedLit(qMicro)))
-      .withColumn("__r", expr("(__qm * __n + 999999) DIV 1000000"))
+      .withColumn("__r",
+        expr("(CAST(__qm AS DECIMAL(38,0)) * __n + 999999) DIV 1000000"))
       .where(col("__cum") - col("__cnt") < col("__r") && col("__r") <= col("__cum"))
       .select(
         col(keyCol),
         (col("__qm") / lit(1000000.0)).as("quantile"),
-        col("__n").as("n"),
+        col("__n").as(totalName),
         col(valueCol).as("value"))
   }
 

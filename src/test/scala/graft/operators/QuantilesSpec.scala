@@ -233,6 +233,25 @@ class QuantilesSpec extends SparkSpec {
     assert(got == Seq((0.5, 2 * big, 1L), (1.0, 2 * big, 2L)))
   }
 
+  test("weighted scalable twin: bit-equal to the window form, random and one-key") {
+    val rnd = new scala.util.Random(43)
+    val rows = (0 until 900).map { _ =>
+      (if (rnd.nextInt(12) == 0) None else Some(s"k${rnd.nextInt(4)}"),
+        if (rnd.nextInt(15) == 0) None else Some(rnd.nextInt(30).toLong),
+        rnd.nextInt(5).toLong - 1) // includes negative and zero mass
+    }
+    val df = rows.toDF("key", "v", "w")
+    val qs = Seq(0.1, 0.5, 0.9, 1.0)
+    def rowsOf(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toSeq).toSet
+    assert(rowsOf(Quantiles.exactQuantilesWeighted(df, "key", "v", "w", qs)) ==
+      rowsOf(Quantiles.exactQuantilesWeightedScalable(df, "key", "v", "w", qs)))
+    val one = (1 to 4000).map(i => ("only", (i % 611).toLong, (i % 7 + 1).toLong))
+      .toDF("key", "v", "w")
+    val a = rowsOf(Quantiles.exactQuantilesWeighted(one, "key", "v", "w", qs))
+    assert(a == rowsOf(Quantiles.exactQuantilesWeightedScalable(one, "key", "v", "w", qs))
+      && a.nonEmpty)
+  }
+
   test("guards: empty and out-of-range quantiles, micro-unit collisions") {
     val df = Seq(("k", 1L)).toDF("key", "v")
     assert(intercept[IllegalArgumentException] {
