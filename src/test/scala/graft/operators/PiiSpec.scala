@@ -227,14 +227,19 @@ class PiiSpec extends SparkSpec {
     assert(a == b)
   }
 
-  test("scan is a zero-exchange, zero-UDF, single-scan plan") {
+  test("scan is a zero-exchange, zero-UDF, single-scan plan (wide registry included)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val plan = Pii.scan(docs, "doc_id", "text")
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"pii scan must not shuffle:\n$plan")
-    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
-      s"pii scan must stay codegen:\n$plan")
-    val scans = "ReadSchema".r.findAllIn(plan).size
-    assert(scans == 1, s"expected one corpus scan, got $scans")
+    def pin(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$what must not shuffle:\n$plan")
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+        s"$what must stay codegen:\n$plan")
+      val scans = "ReadSchema".r.findAllIn(plan).size
+      assert(scans == 1, s"$what: expected one corpus scan, got $scans")
+    }
+    pin(Pii.scan(docs, "doc_id", "text"), "pii scan")
+    // the widened registry rides the same scanPatterns path — six
+    // patterns, still one scan-side codegen'd projection
+    pin(Pii.scanPatterns(docs, "doc_id", "text", Pii.widePatterns), "wide registry scan")
   }
 }
