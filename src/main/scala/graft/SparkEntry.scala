@@ -4717,6 +4717,34 @@ object SparkEntry {
         operators.Quantiles.exactQuantilesWeightedScalable(_, _, _, _, _)),
       Some(weightedQuantilesSql))
 
+    /** Mergeable histogram artifact ([[operators.Quantiles.histIndex/
+      * histAppend/histMerge/quantilesOfHist]], T92, r12): the
+      * nightly-maintenance path for exact percentiles — even docs
+      * indexed, odd docs appended, the artifact written to parquet and
+      * REOPENED, and the quantiles read off the reopened artifact
+      * without touching the corpus (the q109/q111 artifact-round-trip
+      * discipline). FULL oracle: q115's SQL verbatim over the whole
+      * table — the hash match certifies append == rebuild AND
+      * artifact == direct operator, cross-engine.
+      */
+    private val q125 = Q(
+      "q125_hist_artifact_quantiles",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .selectExpr("lang", "CAST(length(text) AS BIGINT) AS len", "doc_id")
+        val ixPath = java.nio.file.Files.createTempDirectory("graft_histix")
+          .toString + "/ix"
+        operators.Quantiles.histAppend(
+            operators.Quantiles.histIndex(
+              base.filter($"doc_id" % 2 === 0), "lang", "len"),
+            base.filter($"doc_id" % 2 =!= 0), "lang", "len")
+          .write.parquet(ixPath)
+        operators.Quantiles.quantilesOfHist(
+            s.read.parquet(ixPath), "lang", "len", Seq(0.25, 0.5, 0.9, 0.99))
+          .orderBy("lang", "quantile")
+      },
+      Some(lengthQuantilesSql))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -4726,7 +4754,7 @@ object SparkEntry {
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
       q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
       q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-      q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124)
+      q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125)
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.

@@ -245,6 +245,95 @@ object Quantiles {
         col(valueCol).as("value"))
   }
 
+  /** Persistable value-histogram artifact (T92, r12) — the index form
+    * of exact quantiles, completing the family symmetry: every other
+    * standing statistic has a fold-maintained artifact (manifest,
+    * data-card index, eval grams) while percentiles still rescanned
+    * the corpus. The artifact is the EXACT value distribution — one
+    * `(key, value, mass)` row per distinct (key, value), mass = tie
+    * count (or summed integral weight) — which is everything any exact
+    * quantile ever needs, and it merges EXACTLY (masses are sums:
+    * commutative, associative), so nightly maintenance is
+    * [[histAppend]] at O(batch) + an artifact-sized re-aggregate, and
+    * [[quantilesOfHist]] reads any quantile set off the artifact
+    * without touching the corpus. Artifact size: |distinct (key,
+    * value)| — dimension x value-domain for discrete values like
+    * document lengths (INDEPENDENT of corpus row count), corpus-sized
+    * only for continuous values (where the quantile itself is the
+    * wrong artifact — persist a rounded/bucketed value instead, the
+    * caller's modeling call).
+    *
+    * The schema is self-describing (no meta row: nothing is frozen —
+    * the shingle-width class of parameter does not exist here); what
+    * `mass` MEANS (rows vs token weight) is the caller's contract,
+    * exactly as for [[exactQuantilesWeighted]].
+    */
+  def histIndex(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      weightCol: Option[String] = None): DataFrame = {
+    val massed = weightCol match {
+      case None =>
+        df.select(col(keyCol), col(valueCol))
+          .where(col(valueCol).isNotNull)
+          .groupBy(col(keyCol), col(valueCol))
+          .agg(count(lit(1)).as("mass"))
+      case Some(w) =>
+        df.select(col(keyCol), col(valueCol), col(w).cast("long").as("__wt"))
+          .where(col(valueCol).isNotNull && col("__wt").isNotNull && col("__wt") > 0)
+          .groupBy(col(keyCol), col(valueCol))
+          .agg(sum(col("__wt")).as("mass"))
+    }
+    massed
+  }
+
+  /** Grow the artifact with a batch: union + re-aggregate — exact
+    * (append == rebuild over the union, spec-pinned), O(batch) + an
+    * artifact-sized exchange. Null-key groups merge null-safely (the
+    * groupBy treats null as a real key on both sides).
+    */
+  def histAppend(
+      index: DataFrame,
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      weightCol: Option[String] = None): DataFrame =
+    histMerge(Seq(index, histIndex(df, keyCol, valueCol, weightCol)),
+      keyCol, valueCol)
+
+  /** Exact merge of histogram artifacts (shards, per-day partials):
+    * masses sum. Commutative and associative, so any merge tree gives
+    * the same artifact.
+    */
+  def histMerge(
+      indexes: Seq[DataFrame],
+      keyCol: String,
+      valueCol: String): DataFrame = {
+    require(indexes.nonEmpty, "need at least one histogram artifact")
+    indexes.reduce(_.unionByName(_))
+      .groupBy(col(keyCol), col(valueCol))
+      .agg(sum(col("mass")).as("mass"))
+  }
+
+  /** Exact quantiles read OFF the artifact — [[exactQuantilesScalable]]'s
+    * range-partitioned rank decomposition with the (key, value) masses
+    * already in hand, so the corpus is never touched: the plan starts
+    * at an artifact-sized columnar scan. `totalName` labels the total
+    * column for the caller's mass semantics (`n` for row counts, pass
+    * `total_weight` for weighted artifacts — matching the direct
+    * operators' output schemas so oracles replay verbatim).
+    */
+  def quantilesOfHist(
+      index: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      qs: Seq[Double],
+      totalName: String = "n"): DataFrame =
+    scalableRank(
+      index.select(col(keyCol), col(valueCol), col("mass").as("__cnt")),
+      keyCol, valueCol, qs, totalName)
+
   /** The sketch twin for few-key / latency-bound paths:
     * `percentile_approx` under the hood, same output surface. NOT
     * cross-engine replayable (sketch internals differ by engine) —

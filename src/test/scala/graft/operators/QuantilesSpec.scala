@@ -252,6 +252,53 @@ class QuantilesSpec extends SparkSpec {
       && a.nonEmpty)
   }
 
+  test("hist artifact: append == rebuild, merge is order-free, quantiles read off it exactly (T92)") {
+    val base = docs.selectExpr("lang", "CAST(length(text) AS BIGINT) AS v", "doc_id")
+    def histSet(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toSeq).toSet
+    val even = base.filter($"doc_id" % 2 === 0).drop("doc_id")
+    val odd = base.filter($"doc_id" % 2 =!= 0).drop("doc_id")
+    val all = base.drop("doc_id")
+    val grown = Quantiles.histAppend(
+      Quantiles.histIndex(even, "lang", "v"), odd, "lang", "v")
+    val rebuilt = Quantiles.histIndex(all, "lang", "v")
+    assert(histSet(grown) == histSet(rebuilt), "append must equal rebuild")
+    // merge: order-free over three shards
+    val shards = (0 to 2).map(k =>
+      Quantiles.histIndex(base.filter($"doc_id" % 3 === k).drop("doc_id"), "lang", "v"))
+    assert(histSet(Quantiles.histMerge(shards, "lang", "v")) ==
+      histSet(Quantiles.histMerge(shards.reverse, "lang", "v")))
+    assert(histSet(Quantiles.histMerge(shards, "lang", "v")) == histSet(rebuilt))
+    // quantiles off the artifact == the direct operator, bit for bit
+    val qs = Seq(0.25, 0.5, 0.9, 0.99)
+    assert(
+      Quantiles.quantilesOfHist(grown, "lang", "v", qs).collect().map(_.toSeq).toSet ==
+        Quantiles.exactQuantiles(all, "lang", "v", qs).collect().map(_.toSeq).toSet)
+  }
+
+  test("hist artifact: parquet round trip in a fresh session; weighted masses; null keys") {
+    val df = Seq(
+      (Some("a"), 1L, 3L), (Some("a"), 2L, 1L),
+      (None: Option[String], 5L, 2L), (None, 5L, 1L)).toDF("key", "v", "w")
+    val ix = Quantiles.histIndex(df, "key", "v", weightCol = Some("w"))
+    val dir = java.nio.file.Files.createTempDirectory("histix").toString
+    ix.write.parquet(s"$dir/ix")
+    val s2 = spark.newSession()
+    val reopened = s2.read.parquet(s"$dir/ix")
+    val got = Quantiles.quantilesOfHist(
+        reopened, "key", "v", Seq(0.5, 1.0), totalName = "total_weight")
+      .collect().map(_.toSeq).toSet
+    val want = Quantiles.exactQuantilesWeighted(
+        { import s2.implicits._
+          Seq((Some("a"), 1L, 3L), (Some("a"), 2L, 1L),
+            (None: Option[String], 5L, 2L), (None, 5L, 1L)).toDF("key", "v", "w") },
+        "key", "v", "w", Seq(0.5, 1.0))
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+    // null-key rows pooled into one real group (mass 3 at v=5)
+    assert(reopened.filter($"key".isNull).collect().map(r =>
+      (r.getLong(1), r.getLong(2))).toSet == Set((5L, 3L)))
+  }
+
   test("guards: empty and out-of-range quantiles, micro-unit collisions") {
     val df = Seq(("k", 1L)).toDF("key", "v")
     assert(intercept[IllegalArgumentException] {
