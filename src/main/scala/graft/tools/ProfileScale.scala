@@ -764,6 +764,46 @@ object ProfileScale {
           f"append_cold=$turnCold%.1f append_warm=$turnWarm%.1f " +
           f"rebuild_cold=$rebCold%.1f rebuild_warm=$rebWarm%.1f")
       }
+      if (only.forall(_ == "histq")) {
+        // The T92 claim: nightly exact-percentile maintenance is
+        // O(batch) + an artifact-sized re-aggregate, never a corpus
+        // rescan — the `card` discipline applied to the histogram
+        // artifact. Standing artifact built over the f-scaled corpus
+        // once (persisted — the production shape); a FIXED 2k-doc batch
+        // folds in and the quantiles read off the merged artifact. The
+        // append turn should be FLAT in f (the artifact is
+        // lang x length-domain sized, bounded) while the rebuild column
+        // pays the full corpus every time.
+        val s = root.newSession()
+        val dir = java.nio.file.Files.createTempDirectory("histix_profile").toString
+        def lengths(d: org.apache.spark.sql.DataFrame) =
+          d.select(col("lang"), length(col("text")).cast("long").as("len"))
+        val tb0 = System.nanoTime()
+        graft.operators.Quantiles.histIndex(lengths(scaledLoose(s, sfDir, f)), "lang", "len")
+          .write.mode("overwrite").parquet(s"$dir/ix")
+        val buildSecs = (System.nanoTime() - tb0) / 1e9
+        val batch = lengths(scaled(s, sfDir, 1).filter(col("doc_id") % 5 === 0))
+        val qs = Seq(0.25, 0.5, 0.9, 0.99)
+        def turnOnce(): (Long, Double) = {
+          val t = System.nanoTime()
+          val n = graft.operators.Quantiles.quantilesOfHist(
+            graft.operators.Quantiles.histAppend(
+              s.read.parquet(s"$dir/ix"), batch, "lang", "len"),
+            "lang", "len", qs).count()
+          val secs = (System.nanoTime() - t) / 1e9
+          s.catalog.clearCache(); System.gc()
+          (n, secs)
+        }
+        val (nQ, turnCold) = turnOnce()
+        val (_, turnWarm) = turnOnce()
+        val (_, rebCold, rebWarm) = timed { sx =>
+          graft.operators.Quantiles.exactQuantilesScalable(
+            lengths(scaledLoose(sx, sfDir, f)).unionByName(batch), "lang", "len", qs)
+        }
+        println(f"PROFILE histq factor=$f rows=$nQ build=$buildSecs%.1f " +
+          f"append_cold=$turnCold%.1f append_warm=$turnWarm%.1f " +
+          f"rebuild_cold=$rebCold%.1f rebuild_warm=$rebWarm%.1f")
+      }
       if (only.forall(_ == "increl")) {
         // The T84 claim: a full nightly Release.appendTurn — curate the
         // batch against the standing index, split, grow the eval-gram
