@@ -956,6 +956,36 @@ object ProfileScale {
           f"window_cold=$wCold%.1f window_warm=$wWarm%.1f " +
           f"scalable_cold=$sCold%.1f scalable_warm=$sWarm%.1f")
       }
+      if (only.forall(_ == "histkeys")) {
+        // The r13 claim (VERDICT r12 #1): past DefaultMaxBroadcastKeys
+        // distinct keys, quantilesOfHist must NOT broadcast the
+        // scalable twin's offsets frame (~|keys| rows into every task)
+        // — it dispatches to the per-key window twin, whose
+        // parallelism IS the key count. Artifact synthesized at
+        // f x 100k keys x 8 values (hist schema, written to parquet —
+        // the production shape), then both physical forms timed over
+        // the same reopened artifact: `dispatched` is the r13 default,
+        // `forced_bcast` pins maxBroadcastKeys past the key count to
+        // replay the pre-r13 plan and record what the guard retires.
+        val s = root.newSession()
+        val nKeys = f * 100000L
+        val dir = java.nio.file.Files.createTempDirectory("histkeys_profile").toString
+        s.range(nKeys * 8).select(
+            concat(lit("k"), (col("id") % nKeys)).as("k"),
+            ((col("id") / nKeys) * 3 + 1).cast("long").as("v"),
+            (col("id") % 7 + 1).cast("long").as("mass"))
+          .write.mode("overwrite").parquet(s"$dir/ix")
+        val qs = Seq(0.25, 0.5, 0.9, 0.99)
+        def run(maxKeys: Int): (Long, Double, Double) = timed { sx =>
+          graft.operators.Quantiles.quantilesOfHist(
+            sx.read.parquet(s"$dir/ix"), "k", "v", qs, maxBroadcastKeys = maxKeys)
+        }
+        val (nD, dCold, dWarm) = run(graft.operators.Quantiles.DefaultMaxBroadcastKeys)
+        val (_, bCold, bWarm) = run(Int.MaxValue)
+        println(f"PROFILE histkeys factor=$f keys=$nKeys rows=$nD " +
+          f"dispatched_cold=$dCold%.1f dispatched_warm=$dWarm%.1f " +
+          f"forced_bcast_cold=$bCold%.1f forced_bcast_warm=$bWarm%.1f")
+      }
       if (only.forall(_ == "pii")) {
         // The T86 claim: the PII scan is a zero-shuffle map-only pass —
         // cost is exactly linear in the corpus with no exchange to

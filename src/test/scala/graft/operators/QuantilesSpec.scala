@@ -299,6 +299,29 @@ class QuantilesSpec extends SparkSpec {
       (r.getLong(1), r.getLong(2))).toSet == Set((5L, 3L)))
   }
 
+  test("hist quantiles dispatch (r13): bit-equal across the maxBroadcastKeys boundary, no broadcast past it") {
+    // 40 keys x a handful of values each, weighted masses, a null key —
+    // the same artifact read through both physical forms
+    val rows = (0 until 40).flatMap(k =>
+      (1 to 5).map(v => (if (k == 7) None else Some(s"k$k"), v.toLong * (k + 1), (v % 3 + 1).toLong)))
+    val ix = Quantiles.histIndex(rows.toDF("key", "v", "w"), "key", "v", weightCol = Some("w"))
+    val qs = Seq(0.25, 0.5, 0.9, 1.0)
+    val viaBroadcast = Quantiles.quantilesOfHist(ix, "key", "v", qs) // 40 <= default bound
+    val viaWindow = Quantiles.quantilesOfHist(ix, "key", "v", qs, maxBroadcastKeys = 2)
+    assert(viaBroadcast.collect().map(_.toSeq).toSet ==
+      viaWindow.collect().map(_.toSeq).toSet)
+    assert(viaWindow.count() > 0)
+    // plan pins: under the bound the offsets frame is broadcast (the
+    // scalable decomposition); past it NOTHING is broadcast — the
+    // dispatched window twin has no join at all, so a 10^6-key
+    // artifact can never push |keys| x |partitions| rows at the driver
+    val under = viaBroadcast.queryExecution.executedPlan.toString
+    val over = viaWindow.queryExecution.executedPlan.toString
+    assert(under.contains("BroadcastHashJoin"), s"expected the offsets broadcast:\n$under")
+    assert(!over.contains("Broadcast") && !over.contains("Join"),
+      s"past the bound the plan must carry no broadcast and no join:\n$over")
+  }
+
   test("guards: empty and out-of-range quantiles, micro-unit collisions") {
     val df = Seq(("k", 1L)).toDF("key", "v")
     assert(intercept[IllegalArgumentException] {
