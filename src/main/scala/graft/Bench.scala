@@ -144,6 +144,12 @@ object Bench {
     final case class Entry(name: String, cold: Double, warm: Double, err: Option[String])
 
     def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Entry = {
+      // Resolve per-JVM disk fixtures BEFORE the clock (ADVICE r12):
+      // q68/q120/q121 reopen artifacts that exist before the query in
+      // production; built lazily inside the cold run they bill a
+      // >20 s one-time build to a number documented as a pure reopen.
+      try SparkEntry.fixturePrep.get(name).foreach(_(root.newSession(), sfDir))
+      catch { case _: Throwable => () } // the timed run surfaces the real error
       val (cold, coldErr) = timed(fn)
       val (warm1, warmErr) = timed(fn)
       // Heavyweights get a third run and report the better warm: a
@@ -187,15 +193,48 @@ object Bench {
       System.gc()
       (secs, err)
     }
-    // Cold+warm like the queries: the first pipeline run pays the star
-    // loader's one-time codegen, which would otherwise bill whichever
-    // strategy happens to run first (measured 15.6 vs 11.0 s for
-    // identical work when only the scalable run was cold).
-    def pipelineEntry(name: String, s: graft.etl.StarLoader.IdStrategy): Entry = {
-      val (cold, coldErr) = runPipeline1m(s)
-      val (warmSecs, warmErr) = runPipeline1m(s)
-      Entry(name, cold, warmSecs, coldErr.orElse(warmErr))
+    // A composite warm run that materially exceeds its cold run means
+    // load arrived during the warm leg (warm re-executes what cold
+    // already JIT-compiled) — shared between the retry below and the
+    // post-run stamp so both read the same rule.
+    def warmOverColdFires(cold: Double, warm: Double): Boolean =
+      warm > cold * 1.25 + 0.5
+
+    // Cold+warm like the queries: the first run pays one-time codegen,
+    // which would otherwise bill whichever variant happens to run first
+    // (measured 15.6 vs 11.0 s for identical work when only the
+    // scalable pipeline run was cold). If the warm leg comes out over
+    // cold — the warm-over-cold contention tell — the composite re-runs
+    // its warm leg ONCE before the stamp can fire (ADVICE r12: a long
+    // shared JVM can push a single warm sample over cold on GC/heap
+    // variance alone; one retry separates that blip from real mid-warm
+    // load, mirroring the probe self-heal and the queries' third run).
+    // GRAFT_BENCH_TRACE=1: print composite leg boundaries as they
+    // complete — the hook the SCALE.md fire-side stamp validation keys
+    // its synthetic load ramp on (a ramp that must rise after cold and
+    // subside before the closing probe needs the leg edges observable).
+    // Opt-in; trace lines precede the final JSON line, so the driver's
+    // stdout tail capture still ends with the metric line.
+    val trace = sys.env.get("GRAFT_BENCH_TRACE").contains("1")
+    def tr(msg: String): Unit =
+      if (trace) println(s"TRACE ${System.currentTimeMillis()} $msg")
+
+    def compositeEntry(name: String, run: () => (Double, Option[String])): Entry = {
+      val (cold, coldErr) = run()
+      tr(s"$name cold_done ${ms(cold)}")
+      val (warm1, warmErr) = run()
+      tr(s"$name warm1_done ${ms(warm1)}")
+      val (warm, retryErr) =
+        if (coldErr.isEmpty && warmErr.isEmpty && warmOverColdFires(cold, warm1)) {
+          val (warm2, e2) = run()
+          tr(s"$name warm2_done ${ms(warm2)}")
+          (math.min(warm1, warm2), e2)
+        } else (warm1, None)
+      Entry(name, cold, warm, coldErr.orElse(warmErr).orElse(retryErr))
     }
+
+    def pipelineEntry(name: String, s: graft.etl.StarLoader.IdStrategy): Entry =
+      compositeEntry(name, () => runPipeline1m(s))
 
     // curate_docs: the composed training-data pipeline (annotate ->
     // exact dedup -> LSH near-dup canonicalize -> decontaminate ->
@@ -232,11 +271,8 @@ object Bench {
       System.gc()
       (secs, err)
     }
-    def curateEntry(): Entry = {
-      val (cold, coldErr) = runCurate(root.newSession())
-      val (warmSecs, warmErr) = runCurate(root.newSession())
-      Entry("curate_docs", cold, warmSecs, coldErr.orElse(warmErr))
-    }
+    def curateEntry(): Entry =
+      compositeEntry("curate_docs", () => runCurate(root.newSession()))
     // curate_learned: the same composed pipeline with the trained
     // quality-classifier gate on (VERDICT r9 #6). The model trains
     // OUTSIDE the timed region — in production it is an offline
@@ -257,9 +293,7 @@ object Bench {
     }
     def curateLearnedEntry(): Entry = {
       val m = Some(learnedGateModel) // force training before the clock
-      val (cold, coldErr) = runCurate(root.newSession(), m)
-      val (warmSecs, warmErr) = runCurate(root.newSession(), m)
-      Entry("curate_learned", cold, warmSecs, coldErr.orElse(warmErr))
+      compositeEntry("curate_learned", () => runCurate(root.newSession(), m))
     }
 
     // ---- Segmented run with inter-segment parallel probes (r10) ----
@@ -314,7 +348,13 @@ object Bench {
     // composites included; a genuinely quiet run is unaffected (minPar
     // ~= the reference). The reference is THIS box's — recalibrate in
     // SCALE.md if the driver hardware ever changes.
-    val QuietParRef = 0.44
+    // Overridable per box (ADVICE r12): 0.44 is THIS machine's quiet
+    // parallel-probe wall — hardcoded, any slower box would stamp every
+    // segment degraded forever and pay the full self-heal re-run each
+    // time. Recalibrate by exporting GRAFT_QUIET_PAR_REF with the box's
+    // own quiet calibrateParallel reading (SCALE.md records the recipe).
+    val QuietParRef = sys.env.get("GRAFT_QUIET_PAR_REF")
+      .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(0.44)
     def probesDegraded(b: Double, a: Double): Boolean = {
       val worst = math.max(b, a)
       val base = math.min(minPar, QuietParRef)
@@ -341,11 +381,14 @@ object Bench {
     // JIT-compiled, so warm materially EXCEEDING cold means load
     // arrived during the warm run — stamp it. Queries are exempt
     // (sub-second entries cross this ratio on noise; their third-run
-    // min already absorbs it).
+    // min already absorbs it). Since r13 the stamp fires only if the
+    // one-shot warm retry inside compositeEntry ALSO came out over
+    // cold (e.warm is the min of both legs) — a single GC-variance
+    // blip self-heals, persistent mid-warm load still stamps.
     val compositeNames = composites.map(_._1).toSet
     val warmOverCold: Seq[String] = allEntries
       .filter(e => compositeNames.contains(e.name) && e.err.isEmpty &&
-        e.warm > e.cold * 1.25 + 0.5)
+        warmOverColdFires(e.cold, e.warm))
       .map(_.name)
     val degradedEntries: Seq[String] =
       (healed.filter(_._3).flatMap(_._2.map(_.name)) ++ warmOverCold).distinct
@@ -412,9 +455,16 @@ object Bench {
     // Composites are included since r12 (their cold/warm pair is what
     // the warm-over-cold stamp above reads — keep the evidence next to
     // the verdict).
-    val detailJson = allEntries.map { e =>
+    // Composites live under their OWN key (ADVICE r12): r12 mixed them
+    // into 'queries', silently changing what a history consumer that
+    // sums or enumerates that map aggregates. 'schema_version: 2' marks
+    // the split machine-readably.
+    def detailMap(es: Seq[Entry]): String = es.map { e =>
       jsonStr(e.name) + s""":{"cold":${ms(e.cold)},"warm":${ms(e.warm)}}"""
     }.mkString("{", ",", "}")
+    val detailJson = detailMap(allEntries.filter(e => queryNames.contains(e.name)))
+    val compositeDetailJson =
+      detailMap(allEntries.filterNot(e => queryNames.contains(e.name)))
     // Subset runs (query-name args) must NOT clobber the full-run
     // detail file with a partial map — a history consumer has no way
     // to tell clobbered detail from a real full run. Partial detail
@@ -426,7 +476,7 @@ object Bench {
       s""","degraded_entries":${degradedEntries.map(jsonStr).mkString("[", ",", "]")}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(detailFile),
-      s"""{"queries":$detailJson,"billing_note":"stdout line reports the warm second run of each query in a fresh session on a shared context"$degradedDetail,"sf":${jsonStr(sfDir)}}""".getBytes("UTF-8"))
+      s"""{"schema_version":2,"queries":$detailJson,"composites":$compositeDetailJson,"billing_note":"stdout line reports the warm second run of each query in a fresh session on a shared context"$degradedDetail,"sf":${jsonStr(sfDir)}}""".getBytes("UTF-8"))
 
     val errJson = errors.map { case (n, e) => jsonStr(n) + ":" + jsonStr(e) }
       .mkString("{", ",", "}")

@@ -70,6 +70,18 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Registry.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
+  /** Per-JVM disk fixtures some queries REOPEN (q68's standing index,
+    * q120/q121's shipped releases): built lazily on first use, which
+    * would land the one-time build inside the first caller's timed
+    * cold run. Bench resolves these hooks BEFORE the clock (ADVICE
+    * r12), so a fixture query's cold number measures the
+    * production-shaped reopen — in production the artifact already
+    * exists when the query runs. Verify needs no prep (untimed; the
+    * lazy build is idempotent either way).
+    */
+  def fixturePrep: Map[String, (SparkSession, String) => Unit] =
+    Registry.fixturePrep
+
   final case class Q(
       name: String,
       run: (SparkSession, String) => DataFrame,
@@ -2118,6 +2130,25 @@ object SparkEntry {
       */
     private val q68Fixture = scala.collection.concurrent.TrieMap.empty[String, String]
 
+    /** q68's standing-index fixture, resolvable WITHOUT running the
+      * query (the [[fixturePrep]] hook): in production the artifact
+      * already exists when a nightly turn starts, so Bench builds it
+      * before the clock (ADVICE r12 — a fixture built inside the timed
+      * cold run bills the one-time build to the query's cold number).
+      */
+    private def q68Path(s: SparkSession, dir: String): String =
+      q68Fixture.getOrElseUpdate(dir, {
+        val docs = t(s, dir, "documents").filter($"doc_id" < 2000)
+        val p = java.nio.file.Files.createTempDirectory("graft_q68ix")
+          .toString + "/ix"
+        val built = operators.LshIndex.build(
+          docs.filter($"doc_id" % 97 =!= 0 && $"doc_id" % 3 === 0),
+          "doc_id", "text", n = 3)
+        built.write.parquet(p)
+        built.unpersist()
+        p
+      })
+
     private val q68 = Q(
       "q68_incremental_curate",
       (s, dir) => {
@@ -2129,16 +2160,7 @@ object SparkEntry {
         val params = operators.Curation.CurationParams(
           minQuality = 0.0, maxRepetition = 1.0, maxContamination = 0.5,
           lshThreshold = 0.6)
-        val ixPath = q68Fixture.getOrElseUpdate(dir, {
-          val p = java.nio.file.Files.createTempDirectory("graft_q68ix")
-            .toString + "/ix"
-          val built = operators.LshIndex.build(
-            docs.filter($"doc_id" % 97 =!= 0 && $"doc_id" % 3 === 0),
-            "doc_id", "text", n = 3)
-          built.write.parquet(p)
-          built.unpersist()
-          p
-        })
+        val ixPath = q68Path(s, dir)
         // ONE turn: the full stage chain (annotate, gate, intra-batch
         // canonicalize, index probe, decontaminate, sample, append);
         // multi-turn sequencing semantics are CurationSpec-pinned
@@ -4526,28 +4548,38 @@ object SparkEntry {
       */
     private val q120Fixture = scala.collection.concurrent.TrieMap.empty[String, String]
 
+    /** q120's shipped-release fixture, resolvable without running the
+      * query (the [[fixturePrep]] hook): Bench builds it before the
+      * clock, so the recorded cold run measures ONLY the verified
+      * reopen — the docstring's claim, made true in the artifact
+      * (ADVICE r12: the r12 detail file shipped a cold number that
+      * included this >20 s build).
+      */
+    private def q120Path(s: SparkSession, dir: String): String =
+      q120Fixture.getOrElseUpdate(dir, {
+        val docs = t(s, dir, "documents")
+        val p = java.nio.file.Files.createTempDirectory("graft_q120rel")
+          .toString + "/rel"
+        val res = operators.Release.build(
+          docs.filter($"doc_id" % 97 =!= 0).select($"doc_id", $"lang", $"text"),
+          docs.filter($"doc_id" % 97 === 0),
+          "doc_id", "text", "lang", p,
+          operators.Release.ReleaseParams(
+            curation = operators.Curation.CurationParams(
+              minQuality = 0.0, maxRepetition = 1.0,
+              lshThreshold = 0.6, maxContamination = 0.5,
+              portableHash = true, minDocFreq = 0L),
+            trainFrac = 0.8, valFrac = 0.1,
+            leakageN = 13, maxOverlapNgrams = 100L,
+            mixAlpha = 0.5))
+        res.unpersist()
+        p
+      })
+
     private val q120 = Q(
       "q120_release_reopen",
       (s, dir) => {
-        val path = q120Fixture.getOrElseUpdate(dir, {
-          val docs = t(s, dir, "documents")
-          val p = java.nio.file.Files.createTempDirectory("graft_q120rel")
-            .toString + "/rel"
-          val res = operators.Release.build(
-            docs.filter($"doc_id" % 97 =!= 0).select($"doc_id", $"lang", $"text"),
-            docs.filter($"doc_id" % 97 === 0),
-            "doc_id", "text", "lang", p,
-            operators.Release.ReleaseParams(
-              curation = operators.Curation.CurationParams(
-                minQuality = 0.0, maxRepetition = 1.0,
-                lshThreshold = 0.6, maxContamination = 0.5,
-                portableHash = true, minDocFreq = 0L),
-              trainFrac = 0.8, valFrac = 0.1,
-              leakageN = 13, maxOverlapNgrams = 100L,
-              mixAlpha = 0.5))
-          res.unpersist()
-          p
-        })
+        val path = q120Path(s, dir)
         operators.Release.open(s, path, "doc_id", "text")
           .select($"doc_id", $"lang", $"split", $"shard", $"n_tokens",
             $"token_start", $"chunk_first", $"chunk_last")
@@ -4566,31 +4598,36 @@ object SparkEntry {
       */
     private val q121Fixture = scala.collection.concurrent.TrieMap.empty[String, String]
 
+    /** q121's two-turn incremental fixture — [[fixturePrep]]-resolvable
+      * for the same reason as [[q120Path]]. */
+    private def q121Path(s: SparkSession, dir: String): String =
+      q121Fixture.getOrElseUpdate(dir, {
+        val docs = t(s, dir, "documents")
+        val p0 = java.nio.file.Files.createTempDirectory("graft_q121rel")
+          .toString + "/rel"
+        val p = operators.Release.ReleaseParams(
+          curation = operators.Curation.CurationParams(
+            minQuality = 0.0, maxRepetition = 1.0,
+            lshThreshold = 0.6, maxContamination = 0.5,
+            portableHash = true, minDocFreq = 0L),
+          trainFrac = 0.8, valFrac = 0.1,
+          leakageN = 13, maxOverlapNgrams = 100L)
+        val bench = docs.filter($"doc_id" % 97 === 0)
+        def half(even: Boolean) = docs
+          .filter($"doc_id" % 97 =!= 0 && ($"doc_id" % 2 === 0) === even)
+          .select($"doc_id", $"lang", $"text")
+        val st1 = operators.Release.initIncremental(
+          half(even = true), bench, "doc_id", "text", "lang", p0, p)
+        val (st2, _) = operators.Release.appendTurn(
+          st1, half(even = false), bench, "doc_id", "text", "lang", p)
+        st1.unpersist(); st2.unpersist()
+        p0
+      })
+
     private val q121 = Q(
       "q121_incremental_reopen",
       (s, dir) => {
-        val path = q121Fixture.getOrElseUpdate(dir, {
-          val docs = t(s, dir, "documents")
-          val p0 = java.nio.file.Files.createTempDirectory("graft_q121rel")
-            .toString + "/rel"
-          val p = operators.Release.ReleaseParams(
-            curation = operators.Curation.CurationParams(
-              minQuality = 0.0, maxRepetition = 1.0,
-              lshThreshold = 0.6, maxContamination = 0.5,
-              portableHash = true, minDocFreq = 0L),
-            trainFrac = 0.8, valFrac = 0.1,
-            leakageN = 13, maxOverlapNgrams = 100L)
-          val bench = docs.filter($"doc_id" % 97 === 0)
-          def half(even: Boolean) = docs
-            .filter($"doc_id" % 97 =!= 0 && ($"doc_id" % 2 === 0) === even)
-            .select($"doc_id", $"lang", $"text")
-          val st1 = operators.Release.initIncremental(
-            half(even = true), bench, "doc_id", "text", "lang", p0, p)
-          val (st2, _) = operators.Release.appendTurn(
-            st1, half(even = false), bench, "doc_id", "text", "lang", p)
-          st1.unpersist(); st2.unpersist()
-          p0
-        })
+        val path = q121Path(s, dir)
         operators.Release.open(s, path, "doc_id", "text")
           .select($"doc_id", $"lang", $"split")
           .orderBy("doc_id")
@@ -4755,6 +4792,12 @@ object SparkEntry {
       q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
       q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
       q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125)
+
+    /** See [[SparkEntry.fixturePrep]]. */
+    val fixturePrep: Map[String, (SparkSession, String) => Unit] = Map(
+      "q68_incremental_curate" -> ((s, d) => { q68Path(s, d); () }),
+      "q120_release_reopen" -> ((s, d) => { q120Path(s, d); () }),
+      "q121_incremental_reopen" -> ((s, d) => { q121Path(s, d); () }))
   }
 
   // $"..." interpolator without a SparkSession-bound implicits import.
