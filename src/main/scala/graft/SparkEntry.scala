@@ -4782,6 +4782,38 @@ object SparkEntry {
       },
       Some(lengthQuantilesSql))
 
+    /** The weighted histogram lifecycle (T92 x T91, r13 — VERDICT r12
+      * #3): q125's artifact path with TOKEN-MASS weights — even docs
+      * indexed with `histIndex(weightCol)`, odd docs appended, the
+      * artifact written to parquet and reopened, and the
+      * token-mass percentiles read off the reopened artifact with
+      * `totalName = "total_weight"`. FULL oracle: q123's SQL verbatim —
+      * the hash match certifies weighted append == rebuild AND
+      * artifact == direct weighted operator, cross-engine, closing the
+      * weighted symmetry q125 left spec-only.
+      */
+    private val q126 = Q(
+      "q126_hist_weighted_quantiles",
+      (s, dir) => {
+        val base = t(s, dir, "documents").select(
+          $"lang",
+          length($"text").cast("long").as("len"),
+          size(operators.TextAnalysis.tokens($"text")).cast("long").as("wt"),
+          $"doc_id")
+        val ixPath = java.nio.file.Files.createTempDirectory("graft_histwix")
+          .toString + "/ix"
+        operators.Quantiles.histAppend(
+            operators.Quantiles.histIndex(
+              base.filter($"doc_id" % 2 === 0), "lang", "len", Some("wt")),
+            base.filter($"doc_id" % 2 =!= 0), "lang", "len", Some("wt"))
+          .write.parquet(ixPath)
+        operators.Quantiles.quantilesOfHist(
+            s.read.parquet(ixPath), "lang", "len", Seq(0.25, 0.5, 0.9, 0.99),
+            totalName = "total_weight")
+          .orderBy("lang", "quantile")
+      },
+      Some(weightedQuantilesSql))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -4791,7 +4823,8 @@ object SparkEntry {
       q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74,
       q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
       q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-      q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125)
+      q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
+      q126)
 
     /** See [[SparkEntry.fixturePrep]]. */
     val fixturePrep: Map[String, (SparkSession, String) => Unit] = Map(
