@@ -69,14 +69,11 @@ object HistGate {
       * filters).
       */
     def accountBatch(batch: DataFrame): DataFrame = synchronized {
-      val merged = Quantiles.histAppend(hist, batch, keyCol, valueCol, weightCol)
-      val rows = merged.limit(maxRows + 1).collect()
-      require(rows.length <= maxRows,
-        s"merged histogram exceeds $maxRows rows — the gate's driver-local state " +
-          s"is sized for DISCRETE value domains (|distinct ($keyCol, $valueCol)| " +
+      hist = GateCheckpoints.localizeBounded(
+        Quantiles.histAppend(hist, batch, keyCol, valueCol, weightCol),
+        maxRows, "histogram",
+        s"is sized for DISCRETE value domains (|distinct ($keyCol, $valueCol)| " +
           "rows); bucket continuous values before the gate or raise maxRows knowingly")
-      hist = merged.sparkSession.createDataFrame(
-        java.util.Arrays.asList(rows: _*), merged.schema)
       batches += 1
       GateCheckpoints.maybeWrite(hist, checkpointPath, checkpointEvery,
         "hist_", batches).foreach(p => lastCkpt = Some(p))

@@ -82,19 +82,13 @@ object ManifestGate {
       * Nothing executor-resident exists to leak now.
       */
     def accountBatch(batch: DataFrame): DataFrame = synchronized {
-      val merged = Manifest.merge(
-        Seq(manifest, Manifest.build(batch, groupCol, hashCols, sizeExpr)),
-        groupCol)
-      // limit(cap+1): the typed guard never pulls more than one row past
-      // the contract, so a mis-grouped stream fails fast instead of
-      // materializing an unbounded frame on the way to the error
-      val rows = merged.limit(maxRows + 1).collect()
-      require(rows.length <= maxRows,
-        s"merged manifest exceeds $maxRows rows — the gate's driver-local state " +
-          s"is sized for DIMENSION-grain manifests (one row per shard/domain, " +
+      manifest = GateCheckpoints.localizeBounded(
+        Manifest.merge(
+          Seq(manifest, Manifest.build(batch, groupCol, hashCols, sizeExpr)),
+          groupCol),
+        maxRows, "manifest",
+        s"is sized for DIMENSION-grain manifests (one row per shard/domain, " +
           s"'$groupCol' here); re-group on a coarser column or raise maxRows knowingly")
-      manifest = merged.sparkSession.createDataFrame(
-        java.util.Arrays.asList(rows: _*), merged.schema)
       batches += 1
       GateCheckpoints.maybeWrite(manifest, checkpointPath, checkpointEvery,
         "manifest_", batches).foreach(p => lastCkpt = Some(p))
