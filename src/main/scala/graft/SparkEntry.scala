@@ -4814,6 +4814,70 @@ object SparkEntry {
       },
       Some(weightedQuantilesSql))
 
+    /** The IPv6 edge-compressed strictness knob
+      * ([[operators.Pii.widePatterns(ipv6Edge:Boolean)*]] /
+      * [[operators.Pii.Ipv6EdgePattern]], r13 — VERDICT r12 #6): the
+      * wide registry with the opt-in pattern that also tags the
+      * loopback/link-local spellings real logs are full of. The footer
+      * plants all three compression shapes per doc — both-sides
+      * (`2001:db8:A::B`), leading (`::C`), trailing (`feD0::`) — plus
+      * an IBAN so the registry-order interplay stays exercised. FULL
+      * oracle: every pattern of the edge registry replayed through
+      * DuckDB regexp functions (the q119 generator) — the hash match
+      * certifies the four-branch alternation picks the same spans in
+      * both engines.
+      */
+    private val q127 = Q(
+      "q127_pii_ipv6_edge",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val aug = docs.select(
+          $"doc_id",
+          concat($"text",
+            lit(" v6 2001:db8:"), ($"doc_id" % 10000).cast("string"),
+            lit("::"), ($"doc_id" % 100 + 1).cast("string"),
+            lit(" lo ::"), ($"doc_id" % 100 + 1).cast("string"),
+            lit(" ll fe"), lpad(($"doc_id" % 90 + 10).cast("string"), 2, "0"),
+            lit("::"),
+            lit(" acct PT"), lpad(($"doc_id" % 100).cast("string"), 2, "0"),
+            lit("ZZ"), lpad($"doc_id".cast("string"), 16, "7"))
+            .as("text"))
+        operators.Pii.scanPatterns(aug, "doc_id", "text",
+          operators.Pii.widePatterns(ipv6Edge = true)).orderBy("doc_id")
+      },
+      Some {
+        val pats = operators.Pii.widePatterns(ipv6Edge = true)
+        val counts = pats.map(p =>
+          s"""    CASE WHEN text IS NULL THEN 0
+             |         ELSE len(regexp_extract_all(text, '${p.regex}')) END AS n_${p.name}""".stripMargin)
+          .mkString(",\n")
+        val redacted = pats.foldLeft("text") { (acc, p) =>
+          s"regexp_replace($acc, '${p.regex}', '${p.mask}', 'g')"
+        }
+        val outCounts = pats.map(p =>
+          s"  CAST(n_${p.name} AS BIGINT) AS n_${p.name},").mkString("\n")
+        val total = pats.map(p => s"n_${p.name}").mkString(" + ")
+        s"""WITH aug AS (
+           |  SELECT doc_id,
+           |    text || ' v6 2001:db8:' || CAST(doc_id % 10000 AS VARCHAR) || '::' ||
+           |    CAST(doc_id % 100 + 1 AS VARCHAR) || ' lo ::' ||
+           |    CAST(doc_id % 100 + 1 AS VARCHAR) || ' ll fe' ||
+           |    lpad(CAST(doc_id % 90 + 10 AS VARCHAR), 2, '0') || '::' ||
+           |    ' acct PT' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || 'ZZ' ||
+           |    lpad(CAST(doc_id AS VARCHAR), 16, '7') AS text
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id,
+           |$counts,
+           |    $redacted AS redacted
+           |  FROM aug)
+           |SELECT doc_id,
+           |$outCounts
+           |  CAST($total AS BIGINT) AS pii_total,
+           |  redacted
+           |FROM c ORDER BY doc_id""".stripMargin
+      })
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -4824,7 +4888,7 @@ object SparkEntry {
       q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
       q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
       q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-      q126)
+      q126, q127)
 
     /** See [[SparkEntry.fixturePrep]]. */
     val fixturePrep: Map[String, (SparkSession, String) => Unit] = Map(

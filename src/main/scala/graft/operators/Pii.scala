@@ -69,6 +69,27 @@ object Pii {
     "([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}" +
       "|([0-9A-Fa-f]{1,4}:){1,7}:[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){0,6}"
 
+  /** IPv6 with the EDGE-COMPRESSED forms included (r13, VERDICT r12
+    * #6) — the opt-in STRICTNESS KNOB for the one default-pattern
+    * looseness a real corpus actually hits: loopback/link-local
+    * spellings (`::1`, `fe80::`) are common in logs, and [[Ipv6Pattern]]
+    * deliberately skips them because a one-sided `::` branch tags every
+    * hex-lettered `::` identifier pair in a code corpus. Opting in buys
+    * the log spellings and pays exactly that documented price
+    * (`std::abs` tags `::ab`; `life::` tags `fe::`) — a per-corpus
+    * policy call, which is why it is a second pattern and not a new
+    * default. Branch order is full form, both-sides-compressed,
+    * trailing-compressed, leading-compressed — leftmost-first in both
+    * Java and RE2, so the engines pick the same branch; bare `::` alone
+    * never matches (every other C++ line would). Same no-`\b`, no
+    * validity-check recall-over-precision discipline as the default.
+    */
+  val Ipv6EdgePattern: String =
+    "([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}" +
+      "|([0-9A-Fa-f]{1,4}:){1,7}:[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){0,6}" +
+      "|([0-9A-Fa-f]{1,4}:){1,7}:" +
+      "|::[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){0,6}"
+
   /** IBAN-shaped account number: 2-letter country, 2 check digits,
     * 11-30 alphanumerics (the q117 registry pattern, promoted to a
     * built-in). No country-length table and no mod-97 check — the
@@ -105,6 +126,16 @@ object Pii {
     Pattern("phones", PhonePattern, PhoneMask),
     Pattern("iban", IbanPattern, IbanMask),
     Pattern("cards", CreditCardPattern, CreditCardMask))
+
+  /** [[widePatterns]] with the IPv6 strictness knob: `ipv6Edge = true`
+    * swaps in [[Ipv6EdgePattern]] so edge-compressed spellings
+    * (`::1`, `fe80::`) are tagged too — same registry order, same
+    * masks, same portability guarantees.
+    */
+  def widePatterns(ipv6Edge: Boolean): Seq[Pattern] =
+    if (!ipv6Edge) widePatterns
+    else widePatterns.map(p =>
+      if (p.name == "ipv6") p.copy(regex = Ipv6EdgePattern) else p)
 
   private def countOf(text: Column, pattern: String): Column =
     when(text.isNull, lit(0L))

@@ -190,6 +190,37 @@ class PiiSpec extends SparkSpec {
     assert(scanIpv6("call std::abs now")._1 == 1L)
   }
 
+  test("IPv6 edge knob (r13): edge-compressed spellings match opted-in, with the documented residue") {
+    def scanEdge(text: String) = {
+      val r = Pii.scanPatterns(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text",
+        Seq(Pii.Pattern("ipv6", Pii.Ipv6EdgePattern, Pii.Ipv6Mask))).head()
+      (r.getAs[Long]("n_ipv6"), r.getAs[String]("redacted"))
+    }
+    // everything the default pattern matches still matches, same spans
+    assert(scanEdge("at 2001:0db8:85a3:0000:0000:8a2e:0370:7334 now") ==
+      ((1L, "at <IPV6> now")))
+    assert(scanEdge("via 2001:db8::1 ok") == ((1L, "via <IPV6> ok")))
+    assert(scanEdge("a:b::c:d") == ((1L, "<IPV6>")))
+    // the knob's point: the log spellings the default skips
+    assert(scanEdge("loopback ::1 here") == ((1L, "loopback <IPV6> here")))
+    assert(scanEdge("prefix fe80:: done") == ((1L, "prefix <IPV6> done")))
+    assert(scanEdge("gw ::ffff:10:1 x") == ((1L, "gw <IPV6> x")))
+    // bare :: alone never matches (every other C++ line would)...
+    assert(scanEdge("a = b :: c")._1 == 0L)
+    // ...but the documented opt-in price is real: hex-lettered
+    // identifiers around :: now tag (the reason this is a knob, not
+    // the new default)
+    assert(scanEdge("call std::abs now")._1 == 1L) // 'd::ab' (both-sides residue, as in the default)
+    assert(scanEdge("use std::vector here")._1 == 1L) // 'd::' (the new trailing-branch residue)
+    // widePatterns(ipv6Edge) swaps exactly the ipv6 entry
+    val wide = Pii.widePatterns(ipv6Edge = true)
+    assert(wide.map(_.name) == Pii.widePatterns.map(_.name))
+    assert(wide.find(_.name == "ipv6").get.regex == Pii.Ipv6EdgePattern)
+    assert(Pii.widePatterns(ipv6Edge = false) == Pii.widePatterns)
+    wide.foreach(p => Pii.validatePortable(p.regex))
+  }
+
   test("widened built-ins: IBAN and card forms; wide-registry mask order") {
     val r = Pii.scanPatterns(
       Seq((1L, "acct PT50000201231234567890154 pay 4111-1111 1111-1111 " +
