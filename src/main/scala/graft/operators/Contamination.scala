@@ -274,8 +274,13 @@ object Contamination {
   }
 
   /** Typed schema guard: pre-r12 artifacts stored raw gram text; they
-    * cannot be probed by hash and must be rebuilt (the compaction path
-    * [[graft.operators.Release.reopenIncremental]] runs anyway).
+    * cannot be probed by hash and must be rebuilt with [[evalGramIndex]]
+    * over the held-out docs. [[graft.operators.Release.reopenIncremental]]
+    * does exactly that automatically (r13): it detects the legacy
+    * `gram` schema on reopen, rebuilds the hashed artifact from the
+    * release's shipped val/test splits under the legacy width, and
+    * migrates the release directory in place — so this guard only ever
+    * fires on a legacy artifact probed OUTSIDE the release lifecycle.
     */
   private def requireHashedArtifact(index: DataFrame): Unit =
     require(index.columns.contains("gram_hash"),

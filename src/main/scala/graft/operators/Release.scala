@@ -362,9 +362,40 @@ object Release {
     IncrementalRelease(
       path,
       index,
-      spark.read.parquet(s"$path/evalgrams").localCheckpoint(),
+      reopenEvalGrams(spark, path, data, textCol, params),
       spark.read.parquet(s"$path/manifest").localCheckpoint(),
       spark.read.parquet(s"$path/cardix").localCheckpoint())
+  }
+
+  /** The eval-gram artifact, reopened — with the pre-r12 migration
+    * (r13, ADVICE r12): legacy artifacts stored RAW gram text (`gram`
+    * column); they cannot be probed by hash, so reopening one rebuilds
+    * the hashed artifact from the release's own shipped val/test
+    * splits — which contain exactly every eval doc that ever grew the
+    * legacy artifact (eval rows are the reference: no gate drops them),
+    * so the rebuild carries the same gram set, hashed — under the
+    * legacy artifact's own frozen width, and migrates the release
+    * directory IN PLACE so consumers that read `$path/evalgrams`
+    * directly ([[retroLeakageReport]]) work before the next turn's
+    * writeArtifacts would have persisted it anyway. The write is safe
+    * against self-reads: the rebuilt frame derives from `$path/data`
+    * only and is pinned (localCheckpoint) before the overwrite.
+    */
+  private def reopenEvalGrams(
+      spark: SparkSession,
+      path: String,
+      data: DataFrame,
+      textCol: String,
+      params: ReleaseParams): DataFrame = {
+    val stored = spark.read.parquet(s"$path/evalgrams")
+    if (stored.columns.contains("gram_hash")) stored.localCheckpoint()
+    else {
+      val n = Contamination.evalGramMeta(stored) // legacy meta row carries n
+      val rebuilt = Contamination.evalGramIndex(
+        data.filter(col(SplitCol) =!= "train"), textCol, n).localCheckpoint()
+      rebuilt.write.mode("overwrite").parquet(s"$path/evalgrams")
+      rebuilt
+    }
   }
 
   /** Export-time tail of the incremental release: reopen VERIFIED,

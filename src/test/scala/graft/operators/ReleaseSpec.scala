@@ -225,6 +225,55 @@ class ReleaseSpec extends SparkSpec {
     st1.unpersist(); st2.unpersist(); st3.unpersist(); st4.unpersist()
   }
 
+  test("pre-r12 raw-gram artifact migrates to hashed on reopen, in place (r13, ADVICE r12)") {
+    val path = tmp("rel_legacy")
+    val st1 = Release.initIncremental(
+      train.filter($"doc_id" < 350), bench, "doc_id", "text", "lang", path, params)
+    st1.unpersist()
+
+    // forge the legacy artifact a pre-r12 build would have left: RAW
+    // gram text rows under the same meta-row layout, derived from the
+    // shipped val/test splits (exactly what the r12 artifact hashes)
+    val shipped = Release.open(spark, path, "doc_id", "text")
+    val legacy = spark.range(1).select(
+        lit(Contamination.EvalGramMetaKind).as("kind"),
+        lit(null).cast("string").as("gram"),
+        lit(params.leakageN).as("n"))
+      .unionByName(shipped.filter($"split" =!= "train")
+        .select(explode(TextDedup.shinglesKernel($"text", params.leakageN)).as("gram"))
+        .distinct()
+        .select(lit(Contamination.EvalGramKind).as("kind"), $"gram",
+          lit(null).cast("int").as("n")))
+      .localCheckpoint() // pin before overwriting the dir it derives from
+    legacy.write.mode("overwrite").parquet(s"$path/evalgrams")
+    // the legacy schema fails typed outside the release lifecycle...
+    intercept[IllegalArgumentException] {
+      Contamination.overlapAgainst(
+        spark.read.parquet(s"$path/evalgrams"), shipped, "doc_id", "text")
+    }
+
+    // ...and reopen migrates: the state carries the hashed rebuild,
+    // bit-equal to evalGramIndex over the shipped val/test splits
+    val s2 = spark.newSession()
+    val st2 = Release.reopenIncremental(s2, path, "doc_id", "text", params)
+    val want = Contamination.evalGramIndex(
+        Release.open(s2, path, "doc_id", "text").filter(col("split") =!= "train"),
+        "text", params.leakageN)
+      .collect().map(_.toSeq).toSet
+    assert(st2.evalGrams.collect().map(_.toSeq).toSet == want)
+    // in place: direct consumers of $path/evalgrams work immediately
+    assert(s2.read.parquet(s"$path/evalgrams").columns.contains("gram_hash"))
+    // probed at the release's own bar (docs under it shipped legally)
+    assert(Release.retroLeakageReport(
+      s2, path, "doc_id", "text", params.maxOverlapNgrams).isEmpty)
+    // and the next turn runs against the migrated state
+    val (st3, shipped2) = Release.appendTurn(
+      st2, train.filter($"doc_id" >= 350),
+      bench, "doc_id", "text", "lang", params)
+    assert(shipped2.count() > 0)
+    st2.unpersist(); st3.unpersist()
+  }
+
   test("retroactive leakage: a late eval doc fires the monitor; rebuildIfLeaky compacts and silences it (T89)") {
     val path = tmp("rel_retro")
     val fates = Sampling.assignSplit(
