@@ -981,10 +981,20 @@ object ProfileScale {
             sx.read.parquet(s"$dir/ix"), "k", "v", qs, maxBroadcastKeys = maxKeys)
         }
         val (nD, dCold, dWarm) = run(graft.operators.Quantiles.DefaultMaxBroadcastKeys)
-        val (_, bCold, bWarm) = run(Int.MaxValue)
         println(f"PROFILE histkeys factor=$f keys=$nKeys rows=$nD " +
-          f"dispatched_cold=$dCold%.1f dispatched_warm=$dWarm%.1f " +
-          f"forced_bcast_cold=$bCold%.1f forced_bcast_warm=$bWarm%.1f")
+          f"dispatched_cold=$dCold%.1f dispatched_warm=$dWarm%.1f")
+        // the retired plan, printed separately: at 1e7+ keys the forced
+        // broadcast may die outright (that failure IS the record — the
+        // dispatched leg above must not be lost with it)
+        try {
+          val (_, bCold, bWarm) = run(Int.MaxValue)
+          println(f"PROFILE histkeys factor=$f keys=$nKeys " +
+            f"forced_bcast_cold=$bCold%.1f forced_bcast_warm=$bWarm%.1f")
+        } catch {
+          case e: Throwable =>
+            println(s"PROFILE histkeys factor=$f keys=$nKeys forced_bcast=FAILED " +
+              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+        }
       }
       if (only.forall(_ == "pii")) {
         // The T86 claim: the PII scan is a zero-shuffle map-only pass —
