@@ -361,7 +361,11 @@ object Quantiles {
       totalName: String = "n",
       maxBroadcastKeys: Int = DefaultMaxBroadcastKeys): DataFrame = {
     // clamp before the +1 so maxBroadcastKeys = Int.MaxValue (a caller
-    // forcing the scalable form) cannot overflow into a negative limit
+    // forcing the scalable form) cannot overflow into a negative limit.
+    // The probe collects at most bound+1 key values — the same order of
+    // driver memory as the broadcast the caller's bound asserts is
+    // safe, so raising the bound raises both consistently (a bound you
+    // cannot afford to probe is a bound you cannot afford to broadcast)
     val bound = math.min(math.max(maxBroadcastKeys, 0), Int.MaxValue - 1)
     val nKeys = index.select(col(keyCol)).distinct()
       .limit(bound + 1).collect().length
