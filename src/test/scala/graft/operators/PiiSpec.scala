@@ -221,6 +221,32 @@ class PiiSpec extends SparkSpec {
     wide.foreach(p => Pii.validatePortable(p.regex))
   }
 
+  test("edge-knob wide registry: the ipv6-before-ipv4 mask-order residue, pinned") {
+    // The registry masks ipv6 BEFORE ipv4, and the edge knob's
+    // leading-compressed branch can eat the HEAD of an IPv4-mapped
+    // address (`::ffff:10.0.0.1` — `10` is a valid hex group, the `.`
+    // stops the group chain), so the ipv4 pattern later sees only the
+    // three-octet tail `.0.0.1` and leaves it. The residue is the
+    // documented counts-on-raw contract made visible: n_ipv4 counts the
+    // full dotted quad on the RAW text while the mask ships
+    // `<IPV6>.0.0.1` — over-masking the prefix (recall over precision)
+    // and leaving a tail that is no longer a parseable address.
+    def scanWide(text: String) = {
+      val r = Pii.scanPatterns(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", Pii.widePatterns(ipv6Edge = true)).head()
+      (r.getAs[Long]("n_ipv6"), r.getAs[Long]("n_ipv4"), r.getAs[String]("redacted"))
+    }
+    assert(scanWide("gw ::ffff:10.0.0.1 x") == ((1L, 1L, "gw <IPV6>.0.0.1 x")))
+    // the same residue class exists WITHOUT the knob (the default
+    // both-sides branch eats `fe80::10` out of `fe80::10.0.0.1`) — the
+    // knob widens which spellings reach it, it does not create it
+    val r0 = Pii.scanPatterns(Seq((1L, "gw fe80::10.0.0.1 x")).toDF("doc_id", "text"),
+      "doc_id", "text", Pii.widePatterns).head()
+    assert(r0.getAs[String]("redacted") == "gw <IPV6>.0.0.1 x")
+    // a space-separated pair has no interplay: both kinds mask whole
+    assert(scanWide("lo ::1 and 10.0.0.1") == ((1L, 1L, "lo <IPV6> and <IPV4>")))
+  }
+
   test("widened built-ins: IBAN and card forms; wide-registry mask order") {
     val r = Pii.scanPatterns(
       Seq((1L, "acct PT50000201231234567890154 pay 4111-1111 1111-1111 " +
@@ -272,5 +298,8 @@ class PiiSpec extends SparkSpec {
     // the widened registry rides the same scanPatterns path — six
     // patterns, still one scan-side codegen'd projection
     pin(Pii.scanPatterns(docs, "doc_id", "text", Pii.widePatterns), "wide registry scan")
+    // the edge knob swaps one regex string; the plan shape must not move
+    pin(Pii.scanPatterns(docs, "doc_id", "text", Pii.widePatterns(ipv6Edge = true)),
+      "edge-knob registry scan")
   }
 }
