@@ -4878,6 +4878,65 @@ object SparkEntry {
            |FROM c ORDER BY doc_id""".stripMargin
       })
 
+    /** Binned distribution artifact ([[operators.Quantiles.binnedIndex/
+      * binnedAppend/binnedMerge/quantilesOfBinned]], T95, r13): the
+      * CONTINUOUS twin of q125 — chars-per-token (a DOUBLE ratio whose
+      * distinct-value count tracks the corpus, exactly what the
+      * discrete histogram artifact cannot hold bounded) binned on a
+      * 0.25 grid, even docs indexed, odd docs appended with the grid
+      * read FROM the artifact (the frozen-parameter discipline),
+      * parquet round trip, and the quantile bins read off the reopened
+      * artifact with their [value_low, value_high) intervals. FULL
+      * oracle: DuckDB replays the IEEE floor(value/width) binning, the
+      * cumulative-mass percentile_disc pick, and the interval
+      * arithmetic — the hash match certifies the bin grid is
+      * bit-identical cross-engine AND append == rebuild AND
+      * artifact == direct, in one stroke.
+      */
+    private val q128 = Q(
+      "q128_binned_quantiles",
+      (s, dir) => {
+        val base = t(s, dir, "documents").select(
+          $"lang",
+          (length($"text").cast("double") /
+            size(operators.TextAnalysis.tokens($"text")).cast("double")).as("cpt"),
+          size(operators.TextAnalysis.tokens($"text")).cast("long").as("wt"),
+          $"doc_id")
+          .where($"wt" > 0)
+        val ixPath = java.nio.file.Files.createTempDirectory("graft_binix")
+          .toString + "/ix"
+        operators.Quantiles.binnedAppend(
+            operators.Quantiles.binnedIndex(
+              base.filter($"doc_id" % 2 === 0), "lang", "cpt", width = 0.25),
+            base.filter($"doc_id" % 2 =!= 0), "lang", "cpt")
+          .write.parquet(ixPath)
+        operators.Quantiles.quantilesOfBinned(
+            s.read.parquet(ixPath), "lang", Seq(0.25, 0.5, 0.9, 0.99))
+          .orderBy("lang", "quantile")
+      },
+      Some("""WITH w AS (
+             |  SELECT lang, CAST(length(text) AS DOUBLE) AS len,
+             |    CAST(len(CASE WHEN text IS NULL OR trim(text) = '' THEN []
+             |             ELSE string_split_regex(lower(trim(text)), '\s+') END) AS BIGINT) AS wt
+             |  FROM documents),
+             |v AS (
+             |  SELECT lang, CAST(floor((len / wt) / CAST(0.25 AS DOUBLE)) AS BIGINT) AS bin
+             |  FROM w WHERE len IS NOT NULL AND wt > 0),
+             |g AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS mass FROM v GROUP BY lang, bin),
+             |r AS (
+             |  SELECT lang, bin, mass,
+             |         CAST(sum(mass) OVER (PARTITION BY lang ORDER BY bin) AS BIGINT) AS cum,
+             |         CAST(sum(mass) OVER (PARTITION BY lang) AS BIGINT) AS n
+             |  FROM g),
+             |t AS (SELECT CAST(unnest([250000, 500000, 900000, 990000]) AS BIGINT) AS qm)
+             |SELECT lang, qm / 1000000.0 AS quantile, n, bin,
+             |       CAST(bin AS DOUBLE) * CAST(0.25 AS DOUBLE) AS value_low,
+             |       CAST(bin + 1 AS DOUBLE) * CAST(0.25 AS DOUBLE) AS value_high
+             |FROM r, t
+             |WHERE cum - mass < (qm * n + 999999) // 1000000
+             |  AND (qm * n + 999999) // 1000000 <= cum
+             |ORDER BY lang, quantile""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -4888,7 +4947,7 @@ object SparkEntry {
       q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
       q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
       q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-      q126, q127)
+      q126, q127, q128)
 
     /** See [[SparkEntry.fixturePrep]]. */
     val fixturePrep: Map[String, (SparkSession, String) => Unit] = Map(

@@ -378,6 +378,141 @@ object Quantiles {
         .withColumnRenamed("total_weight", totalName)
   }
 
+  /** Fixed-width BINNED distribution artifact (T95, r13) — the
+    * CONTINUOUS twin of [[histIndex]]: the exact histogram artifact is
+    * dimension-sized only for discrete values (its own doc punts
+    * continuous columns to "persist a rounded/bucketed value instead,
+    * the caller's modeling call") and [[graft.streaming.HistGate]]'s
+    * typed maxRows cap makes that punt a hard stop the moment a
+    * quality score or chars-per-token ratio flows in. This operator
+    * makes the bucketing call a FIRST-CLASS artifact with a typed
+    * contract instead of a per-caller convention: `bin = floor(value /
+    * width)` (IEEE double division + floor — bit-identical in every
+    * engine, no formatting or rounding mode anywhere), one `(key, bin,
+    * mass, bin_width)` row per occupied bin, masses exact counts (or
+    * summed integral weights). The artifact is bounded by |keys| x
+    * |occupied value range / width| REGARDLESS of corpus size or value
+    * cardinality — the property the discrete artifact loses on
+    * continuous columns.
+    *
+    * What the read gives up is bounded and stated: [[quantilesOfBinned]]
+    * returns the BIN covering the exact `percentile_disc` rank, so the
+    * true quantile value v* satisfies `value_low <= v* < value_high`
+    * (binning is monotone, so rank `ceil(q * n)` lands in the same bin
+    * under both orderings — QuantilesSpec pins the law against
+    * [[exactQuantiles]] on random doubles). Error is at most `width`,
+    * chosen by the caller, and the masses themselves stay EXACT — the
+    * artifact also answers "what fraction of docs score below 0.5"
+    * with no error at bin boundaries.
+    *
+    * `bin_width` rides IN the artifact (constant column — free under
+    * parquet dictionary encoding at dimension scale): the width is the
+    * shingle-width class of frozen parameter, so [[binnedAppend]] /
+    * [[binnedMerge]] / [[quantilesOfBinned]] READ it from the artifact
+    * and a batch can never silently bin on a different grid
+    * (mixed-width unions fail typed instead). Values that are null,
+    * NaN, or infinite are excluded like nulls everywhere in this
+    * family (they have no bin on the real line; spec-pinned).
+    *
+    * Scale shape: identical to [[histIndex]] — one map-side-combining
+    * aggregate over the batch; append is O(batch) + an artifact-sized
+    * exchange; merge is any tree. Streaming: the artifact IS a hist
+    * artifact over the bin column, so `HistGate` composes with a
+    * pre-binned column today and the cap becomes a real bound.
+    */
+  def binnedIndex(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      width: Double,
+      weightCol: Option[String] = None): DataFrame = {
+    requireBinWidth(width)
+    val v = col(valueCol).cast("double")
+    val finite = v.isNotNull && !isnan(v) &&
+      v =!= lit(Double.PositiveInfinity) && v =!= lit(Double.NegativeInfinity)
+    val projected = df.where(finite).select(
+      Seq(col(keyCol), floor(v / lit(width)).cast("long").as("bin")) ++
+        weightCol.map(col): _*)
+    histIndex(projected, keyCol, "bin", weightCol)
+      .withColumn("bin_width", lit(width))
+  }
+
+  /** Grow the binned artifact with a batch of RAW continuous rows: the
+    * grid width comes from the artifact itself (never a parameter — a
+    * caller cannot drift the bin grid between nightly runs), the batch
+    * bins on it, and masses merge exactly. Append == rebuild over the
+    * union, spec-pinned; O(batch) + an artifact-sized exchange.
+    */
+  def binnedAppend(
+      index: DataFrame,
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      weightCol: Option[String] = None): DataFrame =
+    binnedMerge(
+      Seq(index, binnedIndex(df, keyCol, valueCol, binWidthOf(index), weightCol)),
+      keyCol)
+
+  /** Exact merge of binned artifacts (shards, per-day partials): masses
+    * sum; any merge tree gives the same artifact. All inputs must share
+    * one bin grid — a mixed-width union would silently interleave two
+    * incompatible grids, so it fails typed BEFORE any aggregation.
+    */
+  def binnedMerge(indexes: Seq[DataFrame], keyCol: String): DataFrame = {
+    require(indexes.nonEmpty, "need at least one binned artifact")
+    val union = indexes.reduce(_.unionByName(_))
+    binWidthOf(union) // typed single-grid check (bounded collect)
+    union
+      .groupBy(col(keyCol), col("bin"), col("bin_width"))
+      .agg(sum(col("mass")).as("mass"))
+      .select(col(keyCol), col("bin"), col("mass"), col("bin_width"))
+  }
+
+  /** Quantiles read off the binned artifact — the corpus is never
+    * touched, and the answer names the bin plus its value interval:
+    * `keyCol`, `quantile`, `totalName`, `bin`, `value_low`,
+    * `value_high`, with the exact-quantile guarantee `value_low <= v*
+    * < value_high`. Rides [[quantilesOfHist]]'s twin dispatch
+    * unchanged (bounded key probe, window form past the broadcast
+    * bound). The grid width is read from the artifact.
+    */
+  def quantilesOfBinned(
+      index: DataFrame,
+      keyCol: String,
+      qs: Seq[Double],
+      totalName: String = "n",
+      maxBroadcastKeys: Int = DefaultMaxBroadcastKeys): DataFrame = {
+    val width = binWidthOf(index)
+    quantilesOfHist(index.select(col(keyCol), col("bin"), col("mass")),
+        keyCol, "bin", qs, totalName, maxBroadcastKeys)
+      .withColumnRenamed("value", "bin")
+      .withColumn("value_low", col("bin").cast("double") * lit(width))
+      .withColumn("value_high", (col("bin") + lit(1L)).cast("double") * lit(width))
+  }
+
+  /** The artifact's frozen grid width: exactly one distinct
+    * `bin_width` value, read with a bounded collect (at most 2 rows
+    * ever reach the driver — the gate-cap discipline). An EMPTY
+    * artifact has no width and fails typed: build the artifact from at
+    * least one finite value before appending to it (the degenerate
+    * case is visible on the first read, never silent).
+    */
+  private def binWidthOf(index: DataFrame): Double = {
+    val ws = index.select(col("bin_width")).distinct().limit(2).collect()
+    require(ws.length == 1,
+      if (ws.isEmpty)
+        "empty binned artifact: no bin_width to read — build it from at least one finite value"
+      else
+        s"mixed bin grids in one artifact family: widths ${ws.map(_.get(0)).mkString(", ")}")
+    val w = ws.head.getDouble(0)
+    requireBinWidth(w)
+    w
+  }
+
+  private def requireBinWidth(width: Double): Unit =
+    require(width > 0.0 && !width.isNaN && !width.isInfinite,
+      s"bin width must be a positive finite double: $width")
+
   /** The sketch twin for few-key / latency-bound paths:
     * `percentile_approx` under the hood, same output surface. NOT
     * cross-engine replayable (sketch internals differ by engine) —

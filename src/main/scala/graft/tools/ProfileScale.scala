@@ -804,6 +804,60 @@ object ProfileScale {
           f"append_cold=$turnCold%.1f append_warm=$turnWarm%.1f " +
           f"rebuild_cold=$rebCold%.1f rebuild_warm=$rebWarm%.1f")
       }
+      if (only.forall(_ == "binq")) {
+        // The T95 claim: on a CONTINUOUS column the discrete histogram
+        // artifact degenerates to corpus-sized (distinct values track
+        // rows) while the binned artifact stays bounded by OCCUPIED
+        // GRID CELLS — flat in f — and its append turn stays O(batch) +
+        // artifact-sized. Value = chars per whitespace token plus a
+        // doc_id * 1e-12 jitter: the rotation-scaled copies preserve
+        // text length, so without the jitter every copy would reuse the
+        // base corpus's ratio values and mask the cardinality blowup a
+        // real score column (distinct per doc) actually has; the jitter
+        // is ~1e-6 of the 0.25 grid, so the bin landscape is untouched.
+        val s = root.newSession()
+        val dir = java.nio.file.Files.createTempDirectory("binq_profile").toString
+        def cptOf(d: org.apache.spark.sql.DataFrame) = d.select(
+          col("lang"),
+          (length(col("text")).cast("double") /
+            size(split(col("text"), " ")).cast("double") +
+            col("doc_id").cast("double") * lit(1e-12)).as("v"))
+        def corpus(sx: SparkSession) = {
+          val sc = scaledLoose(sx, sfDir, f)
+          // scaledLoose drops doc_id uniqueness across copies only for
+          // text; ids stay unique (k * span offset), so the jitter is
+          // distinct per row
+          cptOf(sc)
+        }
+        val discRows = graft.operators.Quantiles.histIndex(
+          corpus(s), "lang", "v").count()
+        val tb0 = System.nanoTime()
+        graft.operators.Quantiles.binnedIndex(corpus(s), "lang", "v", width = 0.25)
+          .write.mode("overwrite").parquet(s"$dir/ix")
+        val buildSecs = (System.nanoTime() - tb0) / 1e9
+        val binRows = s.read.parquet(s"$dir/ix").count()
+        val batch = cptOf(scaled(s, sfDir, 1).filter(col("doc_id") % 5 === 0))
+        val qs = Seq(0.25, 0.5, 0.9, 0.99)
+        def turnOnce(): (Long, Double) = {
+          val t = System.nanoTime()
+          val n = graft.operators.Quantiles.quantilesOfBinned(
+            graft.operators.Quantiles.binnedAppend(
+              s.read.parquet(s"$dir/ix"), batch, "lang", "v"),
+            "lang", qs).count()
+          val secs = (System.nanoTime() - t) / 1e9
+          s.catalog.clearCache(); System.gc()
+          (n, secs)
+        }
+        val (nQ, turnCold) = turnOnce()
+        val (_, turnWarm) = turnOnce()
+        val (_, rebCold, rebWarm) = timed { sx =>
+          graft.operators.Quantiles.exactQuantilesScalable(
+            corpus(sx).unionByName(batch), "lang", "v", qs)
+        }
+        println(f"PROFILE binq factor=$f rows=$nQ disc_rows=$discRows bin_rows=$binRows " +
+          f"build=$buildSecs%.1f append_cold=$turnCold%.1f append_warm=$turnWarm%.1f " +
+          f"rebuild_cold=$rebCold%.1f rebuild_warm=$rebWarm%.1f")
+      }
       if (only.forall(_ == "increl")) {
         // The T84 claim: a full nightly Release.appendTurn — curate the
         // batch against the standing index, split, grow the eval-gram

@@ -322,6 +322,108 @@ class QuantilesSpec extends SparkSpec {
       s"past the bound the plan must carry no broadcast and no join:\n$over")
   }
 
+  test("binned artifact (T95): append == rebuild, merge order-free, grid frozen in the artifact") {
+    // a CONTINUOUS value — chars per whitespace token — on real docs
+    val base = docs.selectExpr(
+      "lang",
+      "CAST(length(text) AS DOUBLE) / size(split(text, ' ')) AS cpt",
+      "doc_id")
+    def aset(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toSeq).toSet
+    val even = base.filter($"doc_id" % 2 === 0).drop("doc_id")
+    val odd = base.filter($"doc_id" % 2 =!= 0).drop("doc_id")
+    val all = base.drop("doc_id")
+    // append reads the grid FROM the artifact — no width parameter to drift
+    val grown = Quantiles.binnedAppend(
+      Quantiles.binnedIndex(even, "lang", "cpt", 0.25), odd, "lang", "cpt")
+    val rebuilt = Quantiles.binnedIndex(all, "lang", "cpt", 0.25)
+    assert(aset(grown) == aset(rebuilt), "binned append must equal rebuild")
+    val shards = (0 to 2).map(k =>
+      Quantiles.binnedIndex(base.filter($"doc_id" % 3 === k).drop("doc_id"), "lang", "cpt", 0.25))
+    assert(aset(Quantiles.binnedMerge(shards, "lang")) ==
+      aset(Quantiles.binnedMerge(shards.reverse, "lang")))
+    assert(aset(Quantiles.binnedMerge(shards, "lang")) == aset(rebuilt))
+    // parquet round trip in a fresh session: reads ride the stored grid
+    val dir = java.nio.file.Files.createTempDirectory("binix").toString
+    grown.write.parquet(s"$dir/ix")
+    val s2 = spark.newSession()
+    val qs = Seq(0.25, 0.5, 0.9, 0.99)
+    assert(Quantiles.quantilesOfBinned(s2.read.parquet(s"$dir/ix"), "lang", qs)
+      .collect().map(_.toSeq).toSet ==
+      Quantiles.quantilesOfBinned(rebuilt, "lang", qs).collect().map(_.toSeq).toSet)
+    // mixed grids fail typed BEFORE any aggregation can interleave them
+    val other = Quantiles.binnedIndex(all, "lang", "cpt", 0.5)
+    assert(intercept[IllegalArgumentException] {
+      Quantiles.binnedMerge(Seq(rebuilt, other), "lang")
+    }.getMessage.contains("mixed bin grids"))
+    // an empty artifact has no grid to read — typed, never silent
+    val empty = Quantiles.binnedIndex(
+      Seq((Option.empty[String], Option.empty[Double])).toDF("lang", "cpt"),
+      "lang", "cpt", 0.25)
+    assert(intercept[IllegalArgumentException] {
+      Quantiles.binnedAppend(empty, all, "lang", "cpt")
+    }.getMessage.contains("empty binned artifact"))
+    assert(intercept[IllegalArgumentException] {
+      Quantiles.binnedIndex(all, "lang", "cpt", 0.0)
+    }.getMessage.contains("positive finite"))
+  }
+
+  test("binned quantiles (T95): the error-bound law against the exact operator on random doubles") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 500).map { i =>
+      (s"k${i % 5}", rnd.nextGaussian() * 10.0)
+    }
+    val df = rows.toDF("key", "v")
+    val width = 0.5
+    val ix = Quantiles.binnedIndex(df, "key", "v", width)
+    val qs = Seq(0.1, 0.5, 0.9, 1.0)
+    val binned = Quantiles.quantilesOfBinned(ix, "key", qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    val exact = Quantiles.exactQuantiles(df, "key", "v", qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(binned.keySet == exact.keySet)
+    exact.foreach { case (kq, (n, vStar)) =>
+      val (bn, bin, lo, hi) = binned(kq)
+      assert(bn == n, s"$kq: totals must agree exactly")
+      assert(lo <= vStar && vStar < hi,
+        s"$kq: exact quantile $vStar must land inside the answer bin [$lo, $hi)")
+      assert(bin == math.floor(vStar / width).toLong,
+        s"$kq: the answer bin must be the exact quantile's own bin")
+    }
+    // the read inherits the hist dispatch: both physical forms, one answer
+    assert(Quantiles.quantilesOfBinned(ix, "key", qs, maxBroadcastKeys = 2)
+      .collect().map(_.toSeq).toSet ==
+      Quantiles.quantilesOfBinned(ix, "key", qs).collect().map(_.toSeq).toSet)
+  }
+
+  test("binned artifact (T95): non-finite values excluded, negative values floor down, weighted masses") {
+    val df = Seq(
+      ("k", Some(-0.3)), ("k", Some(0.0)), ("k", Some(0.25)),
+      ("k", Some(Double.NaN)), ("k", Some(Double.PositiveInfinity)),
+      ("k", Some(Double.NegativeInfinity)), ("k", None)).toDF("key", "v")
+    val ix = Quantiles.binnedIndex(df, "key", "v", 0.25)
+    // only the three finite values carry mass; -0.3 floors to bin -2
+    // (the [-0.5, -0.25) cell), 0.25 lands in ITS bin [0.25, 0.5)
+    assert(ix.collect().map(r => (r.getLong(1), r.getLong(2))).toSet ==
+      Set((-2L, 1L), (0L, 1L), (1L, 1L)))
+    val got = Quantiles.quantilesOfBinned(ix, "key", Seq(0.33, 0.5, 1.0))
+      .collect().map(r => (r.getDouble(1), (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got(0.33) == ((3L, -2L, -0.5, -0.25)))
+    assert(got(0.5) == ((3L, 0L, 0.0, 0.25)))
+    assert(got(1.0) == ((3L, 1L, 0.25, 0.5)))
+    // weighted: masses sum integral weights; zero/negative weight is no mass
+    val wdf = Seq(("k", 0.1, 3L), ("k", 0.6, 1L), ("k", 0.9, 0L), ("k", 0.7, -2L))
+      .toDF("key", "v", "w")
+    val wix = Quantiles.binnedIndex(wdf, "key", "v", 0.25, weightCol = Some("w"))
+    assert(wix.collect().map(r => (r.getLong(1), r.getLong(2))).toSet ==
+      Set((0L, 3L), (2L, 1L)))
+    val wq = Quantiles.quantilesOfBinned(wix, "key", Seq(0.75, 1.0), totalName = "total_weight")
+      .collect().map(r => (r.getDouble(1), r.getLong(3))).toMap
+    assert(wq == Map(0.75 -> 0L, 1.0 -> 2L))
+  }
+
   test("guards: empty and out-of-range quantiles, micro-unit collisions") {
     val df = Seq(("k", 1L)).toDF("key", "v")
     assert(intercept[IllegalArgumentException] {
