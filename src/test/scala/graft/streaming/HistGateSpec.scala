@@ -76,6 +76,39 @@ class HistGateSpec extends SparkSpec {
     assert(e.getMessage.contains("DISCRETE"))
   }
 
+  test("continuous values compose (T95): pre-bin, gate on bins under a cap the raw column blows, interval read off the gate") {
+    val width = 0.25
+    val cont = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"lang",
+        (length($"text").cast("double") /
+          size(split($"text", " ")).cast("double")).as("cpt"))
+    def binned(d: DataFrame) =
+      d.select($"doc_id", $"lang", floor($"cpt" / width).cast("long").as("bin"))
+    // the motivation, demonstrated: the RAW continuous column fails the
+    // same cap typed (distinct (lang, cpt) is corpus-sized)...
+    val rawGate = new HistGate.Gate(
+      Quantiles.histIndex(cont.filter($"doc_id" % 2 === 0), "lang", "cpt"),
+      "lang", "cpt", maxRows = 100)
+    assert(intercept[IllegalArgumentException] {
+      rawGate.accountBatch(cont.filter($"doc_id" % 2 =!= 0))
+    }.getMessage.contains("DISCRETE"))
+    // ...while the pre-binned stream fits with room (occupied cells,
+    // not value cardinality) and folds exactly
+    val gate = new HistGate.Gate(
+      Quantiles.histIndex(binned(cont.filter($"doc_id" % 2 === 0)), "lang", "bin"),
+      "lang", "bin", maxRows = 100)
+    gate.accountBatch(binned(cont.filter($"doc_id" % 2 =!= 0)))
+    // the gate artifact IS a T95 binned artifact once the frozen grid
+    // is attached: the interval read off the gate equals the one-shot
+    // binnedIndex over everything ingested
+    val qs = Seq(0.25, 0.5, 0.9, 0.99)
+    assert(same(
+      Quantiles.quantilesOfBinned(
+        gate.currentHist.withColumn("bin_width", lit(width)), "lang", qs),
+      Quantiles.quantilesOfBinned(
+        Quantiles.binnedIndex(cont, "lang", "cpt", width), "lang", qs)))
+  }
+
   test("under a real file stream: final artifact == histIndex over initial + all streamed batches") {
     val kept = docs.filter($"doc_id" % 3 === 0)
     val dir = java.nio.file.Files.createTempDirectory("histgate_stream").toString
