@@ -4937,6 +4937,56 @@ object SparkEntry {
              |  AND (qm * n + 999999) // 1000000 <= cum
              |ORDER BY lang, quantile""".stripMargin))
 
+    /** Token-mass mixing ([[operators.Sampling.mixToWeightsByMass]],
+      * T96, r13): q59's mix policy with the budget in TOKEN MASS — the
+      * T91 distortion (tiny docs counted equal to giants) removed from
+      * the mixing knob. Each domain keeps the longest md5-bucket prefix
+      * whose cumulative mass stays within `w_d * min(mass_d / w_d)`,
+      * cut against the REAL per-bucket masses; the binding domain keeps
+      * everything via the exact-equality branch. FULL oracle: DuckDB
+      * replays the q106 token recipe, the q59 bucket hash, the
+      * dimension-sized cumulative-mass window, and the prefix-cutoff
+      * pick — membership replays row-for-row cross-engine.
+      */
+    private val q129 = Q(
+      "q129_mix_by_mass",
+      (s, dir) => {
+        val base = t(s, dir, "documents").select(
+          $"doc_id", $"lang",
+          size(operators.TextAnalysis.tokens($"text")).cast("long").as("mass"))
+        Sampling.mixToWeightsByMass(base, "doc_id", "lang", "mass",
+            Map("en" -> 0.5, "es" -> 0.3, "de" -> 0.2))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w(lang, wt) AS (VALUES
+             |    ('de', CAST(0.2 AS DOUBLE)), ('en', CAST(0.5 AS DOUBLE)),
+             |    ('es', CAST(0.3 AS DOUBLE))),
+             |m AS (
+             |  SELECT doc_id, lang,
+             |    CAST(len(CASE WHEN text IS NULL OR trim(text) = '' THEN []
+             |             ELSE string_split_regex(lower(trim(text)), '\s+') END) AS BIGINT) AS mass,
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS b
+             |  FROM documents),
+             |mm AS (SELECT m.*, wt FROM m JOIN w USING (lang) WHERE mass > 0),
+             |bm AS (SELECT lang, wt, b, CAST(sum(mass) AS BIGINT) AS bm
+             |       FROM mm GROUP BY lang, wt, b),
+             |tot AS (SELECT lang, wt, CAST(sum(bm) AS BIGINT) AS md
+             |        FROM bm GROUP BY lang, wt),
+             |t AS (SELECT min(CAST(md AS DOUBLE) / wt) AS T FROM tot),
+             |cm AS (SELECT lang, b, CAST(sum(bm) OVER (PARTITION BY lang ORDER BY b) AS BIGINT) AS cum
+             |       FROM bm),
+             |cut AS (
+             |  SELECT tot.lang,
+             |    CASE WHEN CAST(md AS DOUBLE) / wt = (SELECT T FROM t) THEN 10000
+             |         ELSE (SELECT max(c.b) FROM cm c, t
+             |               WHERE c.lang = tot.lang AND CAST(c.cum AS DOUBLE) <= tot.wt * t.T)
+             |    END AS co
+             |  FROM tot)
+             |SELECT d.doc_id, d.lang, d.mass
+             |FROM mm d JOIN cut ON cut.lang = d.lang
+             |WHERE d.b <= cut.co
+             |ORDER BY d.doc_id""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -4947,7 +4997,7 @@ object SparkEntry {
       q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
       q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
       q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-      q126, q127, q128)
+      q126, q127, q128, q129)
 
     /** See [[SparkEntry.fixturePrep]]. */
     val fixturePrep: Map[String, (SparkSession, String) => Unit] = Map(

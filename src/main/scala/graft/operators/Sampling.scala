@@ -297,6 +297,89 @@ object Sampling {
     mixFiltered(df, idCol, domainCol, counts)
   }
 
+  /** Token-mass mixing (T96, r13) — [[mixToWeights]] with the budget in
+    * MASS instead of document count: "web:code at 2:1 BY TOKENS". The
+    * count form silently assumes every document weighs the same, so a
+    * domain of tiny docs is over-served and a domain of giants
+    * under-served relative to the compute they actually consume — the
+    * exact distortion T91 removed from percentiles, removed from the
+    * mixing knob. Same policy algebra as [[mixToWeights]]: with
+    * `T = min over weighted domains of (mass_d / w_d)`, every domain is
+    * cut toward a kept mass of `w_d * T`; the binding domain keeps
+    * everything (the same exact-equality branch — float re-association
+    * must not cost it rows).
+    *
+    * The cut is at BUCKET granularity, made exact against the REAL
+    * per-bucket masses instead of assuming uniform bucket occupancy:
+    * each domain keeps the longest md5-bucket PREFIX whose cumulative
+    * mass stays within the target (`max b: cum_mass(0..b) <= w_d * T`,
+    * buckets with no rows change nothing). Kept membership is a pure
+    * function of (id, the dimension-sized mass profile) — idempotent
+    * under retry, identical across layouts and engines — and the
+    * undershoot is bounded by the first excluded bucket's mass
+    * (~mass_d/10000 in expectation; spec-pinned maximality law). A
+    * domain whose target is smaller than its first occupied bucket
+    * keeps nothing — the quantization floor, documented not hidden.
+    *
+    * Contracts from the family: domains absent from `weights`, null
+    * domains, and null ids are dropped; rows with null or `<= 0` mass
+    * are EXCLUDED (T91's law — zero mass is unselectable in a
+    * mass-budgeted mix; the cast to long is explicit, token counts and
+    * byte sizes are integral). Thresholds compare as doubles — exact
+    * until a domain's total mass passes 2^53 (~3.6e15 tokens/domain, a
+    * ~14 PB-of-text horizon; the budget is policy, not an exact-rank
+    * answer, and [[mixToWeights]] already budgets count in doubles).
+    *
+    * Plan shape at 100 TB: ONE dimension-sized aggregate over
+    * `(domain, bucket)` (map-side combinable to at most
+    * |domains| x 10000 rows), a window + min over THAT frame only, and
+    * the per-row keep/drop is the same scan-side md5-bucket compare
+    * after a broadcast cutoff join — the corpus itself shuffles zero
+    * times, exactly like the count form.
+    */
+  def mixToWeightsByMass(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      massCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "mixToWeightsByMass needs at least one domain weight")
+    weights.values.foreach(w => require(w > 0, s"weights must be positive: $w"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wDf = weights.toSeq.sortBy(_._1).toDF(domainCol, "__w")
+    val base = df
+      .filter(col(idCol).isNotNull)
+      .withColumn("__m", col(massCol).cast("long"))
+      .filter(col("__m").isNotNull && col("__m") > 0)
+    val bucketMass = base
+      .withColumn("__b", hashBucket(col(idCol)))
+      .groupBy(col(domainCol), col("__b"))
+      .agg(sum(col("__m")).as("__bm"))
+      .join(broadcast(wDf), domainCol)
+    val totals = bucketMass.groupBy(col(domainCol), col("__w"))
+      .agg(sum(col("__bm")).as("__md"))
+    val tRow = totals.select(min(col("__md").cast("double") / col("__w")).as("__T"))
+    val byDomain = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol)).orderBy(col("__b"))
+    val cutoffs = bucketMass
+      .withColumn("__cm", sum(col("__bm")).over(byDomain))
+      .join(broadcast(totals.select(col(domainCol).as("__d"), col("__md"))),
+        col(domainCol) === col("__d"))
+      .crossJoin(broadcast(tRow))
+      .groupBy(col(domainCol))
+      // binding domain: every row contributes Buckets, so max = keep all;
+      // otherwise max kept-prefix bucket; max(all-null) = null = keep none
+      .agg(max(
+        when(col("__md").cast("double") / col("__w") === col("__T"),
+          lit(Buckets.toLong))
+          .when(col("__cm").cast("double") <= col("__w") * col("__T"),
+            col("__b").cast("long"))).as("__cut"))
+    base.join(broadcast(cutoffs), Seq(domainCol))
+      .filter(hashBucket(col(idCol)) <= col("__cut"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Deterministic per-key cap — the Common Crawl-style "at most
     * `maxPerKey` documents per site" pass that a proportion knob like
     * [[mixToWeights]] cannot express (a mega-domain should contribute a

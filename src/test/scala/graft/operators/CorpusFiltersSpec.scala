@@ -59,6 +59,66 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(out(13L).getAs[Int]("keep") == 0) // ASCII alpha rule: 'çãé.' words still count via other chars
   }
 
+  test("mixToWeightsByMass (T96): membership equals the bucket-prefix reference; maximality; determinism") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select($"doc_id", $"lang", length($"text").cast("long").as("mass"))
+    val weights = Map("en" -> 0.5, "es" -> 0.3, "de" -> 0.2)
+    val mixed = Sampling.mixToWeightsByMass(docs, "doc_id", "lang", "mass", weights)
+    // driver reference: recompute the cutoffs from the dimension-sized
+    // (lang, bucket, mass) profile and derive exact expected membership
+    val prof = docs.filter($"lang".isin(weights.keys.toSeq: _*) && $"mass" > 0)
+      .withColumn("b", Sampling.hashBucket($"doc_id"))
+    val bm = prof.groupBy("lang", "b").agg(sum("mass").as("bm"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val md = bm.groupBy(_._1).map { case (d, rs) => d -> rs.map(_._3).sum }
+    val T = weights.keys.map(d => md(d).toDouble / weights(d)).min
+    val cutoff = weights.keys.map { d =>
+      if (md(d).toDouble / weights(d) == T) d -> Sampling.Buckets.toLong
+      else {
+        var cum = 0L; var cut = -1L
+        bm.filter(_._1 == d).sortBy(_._2).foreach { case (_, b, m) =>
+          cum += m; if (cum.toDouble <= weights(d) * T) cut = b
+        }
+        d -> cut
+      }
+    }.toMap
+    val expIds = prof.select("doc_id", "lang", "b").collect()
+      .filter(r => r.getLong(2) <= cutoff(r.getString(1)))
+      .map(_.getLong(0)).toSet
+    assert(mixed.select("doc_id").collect().map(_.getLong(0)).toSet == expIds)
+    assert(expIds.nonEmpty)
+    // at least one domain is actually cut (or the fixture proves nothing)
+    assert(cutoff.values.exists(_ < Sampling.Buckets.toLong))
+    // maximality: each cut domain keeps the longest prefix within target
+    weights.keys.foreach { d =>
+      if (cutoff(d) < Sampling.Buckets) {
+        val target = weights(d) * T
+        val keptMass = bm.filter(r => r._1 == d && r._2 <= cutoff(d)).map(_._3).sum
+        val next = bm.filter(r => r._1 == d && r._2 > cutoff(d)).sortBy(_._2)
+          .headOption.map(_._3).getOrElse(0L)
+        assert(keptMass.toDouble <= target, s"$d overshoots the mass budget")
+        assert(next == 0L || keptMass.toDouble + next > target,
+          s"$d left a whole bucket of budget on the table")
+      }
+    }
+    // deterministic: rerun is identical
+    val again = Sampling.mixToWeightsByMass(docs, "doc_id", "lang", "mass", weights)
+    assert(mixed.exceptAll(again).count() == 0 && again.exceptAll(mixed).count() == 0)
+  }
+
+  test("mixToWeightsByMass: zero/null mass and null ids unselectable; mass-proportional weights keep all") {
+    val df = Seq(
+      (Option(1L), "a", Option(10L)), (Option(2L), "a", Option(0L)),
+      (Option(3L), "a", Option.empty[Long]), (Option.empty[Long], "a", Option(5L)),
+      (Option(4L), "b", Option(5L)), (Option(5L), "c", Option(7L)))
+      .toDF("id", "dom", "mass")
+    // a: 10 mass at w=2; b: 5 at w=1 -> mass/w = 5.0 for BOTH (exact
+    // doubles) -> both binding -> every massy weighted row survives
+    val out = Sampling.mixToWeightsByMass(df, "id", "dom", "mass",
+      Map("a" -> 2.0, "b" -> 1.0))
+    assert(out.collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+  }
+
   test("mixToWeights hits target proportions, binding domain keeps all") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val weights = Map("en" -> 0.5, "es" -> 0.3, "de" -> 0.2)
