@@ -4987,6 +4987,62 @@ object SparkEntry {
              |WHERE d.b <= cut.co
              |ORDER BY d.doc_id""".stripMargin))
 
+    /** Token-mass epoch repeats ([[operators.Sampling
+      * .epochRepeatsByMass]], T96, r13): q101's up-sampling policy with
+      * the parity target in TOKEN MASS — whole copies `floor(w_d * T /
+      * mass_d)` with the fractional remainder granted as one extra copy
+      * to the longest md5-bucket prefix whose cumulative mass fits it
+      * (exact against the real per-bucket masses where q101's
+      * count-fraction rule is exact only in expectation); binding
+      * domain repeats exactly once. FULL oracle: the q129 profile CTEs
+      * + the factor CASE with the exact-equality branch + the prefix
+      * cutoff + `unnest(generate_series(1, ncopies))` — copy counts
+      * replay row-for-row cross-engine.
+      */
+    private val q130 = Q(
+      "q130_epoch_repeats_by_mass",
+      (s, dir) => {
+        val base = t(s, dir, "documents").select(
+          $"doc_id", $"lang",
+          size(operators.TextAnalysis.tokens($"text")).cast("long").as("mass"))
+        Sampling.epochRepeatsByMass(base, "doc_id", "lang", "mass",
+            Map("en" -> 1.0, "fr" -> 1.0, "es" -> 2.0))
+          .orderBy("doc_id", "epoch")
+      },
+      Some("""WITH w(lang, wt) AS (VALUES
+             |    ('en', CAST(1.0 AS DOUBLE)), ('es', CAST(2.0 AS DOUBLE)),
+             |    ('fr', CAST(1.0 AS DOUBLE))),
+             |m AS (
+             |  SELECT doc_id, lang,
+             |    CAST(len(CASE WHEN text IS NULL OR trim(text) = '' THEN []
+             |             ELSE string_split_regex(lower(trim(text)), '\s+') END) AS BIGINT) AS mass,
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS b
+             |  FROM documents WHERE doc_id IS NOT NULL),
+             |mm AS (SELECT m.*, wt FROM m JOIN w USING (lang) WHERE mass > 0),
+             |bm AS (SELECT lang, wt, b, CAST(sum(mass) AS BIGINT) AS bm
+             |       FROM mm GROUP BY lang, wt, b),
+             |tot AS (SELECT lang, wt, CAST(sum(bm) AS BIGINT) AS md
+             |        FROM bm GROUP BY lang, wt),
+             |t AS (SELECT max(CAST(md AS DOUBLE) / wt) AS T FROM tot),
+             |f AS (SELECT lang, md,
+             |        CASE WHEN CAST(md AS DOUBLE) / wt = (SELECT T FROM t) THEN CAST(1.0 AS DOUBLE)
+             |             ELSE wt * (SELECT T FROM t) / CAST(md AS DOUBLE) END AS r
+             |      FROM tot),
+             |c AS (SELECT lang, CAST(floor(r) AS INT) AS base,
+             |             (r - floor(r)) * CAST(md AS DOUBLE) AS target FROM f),
+             |cm AS (SELECT lang, b, CAST(sum(bm) OVER (PARTITION BY lang ORDER BY b) AS BIGINT) AS cum
+             |       FROM bm),
+             |cut AS (SELECT c.lang,
+             |          (SELECT max(x.b) FROM cm x
+             |           WHERE x.lang = c.lang AND CAST(x.cum AS DOUBLE) <= c.target) AS co
+             |        FROM c),
+             |d AS (SELECT mm.doc_id, mm.lang, mm.mass,
+             |        base + CASE WHEN mm.b <= cut.co THEN 1 ELSE 0 END AS ncopies
+             |      FROM mm JOIN c USING (lang) JOIN cut ON cut.lang = mm.lang)
+             |SELECT doc_id, lang, mass,
+             |       CAST(unnest(generate_series(1, ncopies)) AS INT) AS epoch
+             |FROM d ORDER BY doc_id, epoch""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -4997,7 +5053,7 @@ object SparkEntry {
       q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
       q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
       q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-      q126, q127, q128, q129)
+      q126, q127, q128, q129, q130)
 
     /** See [[SparkEntry.fixturePrep]]. */
     val fixturePrep: Map[String, (SparkSession, String) => Unit] = Map(

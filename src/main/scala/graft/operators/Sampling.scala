@@ -360,24 +360,123 @@ object Sampling {
     val totals = bucketMass.groupBy(col(domainCol), col("__w"))
       .agg(sum(col("__bm")).as("__md"))
     val tRow = totals.select(min(col("__md").cast("double") / col("__w")).as("__T"))
-    val byDomain = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(domainCol)).orderBy(col("__b"))
-    val cutoffs = bucketMass
-      .withColumn("__cm", sum(col("__bm")).over(byDomain))
-      .join(broadcast(totals.select(col(domainCol).as("__d"), col("__md"))),
-        col(domainCol) === col("__d"))
-      .crossJoin(broadcast(tRow))
-      .groupBy(col(domainCol))
-      // binding domain: every row contributes Buckets, so max = keep all;
-      // otherwise max kept-prefix bucket; max(all-null) = null = keep none
-      .agg(max(
-        when(col("__md").cast("double") / col("__w") === col("__T"),
-          lit(Buckets.toLong))
-          .when(col("__cm").cast("double") <= col("__w") * col("__T"),
-            col("__b").cast("long"))).as("__cut"))
+    val cutoffs = massPrefixCutoff(
+      bucketMass
+        .join(broadcast(totals.select(col(domainCol).as("__d"), col("__md"))),
+          col(domainCol) === col("__d"))
+        .crossJoin(broadcast(tRow))
+        // binding domain: keep every bucket (the exact-equality branch)
+        .withColumn("__keepAll",
+          col("__md").cast("double") / col("__w") === col("__T"))
+        .withColumn("__target", col("__w") * col("__T")),
+      domainCol)
     base.join(broadcast(cutoffs), Seq(domainCol))
       .filter(hashBucket(col(idCol)) <= col("__cut"))
       .select(df.columns.map(col): _*)
+  }
+
+  /** Per-domain longest md5-bucket PREFIX whose cumulative mass fits
+    * the domain's target — the shared cut rule of [[mixToWeightsByMass]]
+    * (the kept set) and [[epochRepeatsByMass]] (the extra-copy set).
+    * Operates on the dimension-sized profile ONLY: input columns
+    * `domainCol, __b, __bm, __target, __keepAll`; output `(domainCol,
+    * __cut)` where `__cut` is `Buckets` when `__keepAll` (every bucket
+    * qualifies), else the max in-budget bucket, else NULL when even the
+    * first occupied bucket overshoots — callers read NULL as the empty
+    * prefix (a `<= NULL` compare keeps/copies nothing).
+    */
+  private def massPrefixCutoff(profile: DataFrame, domainCol: String): DataFrame = {
+    val byDomain = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol)).orderBy(col("__b"))
+    profile
+      .withColumn("__cm", sum(col("__bm")).over(byDomain))
+      .groupBy(col(domainCol))
+      .agg(max(
+        when(col("__keepAll"), lit(Buckets.toLong))
+          .when(col("__cm").cast("double") <= col("__target"),
+            col("__b").cast("long"))).as("__cut"))
+  }
+
+  /** Token-mass epoch repeats (T96, r13) — [[epochRepeats]] with the
+    * parity target in MASS: repeat under-represented domains until
+    * every domain's TOKEN contribution matches the target ratios, not
+    * its document count (the same count-vs-mass distortion
+    * [[mixToWeightsByMass]] removes from thinning, removed from
+    * up-sampling: a rare domain of giant docs needs FEWER copies than
+    * its doc count suggests, and the count rule would over-repeat it).
+    * With `T = max over weighted domains of (mass_d / w_d)`, each
+    * domain repeats `r_d = w_d * T / mass_d >= 1` times; the binding
+    * domain repeats exactly once (the exact-equality branch). Whole
+    * copies are `floor(r_d)` everywhere; the FRACTIONAL remainder
+    * `(r_d - floor(r_d)) * mass_d` is granted as one extra copy to the
+    * longest md5-bucket prefix whose cumulative mass fits it — the
+    * [[massPrefixCutoff]] rule, exact against the real per-bucket
+    * masses where [[epochRepeats]]' count-fraction rule is exact only
+    * in expectation. Same contracts: unweighted/null domains and null
+    * ids dropped, null/<= 0 mass excluded (a mass-budgeted parity has
+    * no copy count for a massless doc), typed `maxRepeat` guard, output
+    * = input columns + `epoch` (1-based), and the repeated MASS of a
+    * cut domain lands within one bucket of `w_d * T` (spec-pinned).
+    *
+    * Scale shape: [[mixToWeightsByMass]]'s exactly — the corpus never
+    * shuffles; the explode emits `sum(mass-weighted r_d)` rows by
+    * design.
+    */
+  def epochRepeatsByMass(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      massCol: String,
+      weights: Map[String, Double],
+      maxRepeat: Double = 16.0): DataFrame = {
+    require(weights.nonEmpty, "epochRepeatsByMass needs at least one domain weight")
+    weights.values.foreach(w => require(w > 0, s"weights must be positive: $w"))
+    require(maxRepeat >= 1.0, s"maxRepeat below 1 forbids even a single copy: $maxRepeat")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wDf = weights.toSeq.sortBy(_._1).toDF(domainCol, "__w")
+    val base = df
+      .filter(col(idCol).isNotNull)
+      .withColumn("__m", col(massCol).cast("long"))
+      .filter(col("__m").isNotNull && col("__m") > 0)
+    val bucketMass = base
+      .withColumn("__b", hashBucket(col(idCol)))
+      .groupBy(col(domainCol), col("__b"))
+      .agg(sum(col("__m")).as("__bm"))
+      .join(broadcast(wDf), domainCol)
+    val totals = bucketMass.groupBy(col(domainCol), col("__w"))
+      .agg(sum(col("__bm")).as("__md"))
+    val tRow = totals.select(max(col("__md").cast("double") / col("__w")).as("__T"))
+    val factors = totals.crossJoin(broadcast(tRow))
+      .select(col(domainCol), col("__md"),
+        when(col("__md").cast("double") / col("__w") === col("__T"), lit(1.0))
+          .otherwise(col("__w") * col("__T") / col("__md").cast("double"))
+          .as("__r"))
+    val over = factors.filter(col("__r") > maxRepeat)
+      .collect().map(r => s"${r.get(0)} (x${r.getDouble(2)})")
+    require(over.isEmpty,
+      s"repeat factor exceeds maxRepeat=$maxRepeat for ${over.mkString(", ")} — " +
+        "raise the cap deliberately or fix the weight")
+    val copies = factors.select(col(domainCol),
+      floor(col("__r")).cast("int").as("__base"),
+      // the binding domain's remainder is exactly 0.0, so its target
+      // admits no bucket (masses are positive) and it gets no extras —
+      // no special branch needed
+      ((col("__r") - floor(col("__r"))) * col("__md").cast("double")).as("__target"))
+    val cutoffs = massPrefixCutoff(
+      bucketMass
+        .join(broadcast(copies.select(col(domainCol).as("__d"), col("__target"))),
+          col(domainCol) === col("__d"))
+        .withColumn("__keepAll", lit(false)),
+      domainCol)
+    base
+      .join(broadcast(copies.select(col(domainCol), col("__base"))), Seq(domainCol))
+      .join(broadcast(cutoffs), Seq(domainCol))
+      .withColumn("__copies",
+        col("__base") +
+          when(hashBucket(col(idCol)) <= col("__cut"), 1).otherwise(0))
+      .withColumn("epoch", explode(sequence(lit(1), col("__copies"))))
+      .select(df.columns.map(col) :+ col("epoch"): _*)
   }
 
   /** Deterministic per-key cap — the Common Crawl-style "at most

@@ -1237,6 +1237,81 @@ class SamplingSpec extends SparkSpec {
     assert(out.select(max($"epoch")).as[Int].head() == 1)
   }
 
+  test("epochRepeatsByMass (T96): per-doc copies equal the mass-prefix reference; binding once; exclusions") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select($"doc_id", $"lang", length($"text").cast("long").as("mass"))
+    val weights = Map("en" -> 1.0, "fr" -> 1.0, "es" -> 2.0)
+    val out = Sampling.epochRepeatsByMass(docs, "doc_id", "lang", "mass", weights).cache()
+    // driver reference: recompute factors and the fractional-copy
+    // bucket prefix from the dimension-sized profile, then the exact
+    // expected copy count PER DOC
+    val prof = docs.filter($"lang".isin(weights.keys.toSeq: _*) && $"mass" > 0)
+      .withColumn("b", Sampling.hashBucket($"doc_id"))
+    val bm = prof.groupBy("lang", "b").agg(sum("mass").as("bm"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val md = bm.groupBy(_._1).map { case (d, rs) => d -> rs.map(_._3).sum }
+    val T = weights.keys.map(d => md(d).toDouble / weights(d)).max
+    val r = weights.keys.map { d =>
+      d -> (if (md(d).toDouble / weights(d) == T) 1.0
+            else weights(d) * T / md(d).toDouble)
+    }.toMap
+    val cut = weights.keys.map { d =>
+      val target = (r(d) - math.floor(r(d))) * md(d).toDouble
+      var cum = 0L; var c = -1L
+      bm.filter(_._1 == d).sortBy(_._2).foreach { case (_, b, m) =>
+        cum += m; if (cum.toDouble <= target) c = b
+      }
+      d -> c
+    }.toMap
+    val expCopies = prof.select("doc_id", "lang", "b").collect().map { row =>
+      val d = row.getString(1)
+      row.getLong(0) ->
+        (math.floor(r(d)).toLong + (if (row.getLong(2) <= cut(d)) 1L else 0L))
+    }.toMap
+    val gotCopies = out.groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(gotCopies == expCopies)
+    // at least one domain actually carries a fractional extra-copy set
+    // (or the prefix rule went unexercised)
+    assert(cut.values.exists(_ >= 0L))
+    // binding domain repeats exactly once; epochs contiguous 1..n
+    val binding = weights.keys.maxBy(d => md(d).toDouble / weights(d))
+    assert(out.filter($"lang" === binding).select(max($"epoch")).as[Int].head() == 1)
+    val perDoc = out.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), max($"epoch").as("mx"), min($"epoch").as("mn"))
+    assert(perDoc.filter($"n" =!= $"mx" || $"mn" =!= 1).isEmpty)
+    // repeated MASS of each cut domain lands within one bucket of w*T
+    val repMass = out.groupBy("lang").agg(sum("mass")).as[(String, Long)]
+      .collect().toMap
+    weights.keys.filter(_ != binding).foreach { d =>
+      val target = weights(d) * T
+      val maxBucket = bm.filter(_._1 == d).map(_._3).max
+      assert(repMass(d).toDouble <= target + 1e-6, s"$d overshoots mass parity")
+      assert(target - repMass(d).toDouble <= maxBucket.toDouble,
+        s"$d undershoots by more than one bucket")
+    }
+    // layout-invariant
+    val out2 = Sampling.epochRepeatsByMass(
+      docs.repartition(13), "doc_id", "lang", "mass", weights)
+    assert(out2.exceptAll(out).isEmpty && out.exceptAll(out2).isEmpty)
+    out.unpersist()
+    // exclusions + typed cap
+    val tiny = Seq(
+      (Option(1L), "a", Option(10L)), (Option(2L), "a", Option(0L)),
+      (Option.empty[Long], "a", Option(5L)), (Option(3L), "b", Option(5L)))
+      .toDF("id", "dom", "mass")
+    val tinyOut = Sampling.epochRepeatsByMass(tiny, "id", "dom", "mass",
+      Map("a" -> 2.0, "b" -> 1.0))
+    // a: 10/2 = 5 == b: 5/1 -> both binding, one copy each; massless and
+    // null-id rows carry no copy count at all
+    assert(tinyOut.collect().map(r => (r.getLong(0), r.getInt(3))).toSet ==
+      Set((1L, 1), (3L, 1)))
+    assert(intercept[IllegalArgumentException] {
+      Sampling.epochRepeatsByMass(docs, "doc_id", "lang", "mass",
+        Map("en" -> 1.0, "de" -> 1000.0))
+    }.getMessage.contains("maxRepeat"))
+  }
+
   test("assignSplit: disjoint cover, layout-independent membership, subset-consistent with hashSample") {
     val split = Sampling.assignSplit(ids, "id", 0.8, 0.1)
       .as[(Long, String)].collect().toMap
