@@ -537,6 +537,65 @@ object Sampling {
     df.join(winners, Seq(idCol), "left_semi")
   }
 
+  /** Token-budget per-key cap (T96, r13) — [[capPerKey]] with the
+    * bound in MASS: "no site contributes more than `maxMassPerKey`
+    * TOKENS", the form the per-source knob actually wants when docs
+    * vary by orders of magnitude (a 10-doc site of book-length pages
+    * can out-weigh a 10k-doc site of tweets; the count cap cannot see
+    * that). Each key keeps the longest md5-bucket prefix of its rows
+    * whose cumulative mass fits the budget — the [[massPrefixCutoff]]
+    * rule — so the cap is HARD (kept mass never exceeds the budget; a
+    * single row larger than the whole budget is dropped, the only
+    * honest hard-cap reading) and the undershoot is bounded by the
+    * first excluded bucket (~key_mass/10000 once a key has enough rows
+    * to spread; for small keys buckets are ~per-row, so the cut is
+    * ~per-doc). Keys whose total mass fits keep everything. Membership
+    * is a pure function of (id, the key's bucket-mass profile):
+    * idempotent under retry, layout- and engine-stable.
+    *
+    * Contracts: a NULL key is its own capped group (the [[capPerKey]]
+    * convention — the cutoff join is null-safe); NULL-id rows are
+    * dropped (no deterministic bucket); null/<= 0 mass rows are
+    * excluded (the family's mass law — a token-budget pass has no
+    * business shipping token-less rows).
+    *
+    * Scale shape: the profile is one row per OCCUPIED (key, bucket) —
+    * at most min(|rows|, |keys| x 10000), reached map-side-combined —
+    * and its cumsum window partitions by key with <= 10000 rows per
+    * partition, so there is NO single-task stage at ANY key
+    * cardinality (the hot-site problem [[capPerKey]] needed salting
+    * for does not arise: the bucket aggregate already collapsed the
+    * hot key). Unlike the weighted-mix dimension frames the cutoff
+    * frame is |keys| rows and NOT assumed broadcastable — the join
+    * back is a plain null-safe equi-join, AQE broadcasts it at
+    * dimension grain and shuffles at site grain (the one corpus
+    * exchange this operator can cost; [[capPerKey]] pays the same in
+    * its survivor semi-join).
+    */
+  def capPerKeyByMass(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      massCol: String,
+      maxMassPerKey: Long): DataFrame = {
+    require(maxMassPerKey >= 1, s"maxMassPerKey must be >= 1, got $maxMassPerKey")
+    val base = df
+      .filter(col(idCol).isNotNull)
+      .withColumn("__m", col(massCol).cast("long"))
+      .filter(col("__m").isNotNull && col("__m") > 0)
+    val profile = base
+      .withColumn("__b", hashBucket(col(idCol)))
+      .groupBy(col(keyCol), col("__b"))
+      .agg(sum(col("__m")).as("__bm"))
+      .withColumn("__target", lit(maxMassPerKey).cast("double"))
+      .withColumn("__keepAll", lit(false))
+    val cutoffs = massPrefixCutoff(profile, keyCol)
+      .select(col(keyCol).as("__k"), col("__cut"))
+    base.join(cutoffs, col(keyCol) <=> col("__k"))
+      .filter(hashBucket(col(idCol)) <= col("__cut"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Deterministic global shuffle for training order: every row gets a
     * unique 0-based `posCol` position in the total order of
     * `md5("<seed>:<id>")` (ties impossible in practice, broken by id

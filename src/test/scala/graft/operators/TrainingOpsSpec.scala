@@ -1394,6 +1394,63 @@ class SamplingSpec extends SparkSpec {
     assert(e.getMessage.contains("collides"))
   }
 
+  test("capPerKeyByMass (T96): hard budget honored, membership = prefix reference, under-budget keys whole") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"source",
+        size(split(lower(trim($"text")), "\\s+")).cast("long").as("mass"))
+    val budget = 1400L
+    val out = Sampling.capPerKeyByMass(docs, "source", "doc_id", "mass", budget).cache()
+    // driver reference: per-source bucket prefix within the budget
+    val prof = docs.filter($"mass" > 0)
+      .withColumn("b", Sampling.hashBucket($"doc_id"))
+      .select("doc_id", "source", "b", "mass").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val cut = prof.groupBy(_._2).map { case (src, rows) =>
+      val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._4).sum)
+        .toSeq.sortBy(_._1)
+      var cum = 0L; var c = -1L
+      byBucket.foreach { case (b, m) =>
+        cum += m; if (cum.toDouble <= budget.toDouble) c = b
+      }
+      src -> c
+    }
+    val expIds = prof.filter(r => r._3 <= cut(r._2)).map(_._1).toSet
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == expIds)
+    // the cap is HARD: no source's kept mass exceeds the budget...
+    val keptMass = out.groupBy("source").agg(sum("mass")).as[(String, Long)]
+      .collect().toMap
+    keptMass.foreach { case (s, m) => assert(m <= budget, s"$s over budget: $m") }
+    // ...and the fixture exercises both regimes: some sources cut, some
+    // under budget and kept WHOLE
+    val totMass = prof.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    val whole = totMass.filter(_._2 <= budget).keySet
+    val cutSrc = totMass.filter(_._2 > budget).keySet
+    assert(whole.nonEmpty && cutSrc.nonEmpty, s"fixture degenerate: $totMass")
+    whole.foreach(s => assert(keptMass(s) == totMass(s), s"$s must keep everything"))
+    cutSrc.foreach(s => assert(keptMass(s) < totMass(s), s"$s must be cut"))
+    // layout invariance
+    val again = Sampling.capPerKeyByMass(
+      docs.repartition(17), "source", "doc_id", "mass", budget)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    out.unpersist()
+    // null key is its own capped group (null-safe cutoff join), a single
+    // row bigger than the whole budget is dropped (the hard-cap reading),
+    // and massless rows are excluded
+    val tiny = Seq(
+      (1L, Option.empty[String], Option(10L)),
+      (2L, Option("h"), Option(100L)),
+      (3L, Option("g"), Option(40L)), (4L, Option("g"), Option(40L)),
+      (5L, Option("g"), Option(0L)))
+      .toDF("id", "key", "mass")
+    val tinyOut = Sampling.capPerKeyByMass(tiny, "key", "id", "mass", 50L)
+      .collect().map(_.getLong(0)).toSet
+    assert(tinyOut.contains(1L), "null key must be its own kept group")
+    assert(!tinyOut.contains(2L), "a row larger than the budget cannot be kept")
+    assert(!tinyOut.contains(5L), "massless rows are excluded")
+    // g keeps exactly the smaller-bucket row: 40 fits, 80 would not
+    assert(tinyOut.count(Set(3L, 4L)) == 1)
+  }
+
   test("capPerKey == driver-side reference; exactly min(n, k) per key") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val k = 10
