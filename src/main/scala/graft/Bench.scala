@@ -160,7 +160,10 @@ object Bench {
       val (warm, warm2Err) =
         if (warmErr.isEmpty && warm1 > 1.0) {
           val (warm2, e2) = timed(fn)
-          (math.min(warm1, warm2), e2)
+          // a FAILED retry is fast — its time is not a measurement, so
+          // the min is only taken when the retry actually succeeded
+          // (ADVICE r13 #1; same rule as the composite retry below)
+          (if (e2.isEmpty) math.min(warm1, warm2) else warm1, e2)
         } else (warm1, None)
       Entry(name, cold, warm, coldErr.orElse(warmErr).orElse(warm2Err))
     }
@@ -228,7 +231,10 @@ object Bench {
         if (coldErr.isEmpty && warmErr.isEmpty && warmOverColdFires(cold, warm1)) {
           val (warm2, e2) = run()
           tr(s"$name warm2_done ${ms(warm2)}")
-          (math.min(warm1, warm2), e2)
+          // only a SUCCESSFUL retry can lower the warm number: a
+          // fast-failing warm2 is not a measurement and must not land a
+          // meaninglessly low warm in the detail JSON (ADVICE r13 #1)
+          (if (e2.isEmpty) math.min(warm1, warm2) else warm1, e2)
         } else (warm1, None)
       Entry(name, cold, warm, coldErr.orElse(warmErr).orElse(retryErr))
     }

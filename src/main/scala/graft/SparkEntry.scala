@@ -5043,6 +5043,54 @@ object SparkEntry {
              |       CAST(unnest(generate_series(1, ncopies)) AS INT) AS epoch
              |FROM d ORDER BY doc_id, epoch""".stripMargin))
 
+    /** Token-mass temperature mix ([[operators.Sampling
+      * .temperatureMixByMass]], T97, r14 — VERDICT r13 #2): q82's
+      * mBERT/XLM-R flattening rule with the budget in TOKEN MASS —
+      * keep mass ∝ mass_d^0.5, each domain cut to the longest
+      * md5-bucket prefix whose cumulative REAL mass fits
+      * `w_d * min(mass_d / w_d)`; the binding domain keeps everything
+      * via the exact-equality branch. This is the composition the
+      * release's [[operators.Release.ReleaseParams.mixMassCol]] knob
+      * ships (ReleaseSpec pins the export parity). FULL oracle: q82's
+      * pow/min/binding-equality replay composed with q129's bucket
+      * hash + cumulative-mass window + prefix-cutoff recipe —
+      * membership replays row-for-row cross-engine.
+      */
+    private val q131 = Q(
+      "q131_temperature_mix_by_mass",
+      (s, dir) => {
+        val base = t(s, dir, "documents").select(
+          $"doc_id", $"lang",
+          size(operators.TextAnalysis.tokens($"text")).cast("long").as("mass"))
+        Sampling.temperatureMixByMass(base, "doc_id", "lang", "mass", alpha = 0.5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, lang,
+             |    CAST(len(CASE WHEN text IS NULL OR trim(text) = '' THEN []
+             |             ELSE string_split_regex(lower(trim(text)), '\s+') END) AS BIGINT) AS mass,
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS b
+             |  FROM documents WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
+             |mm AS (SELECT * FROM m WHERE mass > 0),
+             |bm AS (SELECT lang, b, CAST(sum(mass) AS BIGINT) AS bm FROM mm GROUP BY lang, b),
+             |w AS (SELECT lang, CAST(sum(bm) AS BIGINT) AS md,
+             |             pow(CAST(CAST(sum(bm) AS BIGINT) AS DOUBLE), 0.5) AS wt
+             |      FROM bm GROUP BY lang),
+             |t AS (SELECT min(CAST(md AS DOUBLE) / wt) AS T FROM w),
+             |cm AS (SELECT lang, b, CAST(sum(bm) OVER (PARTITION BY lang ORDER BY b) AS BIGINT) AS cum
+             |       FROM bm),
+             |cut AS (
+             |  SELECT w.lang,
+             |    CASE WHEN CAST(md AS DOUBLE) / wt = (SELECT T FROM t) THEN 10000
+             |         ELSE (SELECT max(c.b) FROM cm c, t
+             |               WHERE c.lang = w.lang AND CAST(c.cum AS DOUBLE) <= w.wt * t.T)
+             |    END AS co
+             |  FROM w)
+             |SELECT d.doc_id, d.lang, d.mass
+             |FROM mm d JOIN cut ON cut.lang = d.lang
+             |WHERE d.b <= cut.co
+             |ORDER BY d.doc_id""".stripMargin))
+
     val all: Seq[Q] = Seq(
       q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
       q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -5053,7 +5101,7 @@ object SparkEntry {
       q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
       q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
       q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-      q126, q127, q128, q129, q130)
+      q126, q127, q128, q129, q130, q131)
 
     /** See [[SparkEntry.fixturePrep]]. */
     val fixturePrep: Map[String, (SparkSession, String) => Unit] = Map(

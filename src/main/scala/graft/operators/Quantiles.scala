@@ -370,8 +370,15 @@ object Quantiles {
     val nKeys = index.select(col(keyCol)).distinct()
       .limit(bound + 1).collect().length
     if (nKeys <= bound)
+      // same malformed-artifact hygiene as the window twin (ADVICE r13
+      // #4): exactQuantilesWeighted filters null values and null/<= 0
+      // masses before ranking, so the scalable branch must too — the
+      // bit-equality law across the dispatch boundary holds for ANY
+      // artifact, not just histIndex-produced ones (whose rows already
+      // satisfy the filter, making this a no-op on the honest path)
       scalableRank(
-        index.select(col(keyCol), col(valueCol), col("mass").as("__cnt")),
+        index.select(col(keyCol), col(valueCol), col("mass").cast("long").as("__cnt"))
+          .where(col(valueCol).isNotNull && col("__cnt").isNotNull && col("__cnt") > 0),
         keyCol, valueCol, qs, totalName)
     else
       exactQuantilesWeighted(index, keyCol, valueCol, "mass", qs)

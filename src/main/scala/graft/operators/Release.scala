@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   *  3. de-leak ([[Contamination.removeSplitLeakage]]): drop train docs
   *     sharing character n-grams with the held-out splits (the
   *     cross-split leakage direction dedup cannot see);
-  *  4. mix ([[Sampling.temperatureMix]] over the TRAIN split only —
+  *  4. mix ([[Sampling.temperatureMix]] — or, under
+  *     [[ReleaseParams.mixMassCol]], [[Sampling.temperatureMixByMass]]
+  *     with the budget in token mass — over the TRAIN split only:
   *     val/test are metrics sets and must not be resampled; alpha 1.0
   *     is the exact identity, so the natural mix is the default);
   *  5. pack ([[Packing.packSequences]] over the final corpus — spans
@@ -58,6 +60,18 @@ object Release {
       // 1.0 = natural mix (exact identity); lower flattens toward
       // uniform over the domain column
       mixAlpha: Double = 1.0,
+      // the mix's BUDGET (r14, VERDICT r13 #2): None = document count
+      // ([[Sampling.temperatureMix]] — the historical default, kept for
+      // bench/oracle continuity); Some(col) = token mass
+      // ([[Sampling.temperatureMixByMass]] over that column — "keep
+      // mass ∝ mass_d^alpha"), removing the tiny-docs-counted-equal-to-
+      // giants distortion from the one composition that actually ships
+      // corpora. The column must exist on the input docs; it rides
+      // curation and ships with the release, so [[exportPacked]] reads
+      // it back from the verified corpus (a missing column fails
+      // analysis, typed). Integral masses (token counts, byte sizes);
+      // null/<= 0 mass rows are unselectable — the family's mass law.
+      mixMassCol: Option[String] = None,
       // scrub-at-ingest: mask PII ([[Pii.redactColumn]]) BEFORE stage 1
       // so every downstream signal — quality, shingles, the dedup index,
       // leak grams, the shipped bytes the manifest certifies — is
@@ -86,6 +100,21 @@ object Release {
   private def scrubbed(df: DataFrame, textCol: String, params: ReleaseParams): DataFrame =
     if (params.piiMask) df.withColumn(textCol, Pii.redactColumn(col(textCol)))
     else df
+
+  /** Stage-4 training mix under the params' budget (count vs token
+    * mass — [[ReleaseParams.mixMassCol]]); shared by [[build]] and
+    * [[exportPacked]] so the one-shot and incremental releases ship
+    * the same composition (ReleaseSpec pins the export parity).
+    */
+  private def mixedTrain(
+      train: DataFrame, idCol: String, langCol: String,
+      params: ReleaseParams): DataFrame =
+    params.mixMassCol match {
+      case Some(m) =>
+        Sampling.temperatureMixByMass(train, idCol, langCol, m, params.mixAlpha)
+      case None =>
+        Sampling.temperatureMix(train, idCol, langCol, params.mixAlpha)
+    }
 
   def build(
       docs: DataFrame,
@@ -117,9 +146,8 @@ object Release {
 
     // 4: training mix on the train slice only; held-out splits ride
     // through untouched (they are the reference, not the mix)
-    val mixedTrain = Sampling.temperatureMix(
-      deLeaked.filter(col(SplitCol) === "train"), idCol, langCol, params.mixAlpha)
-    val corpus = mixedTrain
+    val corpus = mixedTrain(
+        deLeaked.filter(col(SplitCol) === "train"), idCol, langCol, params)
       .unionByName(deLeaked.filter(col(SplitCol) =!= "train"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -362,7 +390,7 @@ object Release {
     IncrementalRelease(
       path,
       index,
-      reopenEvalGrams(spark, path, data, textCol, params),
+      reopenEvalGrams(spark, path, data, textCol),
       spark.read.parquet(s"$path/manifest").localCheckpoint(),
       spark.read.parquet(s"$path/cardix").localCheckpoint())
   }
@@ -374,26 +402,49 @@ object Release {
     * splits — which contain exactly every eval doc that ever grew the
     * legacy artifact (eval rows are the reference: no gate drops them),
     * so the rebuild carries the same gram set, hashed — under the
-    * legacy artifact's own frozen width, and migrates the release
-    * directory IN PLACE so consumers that read `$path/evalgrams`
-    * directly ([[retroLeakageReport]]) work before the next turn's
-    * writeArtifacts would have persisted it anyway. The write is safe
-    * against self-reads: the rebuilt frame derives from `$path/data`
-    * only and is pinned (localCheckpoint) before the overwrite.
+    * legacy artifact's own frozen width (deliberately NOT
+    * `params.leakageN`: the width is the artifact's frozen parameter,
+    * read from its meta row — which is why this method takes no params
+    * at all), and migrates the release directory so consumers that
+    * read `$path/evalgrams` directly ([[retroLeakageReport]]) work
+    * before the next turn's writeArtifacts would have persisted it
+    * anyway.
+    *
+    * Crash safety (ADVICE r13 #2): a direct `mode("overwrite")` on the
+    * live directory deletes the legacy artifact BEFORE committing its
+    * replacement — a crash mid-write leaves `$path/evalgrams`
+    * missing/partial and the release can never reopen again. The
+    * migration therefore writes the full rebuilt artifact to a SIBLING
+    * directory first and swaps it in with two filesystem metadata ops
+    * (delete + rename — rename is atomic on HDFS and POSIX; there is
+    * no portable atomic replace-directory, so the vulnerable window is
+    * those two metadata ops instead of the whole parquet write, and a
+    * crash inside it leaves the complete artifact recoverable at the
+    * sibling path). Concurrency is NOT defended: two simultaneous
+    * reopens of the same legacy release race on the sibling directory —
+    * one-owner-per-release is the incremental design's standing
+    * contract (every turn already rewrites `$path`'s artifacts in
+    * place).
     */
   private def reopenEvalGrams(
       spark: SparkSession,
       path: String,
       data: DataFrame,
-      textCol: String,
-      params: ReleaseParams): DataFrame = {
+      textCol: String): DataFrame = {
     val stored = spark.read.parquet(s"$path/evalgrams")
     if (stored.columns.contains("gram_hash")) stored.localCheckpoint()
     else {
       val n = Contamination.evalGramMeta(stored) // legacy meta row carries n
       val rebuilt = Contamination.evalGramIndex(
         data.filter(col(SplitCol) =!= "train"), textCol, n).localCheckpoint()
-      rebuilt.write.mode("overwrite").parquet(s"$path/evalgrams")
+      val target = new org.apache.hadoop.fs.Path(s"$path/evalgrams")
+      val staging = new org.apache.hadoop.fs.Path(s"$path/evalgrams__migrating")
+      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      rebuilt.write.mode("overwrite").parquet(staging.toString)
+      fs.delete(target, true)
+      require(fs.rename(staging, target),
+        s"legacy eval-gram migration: rename $staging -> $target failed; " +
+          "the complete rebuilt artifact is at the staging path")
       rebuilt
     }
   }
@@ -412,8 +463,8 @@ object Release {
       langCol: String,
       params: ReleaseParams = ReleaseParams()): DataFrame = {
     val corpus = open(spark, path, idCol, textCol)
-    val mixed = Sampling.temperatureMix(
-        corpus.filter(col(SplitCol) === "train"), idCol, langCol, params.mixAlpha)
+    val mixed = mixedTrain(
+        corpus.filter(col(SplitCol) === "train"), idCol, langCol, params)
       .unionByName(corpus.filter(col(SplitCol) =!= "train"))
     mixed.join(
       Packing.packSequences(mixed, idCol, textCol,

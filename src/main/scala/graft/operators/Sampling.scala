@@ -195,7 +195,14 @@ object Sampling {
     * Scale shape: counts aggregate to |domains| rows and the factor
     * frame broadcasts back; the repeat itself is a per-row explode of
     * a bounded integer sequence — no shuffle of the corpus, output
-    * sized `sum(count_d * r_d)` by design.
+    * sized `sum(count_d * r_d)` by design. The corpus is scanned
+    * exactly TWICE end-to-end — once HERE for the domain profile
+    * (pinned driver-adjacent with a localCheckpoint: the frame is
+    * |weighted domains| rows) and once at action time for the output —
+    * never three times: the typed guard's eager collect and the output
+    * plan both read the pinned profile instead of each re-running the
+    * corpus aggregate (VERDICT r13 #2; exchange reuse does not span
+    * separate actions, a plan-shape fact not an AQE tunable).
     */
   def epochRepeats(
       df: DataFrame,
@@ -210,9 +217,14 @@ object Sampling {
     import spark.implicits._
     val wDf = weights.toSeq.sortBy(_._1).toDF(domainCol, "__w")
     val base = df.filter(col(idCol).isNotNull)
+    // ONE corpus scan feeds both the guard and the returned plan: the
+    // dimension-sized profile is materialized here (localCheckpoint —
+    // |weighted domains| rows), so the guard's collect below and the
+    // output's broadcast factors read the same pinned blocks
     val counts = base.groupBy(col(domainCol))
       .agg(count(lit(1)).cast("double").as("__n"))
       .join(broadcast(wDf), domainCol)
+      .localCheckpoint()
     val tRow = counts.select(max(col("__n") / col("__w")).as("__T"))
     val factors = counts.crossJoin(broadcast(tRow))
       .select(col(domainCol),
@@ -357,6 +369,77 @@ object Sampling {
       .groupBy(col(domainCol), col("__b"))
       .agg(sum(col("__m")).as("__bm"))
       .join(broadcast(wDf), domainCol)
+    massMixFiltered(df, base, idCol, domainCol, bucketMass)
+  }
+
+  /** Temperature-flattened mixing with the budget in TOKEN MASS (T97,
+    * r14 — the [[temperatureMix]] x [[mixToWeightsByMass]] composition
+    * VERDICT r13 asked for): keep mass proportional to `mass_d^alpha`,
+    * where `mass_d` is the domain's total token mass — the mBERT/XLM-R
+    * flattening rule applied to what training compute actually consumes
+    * instead of document count. Defined as [[mixToWeightsByMass]] with
+    * `weights = mass_d^alpha` computed from the SAME (domain, bucket)
+    * mass pass the mix needs anyway (`pow` on the dimension-sized
+    * totals — the only new math; thresholds, the cumulative-mass prefix
+    * cut, and the keep rule are literally [[mixToWeightsByMass]]'s
+    * shared expression, so `temperatureMixByMass(df, alpha)` equals
+    * `mixToWeightsByMass(df, weights = mass_d^alpha)` bit-for-bit —
+    * spec-pinned like the count twins).
+    *
+    * `alpha = 1` keeps everything (w = mass, so mass/w = 1.0 exactly
+    * for every domain — all binding); `alpha = 0` cuts every domain to
+    * the smallest's kept mass; between, rare domains keep
+    * proportionally more mass than the natural mix. Contracts from the
+    * family: null domains, null ids, and null/<= 0 mass rows are
+    * excluded ([[mixToWeightsByMass]] doc — the temperature form
+    * weights every OBSERVED domain, so only nulls drop).
+    *
+    * Plan shape at 100 TB: [[mixToWeightsByMass]]'s exactly — one
+    * (domain, bucket) aggregate (<= |domains| x 10000 rows, map-side
+    * combinable), dimension-frame-only windows, broadcast cutoffs, and
+    * the corpus never shuffles. The profile subtree feeds both the
+    * weight derivation and the cutoff join inside ONE action, where
+    * exchange reuse dedupes it (unlike [[epochRepeatsByMass]]'s guard
+    * there is no second action to re-pay it).
+    */
+  def temperatureMixByMass(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      massCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
+    val base = df
+      .filter(col(idCol).isNotNull && col(domainCol).isNotNull)
+      .withColumn("__m", col(massCol).cast("long"))
+      .filter(col("__m").isNotNull && col("__m") > 0)
+    val perBucket = base
+      .withColumn("__b", hashBucket(col(idCol)))
+      .groupBy(col(domainCol), col("__b"))
+      .agg(sum(col("__m")).as("__bm"))
+    val domainW = perBucket.groupBy(col(domainCol))
+      .agg(sum(col("__bm")).as("__mass"))
+      .select(col(domainCol),
+        pow(col("__mass").cast("double"), lit(alpha)).as("__w"))
+    massMixFiltered(df, base, idCol, domainCol,
+      perBucket.join(broadcast(domainW), domainCol))
+  }
+
+  /** Shared tail of [[mixToWeightsByMass]] / [[temperatureMixByMass]]:
+    * per-domain totals, the binding-domain min, the cumulative-mass
+    * prefix cutoffs, and the scan-side keep rule, over a
+    * `(domainCol, __b, __bm, __w)` profile. ONE expression shape on
+    * purpose — the [[mixFiltered]] rationale verbatim: the temperature
+    * form is DEFINED as the weighted form with `mass^alpha` weights,
+    * and differently-associated float math could cut a different
+    * bucket, making the equivalence spec flaky instead of exact.
+    */
+  private def massMixFiltered(
+      df: DataFrame,
+      base: DataFrame,
+      idCol: String,
+      domainCol: String,
+      bucketMass: DataFrame): DataFrame = {
     val totals = bucketMass.groupBy(col(domainCol), col("__w"))
       .agg(sum(col("__bm")).as("__md"))
     val tRow = totals.select(min(col("__md").cast("double") / col("__w")).as("__T"))
@@ -420,7 +503,11 @@ object Sampling {
     *
     * Scale shape: [[mixToWeightsByMass]]'s exactly — the corpus never
     * shuffles; the explode emits `sum(mass-weighted r_d)` rows by
-    * design.
+    * design. Like [[epochRepeats]] the corpus is scanned exactly TWICE
+    * (once here for the pinned (domain, bucket) profile — at most
+    * |domains| x 10000 rows — once at action time): the guard and the
+    * cutoffs both derive from the localCheckpoint'd profile instead of
+    * each re-running the corpus aggregate (VERDICT r13 #2).
     */
   def epochRepeatsByMass(
       df: DataFrame,
@@ -439,11 +526,14 @@ object Sampling {
       .filter(col(idCol).isNotNull)
       .withColumn("__m", col(massCol).cast("long"))
       .filter(col("__m").isNotNull && col("__m") > 0)
+    // ONE corpus scan feeds guard + cutoffs + copies: the (domain,
+    // bucket) profile — at most |domains| x 10000 rows — is pinned here
     val bucketMass = base
       .withColumn("__b", hashBucket(col(idCol)))
       .groupBy(col(domainCol), col("__b"))
       .agg(sum(col("__m")).as("__bm"))
       .join(broadcast(wDf), domainCol)
+      .localCheckpoint()
     val totals = bucketMass.groupBy(col(domainCol), col("__w"))
       .agg(sum(col("__bm")).as("__md"))
     val tRow = totals.select(max(col("__md").cast("double") / col("__w")).as("__T"))

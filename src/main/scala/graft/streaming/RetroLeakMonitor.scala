@@ -63,7 +63,12 @@ object RetroLeakMonitor {
 
     /** The newest cadence report, if a cadence point has passed: one
       * row per retroactively-leaky SHIPPED train doc (idCol,
-      * `overlap_ngrams`), content pinned at the cadence point.
+      * `overlap_ngrams`), content pinned at the cadence point. A
+      * SUPERSEDED report's checkpoint blocks are freed when the next
+      * cadence point replaces it (ADVICE r13 #5 — on a long-running
+      * stream the stale pins would otherwise accumulate in executor
+      * storage until GC): consume each report before the next cadence
+      * point, or copy it (`collect`/write) if it must outlive one.
       */
     def lastReport: Option[DataFrame] = synchronized(last)
 
@@ -77,6 +82,8 @@ object RetroLeakMonitor {
         val report = Release.retroLeakageReport(
           spark, path, idCol, textCol, maxOverlapNgrams, broadcastIndex)
           .localCheckpoint()
+        // free the superseded report's pinned blocks (see lastReport doc)
+        last.foreach(_.unpersist())
         last = Some(report)
         onReport(report)
       }

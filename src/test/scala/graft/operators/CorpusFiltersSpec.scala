@@ -119,6 +119,55 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(out.collect().map(_.getLong(0)).toSet == Set(1L, 4L))
   }
 
+  test("temperatureMixByMass (T97): == mixToWeightsByMass with mass^alpha weights; alpha endpoints") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select($"doc_id", $"lang", length($"text").cast("long").as("mass"))
+    val masses = docs.filter($"lang".isNotNull && $"mass" > 0)
+      .groupBy("lang").agg(sum("mass").as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the closed form IS mixToWeightsByMass with w_d = mass_d^alpha:
+    // same kept set, bit-for-bit (the temperatureMix == mixToWeights
+    // law, lifted to the mass family)
+    for (alpha <- Seq(0.0, 0.3, 0.5, 0.7)) {
+      val viaTemp = Sampling.temperatureMixByMass(docs, "doc_id", "lang", "mass", alpha)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val viaMix = Sampling.mixToWeightsByMass(docs, "doc_id", "lang", "mass",
+        masses.map { case (d, m) => d -> math.pow(m.toDouble, alpha) })
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(viaTemp == viaMix,
+        s"alpha=$alpha: closed form diverged from mixToWeightsByMass")
+    }
+    // alpha = 1: w = mass, mass/w = 1.0 exactly for every domain — all
+    // binding, every sampleable row survives (the natural mix identity)
+    val sampleable = docs
+      .filter($"doc_id".isNotNull && $"lang".isNotNull && $"mass" > 0).count()
+    assert(Sampling.temperatureMixByMass(docs, "doc_id", "lang", "mass", 1.0)
+      .count() == sampleable)
+    // the rare domain's kept-MASS share grows as alpha falls (the
+    // flattening is in mass space, not doc count)
+    def rareMassShare(a: Double): Double = {
+      val kept = Sampling.temperatureMixByMass(docs, "doc_id", "lang", "mass", a)
+        .groupBy("lang").agg(sum("mass").as("m")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      kept.getOrElse(masses.minBy(_._2)._1, 0L).toDouble / kept.values.sum
+    }
+    assert(rareMassShare(0.0) > rareMassShare(0.5) &&
+      rareMassShare(0.5) > rareMassShare(1.0))
+  }
+
+  test("temperatureMixByMass: null id/domain and non-positive mass unselectable") {
+    val df = Seq(
+      (Option(1L), Option("a"), Option(10L)), (Option(2L), Option("a"), Option(0L)),
+      (Option(3L), Option("a"), Option.empty[Long]),
+      (Option.empty[Long], Option("a"), Option(5L)),
+      (Option(4L), Option.empty[String], Option(5L)),
+      (Option(5L), Option("b"), Option(7L)))
+      .toDF("id", "dom", "mass")
+    // alpha = 1: keeps exactly the sampleable rows — the contract rows drop
+    val out = Sampling.temperatureMixByMass(df, "id", "dom", "mass", 1.0)
+    assert(out.collect().map(_.getLong(0)).toSet == Set(1L, 5L))
+  }
+
   test("mixToWeights hits target proportions, binding domain keeps all") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val weights = Map("en" -> 0.5, "es" -> 0.3, "de" -> 0.2)

@@ -135,6 +135,59 @@ class ReleaseSpec extends SparkSpec {
     res.unpersist(); core.unpersist()
   }
 
+  test("mixMassCol (T97): build == hand-chain with temperatureMixByMass; exportPacked ships the same mass mix") {
+    // the mass column is an input column: it rides curation, ships with
+    // the release, and exportPacked reads it back from the verified corpus
+    val massTrain = train.withColumn("mass",
+      size(TextAnalysis.tokens($"text")).cast("long"))
+    val p = params.copy(mixMassCol = Some("mass"))
+
+    val path = tmp("rel_massmix")
+    val res = Release.build(massTrain, bench, "doc_id", "text", "lang", path, p)
+    val core = Curation.curateCore(massTrain, bench, "doc_id", "text", p.curation)
+    val split = Sampling.assignSplit(core.docs, "doc_id", 0.8, 0.1)
+    val deLeaked = Contamination.removeSplitLeakage(split, "doc_id", "text", "split",
+      maxOverlapNgrams = 100L)
+    val mixed = Sampling.temperatureMixByMass(
+        deLeaked.filter($"split" === "train"), "doc_id", "lang", "mass", 0.5)
+      .unionByName(deLeaked.filter($"split" =!= "train"))
+    val want = mixed.join(
+      Packing.packSequences(mixed, "doc_id", "text",
+        p.curation.packBudget, p.curation.packShards),
+      Seq("doc_id"))
+    assert(res.docs.count() > 0, "fixture must release something")
+    assert(res.docs.exceptAll(want.select(res.docs.columns.map(col): _*)).isEmpty &&
+      want.select(res.docs.columns.map(col): _*).exceptAll(res.docs).isEmpty,
+      "mass-budgeted release must equal the hand-chained mass mix bit-for-bit")
+    // the knob actually changes the composition on this fixture (a
+    // count-budgeted release of the same inputs keeps a different set)
+    val countRes = Release.build(massTrain, bench, "doc_id", "text", "lang",
+      tmp("rel_countmix"), params)
+    assert(res.docs.select("doc_id").exceptAll(countRes.docs.select("doc_id")).count() +
+      countRes.docs.select("doc_id").exceptAll(res.docs.select("doc_id")).count() > 0,
+      "fixture must distinguish mass from count budgeting or it proves nothing")
+    res.unpersist(); core.unpersist(); countRes.unpersist()
+
+    // export parity: the incremental path's export-time mix uses the
+    // SAME knob — exportPacked == open + temperatureMixByMass + pack
+    val ipath = tmp("rel_massmix_inc")
+    val st = Release.initIncremental(massTrain, bench, "doc_id", "text", "lang", ipath, p)
+    val exported = Release.exportPacked(spark, ipath, "doc_id", "text", "lang", p)
+    val corpus = Release.open(spark, ipath, "doc_id", "text")
+    val mixedExp = Sampling.temperatureMixByMass(
+        corpus.filter($"split" === "train"), "doc_id", "lang", "mass", 0.5)
+      .unionByName(corpus.filter($"split" =!= "train"))
+    val wantExp = mixedExp.join(
+      Packing.packSequences(mixedExp, "doc_id", "text",
+        p.curation.packBudget, p.curation.packShards),
+      Seq("doc_id"))
+    assert(exported.count() > 0)
+    assert(exported.exceptAll(wantExp.select(exported.columns.map(col): _*)).isEmpty &&
+      wantExp.select(exported.columns.map(col): _*).exceptAll(exported).isEmpty,
+      "exportPacked must ship the mass mix under the same knob")
+    st.unpersist()
+  }
+
   test("incremental release lifecycle: accumulate verified, artifacts == rebuilds, cross-turn leak + dup dropped, restart = compaction") {
     val path = tmp("rel_inc")
     // pick plant ids BY SPLIT FATE (membership is a pure md5 function

@@ -1237,6 +1237,30 @@ class SamplingSpec extends SparkSpec {
     assert(out.select(max($"epoch")).as[Int].head() == 1)
   }
 
+  test("epochRepeats/epochRepeatsByMass: the returned plan scans the corpus exactly once (VERDICT r13 #2)") {
+    // The typed maxRepeat guard collects the (domain[, bucket]) profile
+    // eagerly; before r14 the returned plan re-derived its copies and
+    // cutoffs from the same aggregate subtree, re-running the corpus
+    // aggregate at action time (exchange reuse does not span separate
+    // actions). The profile is now localCheckpoint'd at call time: the
+    // guard and the output read the same pinned dimension-sized frame,
+    // so the returned plan holds exactly ONE scan of the corpus
+    // relation — the row-explode scan — and every aggregate in it runs
+    // over pinned dimension-grain rows.
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select($"doc_id", $"lang", length($"text").cast("long").as("mass"))
+    def corpusScans(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case p if p.getClass.getSimpleName == "LogicalRelation" ||
+          p.getClass.getSimpleName == "DataSourceV2Relation" => p
+      }.size
+    val w = Map("en" -> 1.0, "es" -> 2.0)
+    assert(corpusScans(Sampling.epochRepeats(docs, "doc_id", "lang", w)) == 1,
+      "epochRepeats output must not re-scan the corpus for its factors")
+    assert(corpusScans(Sampling.epochRepeatsByMass(docs, "doc_id", "lang", "mass", w)) == 1,
+      "epochRepeatsByMass output must not re-scan the corpus for its profile")
+  }
+
   test("epochRepeatsByMass (T96): per-doc copies equal the mass-prefix reference; binding once; exclusions") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select($"doc_id", $"lang", length($"text").cast("long").as("mass"))
