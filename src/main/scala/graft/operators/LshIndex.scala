@@ -166,13 +166,20 @@ object LshIndex {
       .withColumn("sig",
         udf(TextDedup.sigFromHashesKernel(numPerm, seed)).apply(col("sh")))
       .persist()
-    docs.count()
+    // no eager docs.count(): the builtDropped count below is the first
+    // action over this subtree and fills the persist in the same pass
+    // (an explicit count was one extra scheduled job per build — the
+    // r11 lshCore rule applied here, r14)
 
     val entriesRaw = docs.select(
       col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bucketOf(col("sig"), rows, portableHash))).as(Seq("band", "bucket")))
+    // persisted: consumed by the dropped-bucket count here AND by the
+    // entry-row cap join inside the final index materialization — left
+    // lazy, the final count re-ran the whole bucket aggregate (r14)
     val counts = entriesRaw.groupBy("band", "bucket").agg(count(lit(1)).as("cnt"))
+      .persist()
     val builtDropped = counts.filter(col("cnt") > maxBucketSize).count()
     val entries = entriesRaw
       .join(counts.filter(col("cnt") <= maxBucketSize), Seq("band", "bucket"))
@@ -199,6 +206,7 @@ object LshIndex {
 
     val index = metaRow.unionAll(docRows).unionAll(entryRows).persist()
     index.count()
+    counts.unpersist()
     docs.unpersist()
     pruned.unpersist()
     index
@@ -738,7 +746,10 @@ object LshIndex {
 
     val entries = index.filter(col("band") >= 0)
       .select(col(idCol), col("band"), col("bucket"))
+    // persisted: read by the dropped count AND the entry-row cap join in
+    // the final materialization (the build()-side rule, r14)
     val counts = entries.groupBy("band", "bucket").agg(count(lit(1)).as("cnt"))
+      .persist()
     val dropped = counts.filter(col("cnt") > m.maxBucketSize).count()
     val entryRows = entries
       .join(counts.filter(col("cnt") <= m.maxBucketSize), Seq("band", "bucket"))
@@ -767,6 +778,7 @@ object LshIndex {
       .unionAll(entryRows.select(index.columns.map(col): _*))
       .persist()
     compacted.count()
+    counts.unpersist()
     docs.unpersist()
     compacted
   }

@@ -28,11 +28,18 @@ object SelfJoin {
       payloadCols: Seq[String],
       chunkSize: Int = 500): DataFrame = {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(idCol))
-    val chunked = df
+    // The group's last chunk id comes from a COUNT window over the same
+    // partitioning (chunk ids are contiguous from 0, so it is
+    // ceil(n/chunkSize) - 1 == max(__chunk)) — same exchange, same sort,
+    // zero extra passes; the former groupBy(max) + join shape re-ran the
+    // whole window subtree per join side and built one more broadcast
+    // per call (optimization guide §2.4: operations keyed the same way
+    // share one exchange).
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val withN = df
       .withColumn("__chunk", ((row_number().over(w) - 1) / chunkSize).cast("int"))
-    val maxChunk = chunked.groupBy(groupCols.map(col): _*)
-      .agg(max(col("__chunk")).as("__maxc"))
-    val withN = chunked.join(maxChunk, groupCols)
+      .withColumn("__maxc",
+        (((count(lit(1)).over(wAll) - 1) / chunkSize).cast("int")))
 
     // member of chunk c participates as the "a" side in cells (c, c..maxc)
     // and as the "b" side in cells (0..c, c): each unordered chunk pair

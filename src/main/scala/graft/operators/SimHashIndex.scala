@@ -144,13 +144,17 @@ object SimHashIndex {
       .persist()
     val nDocs = docs.count()
     val entriesRaw = segRows(docs, idCol, segments)
+    // persisted: the dropped count and the final index materialization
+    // both read it — left lazy, the bucket aggregate ran twice (r14)
     val counts = entriesRaw.groupBy("seg", "value").agg(count(lit(1)).as("cnt"))
+      .persist()
     val builtDropped = counts.filter(col("cnt") > maxBucketSize).count()
     val entries = entriesRaw
       .join(counts.filter(col("cnt") <= maxBucketSize), Seq("seg", "value"))
     val meta = Meta(segments, hasherName(hasher), maxBucketSize, builtDropped, nDocs)
     val index = indexRows(df, idCol, meta, docs, entries).persist()
     index.count()
+    counts.unpersist()
     docs.unpersist()
     index
   }

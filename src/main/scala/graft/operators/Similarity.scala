@@ -779,7 +779,11 @@ object Similarity {
     expanded.count()
     val bucketSizes = expanded.groupBy("__bucket").count().persist()
     val droppedBuckets = bucketSizes.filter(col("count") > maxBucketSize).count()
-    val small = bucketSizes.filter(col("count") <= maxBucketSize).select("__bucket")
+    // cnt >= 2: singleton buckets cannot pair (the TextDedup.lshCore
+    // argument) — the pair set is unchanged, the self-join window's
+    // shuffle drops its singleton rows
+    val small = bucketSizes.filter(col("count") <= maxBucketSize && col("count") >= 2)
+      .select("__bucket")
     val pruned = expanded.join(small, Seq("__bucket"))
     val candidates = SelfJoin.pairsWithinGroups(
         pruned, Seq("__bucket"), idCol, payloadCols = Seq.empty, chunkSize = chunkSize)

@@ -385,7 +385,13 @@ object TextDedup {
     // result so callers can see the recall trade actually taken.
     val bucketSizes = banded.groupBy("__band", "__bucket").count().persist()
     val droppedBuckets = bucketSizes.filter(col("count") > maxBucketSize).count()
-    val smallBuckets = bucketSizes.filter(col("count") <= maxBucketSize)
+    // cnt >= 2: a singleton bucket can never produce a pair, and on real
+    // corpora MOST band-buckets are singletons (53,960 buckets for 80k
+    // banded rows at sf0.1) — dropping them here removes the majority of
+    // the rows shuffled into the chunked self-join's window without
+    // changing the pair set (guide §2.3: shuffle fewer bytes).
+    val smallBuckets = bucketSizes
+      .filter(col("count") <= maxBucketSize && col("count") >= 2)
       .select("__band", "__bucket")
     val pruned = banded.join(smallBuckets, Seq("__band", "__bucket"))
     // chunked join: bounded key groups regardless of bucket skew
@@ -767,7 +773,11 @@ object TextDedup {
       col(idCol),
       posexplode(array(simHashSegments(col("__h"), k): _*)).as(Seq("__seg", "__val")))
     val bucketSizes = exploded.groupBy("__seg", "__val").count()
-    val small = bucketSizes.filter(col("count") <= maxBucketSize).select("__seg", "__val")
+    // cnt >= 2: singleton segment buckets cannot pair (same argument as
+    // the MinHash path — the pair set is unchanged, the window shuffle
+    // drops its singleton majority)
+    val small = bucketSizes.filter(col("count") <= maxBucketSize && col("count") >= 2)
+      .select("__seg", "__val")
     val pruned = exploded.join(small, Seq("__seg", "__val"))
     val cands = SelfJoin.pairsWithinGroups(
         pruned, Seq("__seg", "__val"), idCol, payloadCols = Seq.empty, chunkSize)
