@@ -302,11 +302,26 @@ object Sampling {
       domainCol: String,
       alpha: Double): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
-    val counts = df.filter(col(domainCol).isNotNull)
-      .groupBy(col(domainCol))
-      .agg(count(lit(1)).cast("double").as("__n"))
-      .withColumn("__w", pow(col("__n"), lit(alpha)))
-    mixFiltered(df, idCol, domainCol, counts)
+    // alpha = 1 is the exact identity on non-null rows BY THE ALGEBRA
+    // (w = n^1 = n exactly — Math.pow(x, 1.0) == x is specified — so
+    // n/w == 1.0 == T for every domain and each takes the keep-all
+    // equality branch; a null id's hashBucket compare is null and
+    // drops the row). Short-circuiting skips the corpus count pass and
+    // the threshold join the full plan pays to compute that identity —
+    // the release default (mixAlpha = 1.0) runs this branch, so every
+    // release turn saves one corpus aggregate (guide §1.2: don't
+    // compute things you throw away). Bit-equal kept set, pinned by
+    // SamplingSpec.
+    if (alpha == 1.0)
+      df.filter(col(domainCol).isNotNull && col(idCol).isNotNull)
+        .select(df.columns.map(col): _*)
+    else {
+      val counts = df.filter(col(domainCol).isNotNull)
+        .groupBy(col(domainCol))
+        .agg(count(lit(1)).cast("double").as("__n"))
+        .withColumn("__w", pow(col("__n"), lit(alpha)))
+      mixFiltered(df, idCol, domainCol, counts)
+    }
   }
 
   /** Token-mass mixing (T96, r13) — [[mixToWeights]] with the budget in
@@ -413,16 +428,25 @@ object Sampling {
       .filter(col(idCol).isNotNull && col(domainCol).isNotNull)
       .withColumn("__m", col(massCol).cast("long"))
       .filter(col("__m").isNotNull && col("__m") > 0)
-    val perBucket = base
-      .withColumn("__b", hashBucket(col(idCol)))
-      .groupBy(col(domainCol), col("__b"))
-      .agg(sum(col("__m")).as("__bm"))
-    val domainW = perBucket.groupBy(col(domainCol))
-      .agg(sum(col("__bm")).as("__mass"))
-      .select(col(domainCol),
-        pow(col("__mass").cast("double"), lit(alpha)).as("__w"))
-    massMixFiltered(df, base, idCol, domainCol,
-      perBucket.join(broadcast(domainW), domainCol))
+    // alpha = 1 keeps every selectable row exactly (w = mass^1 = mass,
+    // so mass/w == 1.0 == T for all domains — the keep-all equality
+    // branch; Math.pow(x, 1.0) == x is specified) — short-circuit past
+    // the (domain, bucket) mass pass and cutoff join, the count twin's
+    // rule (r14). Null/<= 0 mass rows stay excluded: base IS the
+    // family's selectable set.
+    if (alpha == 1.0) base.select(df.columns.map(col): _*)
+    else {
+      val perBucket = base
+        .withColumn("__b", hashBucket(col(idCol)))
+        .groupBy(col(domainCol), col("__b"))
+        .agg(sum(col("__m")).as("__bm"))
+      val domainW = perBucket.groupBy(col(domainCol))
+        .agg(sum(col("__bm")).as("__mass"))
+        .select(col(domainCol),
+          pow(col("__mass").cast("double"), lit(alpha)).as("__w"))
+      massMixFiltered(df, base, idCol, domainCol,
+        perBucket.join(broadcast(domainW), domainCol))
+    }
   }
 
   /** Shared tail of [[mixToWeightsByMass]] / [[temperatureMixByMass]]:
