@@ -18,22 +18,6 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
-  /** Bloom prefilter bound for the SHUFFLED gram joins (guide §3.2):
-    * when the eval/benchmark gram set is below this many distinct
-    * grams, a Bloom filter over it (1% fpp ≈ 9.6 bits per gram —
-    * ~160 MB at the bound, a broadcast-class object) drops
-    * definitely-non-matching train grams BEFORE the exchange. Most
-    * train grams match nothing (overlap is the exception, not the
-    * rule), so the dominant exploded-train side shrinks by orders of
-    * magnitude before it is shuffled. False positives only pass a few
-    * extra rows to the exact join — results are bit-identical — and
-    * there are no false negatives. Past the bound the join runs as
-    * before (shuffled, AQE-skew-eligible): a filter that no longer
-    * fits executor memory would trade an OOM for a shuffle, the wrong
-    * direction at exactly the scale this operator exists for.
-    */
-  val DefaultMaxBloomGrams: Long = 1L << 27
-
   /** Per-training-doc overlap stats against `bench`.
     *
     * @return one row per `train` doc: idCol, `total_ngrams` (distinct
@@ -51,31 +35,10 @@ object Contamination {
     // Kernel form: this runs once per row over the full 100-TB corpus,
     // where the interpreted-HOF expression form is a linear CPU tax.
     val grams = TextDedup.shinglesKernel(col(textCol), n)
-    if (broadcastBench) {
-      val benchGrams = broadcast(bench.select(explode(grams).as("__g")).distinct())
-      // One scan AND one kernel evaluation per training row: explode the
-      // gram set (explode_outer keeps gram-less docs as a null row), mark
-      // benchmark hits with a left join, and recover BOTH counts in the
-      // fold-back aggregate — count(__g) skips the null row, so it equals
-      // the doc's distinct-gram total without a second size(grams)
-      // evaluation (Project and Generate don't share subexpressions, so
-      // the earlier size+explode shape shingled every doc twice).
-      train
-        .select(col(idCol), explode_outer(grams).as("__g"))
-        .join(benchGrams.withColumn("__hit", lit(1L)), Seq("__g"), "left")
-        .groupBy(col(idCol))
-        .agg(
-          count(col("__g")).as("total_ngrams"),
-          sum(coalesce(col("__hit"), lit(0L))).as("overlap_ngrams"))
-        .select(
-          col(idCol),
-          col("total_ngrams"),
-          col("overlap_ngrams"),
-          when(col("total_ngrams") > 0,
-            col("overlap_ngrams").cast("double") / col("total_ngrams").cast("double"))
-            .otherwise(lit(0.0)).as("contamination"))
-    } else {
-      val benchGrams = {
+    val benchGrams =
+      if (broadcastBench)
+        broadcast(bench.select(explode(grams).as("__g")).distinct())
+      else {
         // Shuffled path, skew-eligible shape (r11): boilerplate grams
         // are Zipfian, so at scale a hot gram concentrates one reducer
         // of the gram join — the remedy is AQE's OptimizeSkewedJoin,
@@ -93,66 +56,42 @@ object Contamination {
         // eval gram set (the minimal side); buys: the dominant
         // exploded-train side becomes AQE-skew-splittable
         // (spec-pinned, planted-hot-gram corpus).
+        // r15: the r14 Bloom prefilter here (eager benchGrams.count() +
+        // stat.bloomFilter + interpreted-UDF scan filter + a second
+        // size(grams) totals pass) measured 1.3-3x SLOWER on every
+        // contamination-family query — two extra driver-blocking
+        // actions and a doubled shingle kernel swamped the shuffle
+        // saving at every tested scale. Reverted to this one-pass
+        // left-join; Spark 4.1's runtime bloom-filter join injection
+        // (spark.sql.optimizer.runtime.bloomFilter.enabled, on by
+        // default) already covers the scan-side prune when the
+        // creation side is small enough to be worth it.
         bench.select(explode(grams).as("__g"))
           .select(col("__g"), crc32(col("__g")).as("__gsalt"))
           .distinct()
           .select("__g")
-      }.persist() // read twice: the Bloom build and the exact hit join
-      // Bloom prefilter (guide §3.2, [[DefaultMaxBloomGrams]]): overlap
-      // is the exception, so most exploded train grams match nothing —
-      // dropping them scan-side spares the dominant side of the gram
-      // exchange. The per-doc TOTAL then comes from a separate id-grain
-      // aggregate of size(grams) (map-side combinable — the shuffle
-      // carries one row per doc, not one per gram), and only
-      // Bloom-surviving grams reach the exact join, whose verdict is
-      // unchanged (false positives drop in the join; no false
-      // negatives exist). Above the bound the original one-pass
-      // left-join shape runs unchanged.
-      val nBench = benchGrams.count()
-      val result =
-        if (nBench > 0 && nBench <= DefaultMaxBloomGrams) {
-          val bf = benchGrams.stat.bloomFilter("__g", math.max(nBench, 1L), 0.01)
-          val bfB = train.sparkSession.sparkContext.broadcast(bf)
-          val mightHit = udf((g: String) => g != null && bfB.value.mightContainString(g))
-          val totals = train
-            .select(col(idCol),
-              org.apache.spark.sql.functions.size(grams).cast("long").as("__n"))
-            .groupBy(col(idCol))
-            .agg(sum(col("__n")).as("total_ngrams"))
-          val hits = train
-            .select(col(idCol).as("__hid"), explode(grams).as("__g"))
-            .filter(mightHit(col("__g")))
-            .join(benchGrams, Seq("__g"))
-            .groupBy(col("__hid"))
-            .agg(count(lit(1)).as("__ov"))
-          totals
-            .join(hits, totals(idCol) <=> col("__hid"), "left")
-            .select(
-              totals(idCol),
-              col("total_ngrams"),
-              coalesce(col("__ov"), lit(0L)).as("overlap_ngrams"),
-              when(col("total_ngrams") > 0,
-                coalesce(col("__ov"), lit(0L)).cast("double")
-                  / col("total_ngrams").cast("double"))
-                .otherwise(lit(0.0)).as("contamination"))
-        } else {
-          train
-            .select(col(idCol), explode_outer(grams).as("__g"))
-            .join(benchGrams.withColumn("__hit", lit(1L)), Seq("__g"), "left")
-            .groupBy(col(idCol))
-            .agg(
-              count(col("__g")).as("total_ngrams"),
-              sum(coalesce(col("__hit"), lit(0L))).as("overlap_ngrams"))
-            .select(
-              col(idCol),
-              col("total_ngrams"),
-              col("overlap_ngrams"),
-              when(col("total_ngrams") > 0,
-                col("overlap_ngrams").cast("double") / col("total_ngrams").cast("double"))
-                .otherwise(lit(0.0)).as("contamination"))
-        }
-      result
-    }
+      }
+    // One scan AND one kernel evaluation per training row: explode the
+    // gram set (explode_outer keeps gram-less docs as a null row), mark
+    // benchmark hits with a left join, and recover BOTH counts in the
+    // fold-back aggregate — count(__g) skips the null row, so it equals
+    // the doc's distinct-gram total without a second size(grams)
+    // evaluation (Project and Generate don't share subexpressions, so
+    // the earlier size+explode shape shingled every doc twice).
+    train
+      .select(col(idCol), explode_outer(grams).as("__g"))
+      .join(benchGrams.withColumn("__hit", lit(1L)), Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("__g")).as("total_ngrams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("overlap_ngrams"))
+      .select(
+        col(idCol),
+        col("total_ngrams"),
+        col("overlap_ngrams"),
+        when(col("total_ngrams") > 0,
+          col("overlap_ngrams").cast("double") / col("total_ngrams").cast("double"))
+          .otherwise(lit(0.0)).as("contamination"))
   }
 
   /** Split-leakage removal — [[ngramContamination]] pointed at the
@@ -424,59 +363,21 @@ object Contamination {
       broadcastIndex: Boolean = false): DataFrame = {
     requireHashedArtifact(index)
     val n = evalGramMeta(index)
+    // r15: the r14 Bloom prefilter on this probe (eager count() +
+    // stat.bloomFilter per call, interpreted-UDF scan filter) measured
+    // slower across the whole release family (q111 x0.39, q122 x0.32) —
+    // reverted to the one-pass left join below; the runtime bloom-filter
+    // join injection covers the scan-side prune where it pays.
     val gramsRaw = index.filter(col("kind") === EvalGramKind)
       .select(col("gram_hash").as("__gh"))
-    if (broadcastIndex)
-      train
-        .select(col(idCol),
-          explode_outer(TextDedup.shinglesKernel(col(textCol), n)).as("__g"))
-        .select(col(idCol), TextDedup.md5TokenHash64(col("__g")).as("__gh"))
-        .join(broadcast(gramsRaw).withColumn("__hit", lit(1L)), Seq("__gh"), "left")
-        .groupBy(col(idCol))
-        .agg(sum(coalesce(col("__hit"), lit(0L))).as("overlap_ngrams"))
-    else {
-      // Bloom prefilter on the artifact probe (guide §3.2, same shape
-      // as [[ngramContamination]]'s shuffled branch): the artifact is
-      // ALREADY the distinct hash set, so its row count sizes the
-      // filter exactly; train grams that cannot match never reach the
-      // exchange, the per-doc frame (one row per doc, not per gram)
-      // carries the ids, and only Bloom survivors pay the exact join.
-      // Past [[DefaultMaxBloomGrams]] the original one-pass left join
-      // runs unchanged (AQE-skew-eligible). No persist here: the
-      // artifact is already materialized storage (parquet or a
-      // checkpointed frame) and each read is one columnar scan of the
-      // hash column.
-      val evalGrams = gramsRaw
-      val nGrams = evalGrams.count()
-      val result =
-        if (nGrams > 0 && nGrams <= DefaultMaxBloomGrams) {
-          val bf = evalGrams.stat.bloomFilter("__gh", math.max(nGrams, 1L), 0.01)
-          val bfB = train.sparkSession.sparkContext.broadcast(bf)
-          val mightHit = udf((h: java.lang.Long) =>
-            h != null && bfB.value.mightContainLong(h))
-          val ids = train.select(col(idCol)).groupBy(col(idCol)).agg(count(lit(1)))
-            .select(col(idCol))
-          val hits = train
-            .select(col(idCol).as("__hid"),
-              explode(TextDedup.shinglesKernel(col(textCol), n)).as("__g"))
-            .select(col("__hid"), TextDedup.md5TokenHash64(col("__g")).as("__gh"))
-            .filter(mightHit(col("__gh")))
-            .join(evalGrams, Seq("__gh"))
-            .groupBy(col("__hid"))
-            .agg(count(lit(1)).as("__ov"))
-          ids
-            .join(hits, ids(idCol) <=> col("__hid"), "left")
-            .select(ids(idCol), coalesce(col("__ov"), lit(0L)).as("overlap_ngrams"))
-        } else
-          train
-            .select(col(idCol),
-              explode_outer(TextDedup.shinglesKernel(col(textCol), n)).as("__g"))
-            .select(col(idCol), TextDedup.md5TokenHash64(col("__g")).as("__gh"))
-            .join(evalGrams.withColumn("__hit", lit(1L)), Seq("__gh"), "left")
-            .groupBy(col(idCol))
-            .agg(sum(coalesce(col("__hit"), lit(0L))).as("overlap_ngrams"))
-      result
-    }
+    val evalGrams = if (broadcastIndex) broadcast(gramsRaw) else gramsRaw
+    train
+      .select(col(idCol),
+        explode_outer(TextDedup.shinglesKernel(col(textCol), n)).as("__g"))
+      .select(col(idCol), TextDedup.md5TokenHash64(col("__g")).as("__gh"))
+      .join(evalGrams.withColumn("__hit", lit(1L)), Seq("__gh"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("overlap_ngrams"))
   }
 
   def removeSplitLeakageAgainst(

@@ -105,31 +105,31 @@ object TextAnalysis {
       df: DataFrame,
       textCol: String,
       domainCol: String): DataFrame = {
-    // ONE corpus pass (r14): the former totals + vocab pair scanned the
-    // corpus twice, paying the tokenize and quality kernels per pass.
-    // posexplode_outer gives every doc at least one row (empty token
-    // sets surface as a null-pos row), so the per-doc aggregates fold
-    // over exactly the first exploded row of each doc while the
-    // distinct-token count folds over the token rows — one scan, one
-    // kernel evaluation, one (Expand-based) aggregate.
-    val first = col("__pos").isNull || col("__pos") === 0
-    df.select(
-        col(domainCol),
-        qualityScore(col(textCol)).as("__q"),
-        tokens(col(textCol)).as("__toks"))
-      .select(col(domainCol), col("__q"),
-        org.apache.spark.sql.functions.size(col("__toks")).cast("long").as("__n"),
-        posexplode_outer(col("__toks")).as(Seq("__pos", "__t")))
+    // Two-aggregate shape, kept deliberately (r15): the r14 one-pass
+    // posexplode_outer rewrite folded everything into one aggregate,
+    // but countDistinct alongside the other aggregates plans an Expand
+    // that DOUBLES every exploded token row into the aggregate — the
+    // bench measured the whole dataCard family 1.3-1.7x slower at 8
+    // and 32 cores. Two dimension-sized aggregates it is.
+    val base = df.select(
+      col(domainCol),
+      tokens(col(textCol)).as("__toks"),
+      qualityScore(col(textCol)).as("__q"))
+    val totals = base.groupBy(col(domainCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(org.apache.spark.sql.functions.size(col("__toks")).cast("long"))
+        .as("n_tokens"),
+      sum(round(col("__q") * 1000000).cast("long")).as("quality_micro"))
+    val vocab = base
+      .select(col(domainCol), explode(col("__toks")).as("__t"))
       .groupBy(col(domainCol))
-      .agg(
-        count(when(first, lit(1))).as("n_docs"),
-        coalesce(sum(when(first, col("__n"))), lit(0L)).as("n_tokens"),
-        countDistinct(col("__t")).as("distinct_tokens"),
-        sum(when(first, round(col("__q") * 1000000).cast("long"))).as("quality_micro"))
+      .agg(countDistinct(col("__t")).as("distinct_tokens"))
+    totals.join(vocab, Seq(domainCol), "left")
       .select(
-        col(domainCol), col("n_docs"), col("n_tokens"), col("distinct_tokens"),
+        col(domainCol), col("n_docs"), col("n_tokens"),
+        coalesce(col("distinct_tokens"), lit(0L)).as("distinct_tokens"),
         when(col("n_tokens") > 0,
-          round(col("distinct_tokens") / col("n_tokens"), 6))
+          round(coalesce(col("distinct_tokens"), lit(0L)) / col("n_tokens"), 6))
           .as("ttr"),
         col("quality_micro"))
   }
