@@ -93,20 +93,29 @@ object Bm25Index {
     * unpersist once written.
     */
   def build(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs
+    // r15 shape: dl comes from size(tokens) per row — ids are unique
+    // (the build contract), so no token-grain explode, shuffle, or
+    // left join is needed for the doc rows, and nDocs + totTokens fold
+    // in ONE aggregate job over the same size projection (formerly a
+    // toks.count() plus a docs.count() over a PERSISTED token-grain
+    // frame — a corpus-sized cache at exactly the scale the build
+    // exists for, guide §5). The explode survives only where the data
+    // needs it: the (id, term) posting aggregate.
+    val dlCol = greatest(
+      org.apache.spark.sql.functions.size(TextAnalysis.tokens(col(textCol))), lit(0))
+      .cast("long")
+    val statsRow = docs.select(dlCol.as("dl"))
+      .agg(count(lit(1)).as("nd"), coalesce(sum(col("dl")), lit(0L)).as("tot"))
+      .collect()(0)
+    val (nDocs, tot) = (statsRow.getLong(0), statsRow.getLong(1))
+    val postRows = docs
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
-      .persist()
-    val tot = toks.count()
-    val nDocs = docs.count()
-    val postRows = toks.groupBy(col(idCol), col("term"))
+      .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val docRows = docs.select(col(idCol))
-      .join(toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl")), Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("dl"), lit(0L)).as("dl"))
+    val docRows = docs.select(col(idCol), dlCol.as("dl"))
     val index = rows(docs.sparkSession, idCol, docs.schema(idCol).dataType,
       Meta(nDocs, tot), docRows, postRows).persist()
     index.count()
-    toks.unpersist()
     index
   }
 

@@ -138,13 +138,22 @@ object LshIndex {
     require(minDocFreq >= 0, "minDocFreq must be non-negative")
     val rows = numPerm / bands
 
-    val shCached = df
+    // nDocs from a column-pruned scan of the input — the former
+    // shCached.count() materialized md5 + the shingle kernel into a
+    // cache just to count rows, paying a full kernel pass before any
+    // consumer needed it (r15; guide §5: don't cache corpus-sized
+    // intermediates the plan doesn't re-read)
+    val nDocs = df.count()
+    val shRaw = df
       .select(col(idCol), md5(col(textCol)).as("text_md5"),
         shingleCol(textCol, n, portableHash).as("sh"))
-      .persist()
-    val nDocs = shCached.count()
     // same two-bar policy as lshCore: ratio with an absolute floor,
-    // both recomputed from THIS corpus; the result is then frozen
+    // both recomputed from THIS corpus; the result is then frozen.
+    // The shingle frame is persisted ONLY when a stop pass will read it
+    // before the doc-row persist does (ratio < 1): with pruning
+    // disabled the docs persist below is the sole consumer and an
+    // extra cache layer is pure memory pressure.
+    val shCached = if (maxDocFreqRatio >= 1.0) shRaw else shRaw.persist()
     val stop: Array[Long] =
       if (maxDocFreqRatio >= 1.0) Array.empty
       else {
@@ -156,12 +165,7 @@ object LshIndex {
       }
     val pruned =
       if (stop.isEmpty) shCached
-      else {
-        val p = shCached.withColumn("sh", pruneUdf(stop)(col("sh"))).persist()
-        p.count()
-        shCached.unpersist()
-        p
-      }
+      else shCached.withColumn("sh", pruneUdf(stop)(col("sh")))
     val docs = pruned
       .withColumn("sig",
         udf(TextDedup.sigFromHashesKernel(numPerm, seed)).apply(col("sh")))
@@ -169,7 +173,10 @@ object LshIndex {
     // no eager docs.count(): the builtDropped count below is the first
     // action over this subtree and fills the persist in the same pass
     // (an explicit count was one extra scheduled job per build — the
-    // r11 lshCore rule applied here, r14)
+    // r11 lshCore rule applied here, r14). The pruned layer is no
+    // longer separately persisted/counted either (r15): the docs
+    // persist holds the pruned shingles column itself, so the former
+    // intermediate cache duplicated the biggest column one layer down.
 
     val entriesRaw = docs.select(
       col(idCol),
@@ -208,7 +215,7 @@ object LshIndex {
     index.count()
     counts.unpersist()
     docs.unpersist()
-    pruned.unpersist()
+    shCached.unpersist() // no-op when the stop pass never persisted it
     index
   }
 

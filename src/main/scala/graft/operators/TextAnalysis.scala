@@ -582,18 +582,16 @@ object TextAnalysis {
     * bit-identical scores, so ranks are total-ordered by
     * (score desc, doc id) and the SQL oracle replays them exactly.
     *
-    * Plan shape at 100 TB: the corpus side is a posting build — one
-    * explode + groupBy(doc, term) for tf, a groupBy(doc) for dl
-    * (co-partitioned join), one groupBy(term) for df. The query side
-    * is batch-sized: distinct query terms join df by BROADCAST, and
-    * the enriched term list broadcasts again into the tf scan — the
-    * posting list is filtered scan-side to matching terms before
-    * anything shuffles toward the per-query window top-k. The honest
-    * cost of the ONE-SHOT form (`.explain` audited): each posting
-    * statistic derives from its own corpus scan (~5 scans of the raw
-    * text per call) — fine for a one-off, wrong for a nightly probe;
-    * that is exactly what [[Bm25Index]] exists for (build the postings
-    * once, probe a pruned artifact slice).
+    * Plan shape at 100 TB (r15): the query's distinct terms broadcast
+    * into the token scan BELOW the (doc, term) aggregate, so the tf
+    * exchange carries only query-term postings; df is a count window
+    * over those matched rows (no second corpus subtree); dl and the
+    * (N, total-token) stats each come from one size(tokens) scan with
+    * no token-grain explode. Three scans of the raw text per call,
+    * exactly one of them shuffling token-grain rows — still the honest
+    * cost of the ONE-SHOT form; a nightly probe belongs on
+    * [[Bm25Index]] (build the postings once, probe a pruned artifact
+    * slice).
     */
   def bm25TopK(
       docs: org.apache.spark.sql.DataFrame,
@@ -605,16 +603,38 @@ object TextAnalysis {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75): org.apache.spark.sql.DataFrame = {
-    val toks = docs
+    // r15 (guide §2.3/§3.2): the scoring tail only ever reads tf rows of
+    // QUERY terms, so the term prune is pushed BELOW the (doc, term)
+    // aggregate — the exchange carries postings of the query's terms
+    // instead of the whole corpus vocabulary (tf per surviving (doc,
+    // term) pair is unchanged: the prune is on the grouping key).
+    val qTermSet = queries
+      .select(explode(array_distinct(tokens(col(queryTextCol)))).as("__term"))
+      .distinct()
+    val tf = docs
       .select(col(idCol).as("__doc"), explode(tokens(col(textCol))).as("__term"))
-    val tf = toks.groupBy("__doc", "__term")
+      .join(broadcast(qTermSet), Seq("__term"))
+      .groupBy("__doc", "__term")
       .agg(count(lit(1)).cast("double").as("__tf"))
-    val dl = toks.groupBy("__doc")
-      .agg(count(lit(1)).cast("double").as("__dl"))
+    // Per-doc length from size(tokens) — one scan, no token-grain
+    // explode or shuffle (r15; the former explode+count shape shuffled
+    // one row per token to count them). greatest(…, 0) maps the null
+    // token array (null text) to 0; tokenless docs carry dl 0 and can
+    // never match, exactly as before (they had no toks rows).
+    val dl = docs
+      .select(col(idCol).as("__doc"),
+        greatest(org.apache.spark.sql.functions.size(tokens(col(textCol))), lit(0))
+          .cast("long").as("__n"))
+      .groupBy("__doc")
+      .agg(sum(col("__n")).cast("double").as("__dl"))
     // N over ALL docs (tokenless included), avgdl = total tokens / N —
-    // both exact integers before one double division
-    val stats = docs.select(count(lit(1)).cast("double").as("__nd"))
-      .crossJoin(toks.select(count(lit(1)).cast("double").as("__tot")))
+    // both exact integers before one double division; ONE aggregate pass
+    // (r15; formerly a docs count crossJoin a full explode+count)
+    val stats = docs
+      .select(greatest(org.apache.spark.sql.functions.size(tokens(col(textCol))), lit(0))
+        .cast("long").as("__n"))
+      .agg(count(lit(1)).cast("double").as("__nd"),
+        coalesce(sum(col("__n")), lit(0L)).cast("double").as("__tot"))
     bm25ScoreTopK(tf, dl, stats, queries, queryIdCol, queryTextCol, k, k1, b, idCol)
   }
 
@@ -644,14 +664,20 @@ object TextAnalysis {
     val qt = queries
       .select(col(queryIdCol).as("query_id"),
         explode(array_distinct(tokens(col(queryTextCol)))).as("__term"))
-    // prune postings to query terms FIRST (broadcast into the scan),
-    // then df over the matched postings only
+    // prune postings to query terms FIRST (broadcast into the scan);
+    // df over the matched postings comes from a count window on the
+    // SAME rows (r15, guide §2.4): tf frames are unique per (doc, term)
+    // — bm25TopK's groupBy output, and the index family's posting rows
+    // by construction — so count(*) per term over `matched` IS the
+    // distinct-doc frequency. The former distinct+groupBy+join-back
+    // planned the whole matched subtree TWICE (once under each join
+    // side) plus two extra aggregates and a broadcast; the window reuses
+    // one subtree under one term-keyed exchange.
     val matched = tf.join(broadcast(qt.select("__term").distinct()), "__term")
-    val dfr = matched.select("__doc", "__term").distinct()
-      .groupBy("__term").agg(count(lit(1)).cast("double").as("__df"))
-    val qdf = dfr.join(broadcast(qt), "__term")
     val cand = matched
-      .join(broadcast(qdf), "__term")
+      .withColumn("__df",
+        count(lit(1)).over(Window.partitionBy(col("__term"))).cast("double"))
+      .join(broadcast(qt), "__term")
       .join(dl, "__doc")
       .crossJoin(broadcast(stats))
       .withColumn("__contrib",
