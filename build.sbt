@@ -10,6 +10,14 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Run suites CONCURRENTLY inside the one forked test JVM (they already
+// share the SparkSpec session singleton, and Spark schedules concurrent
+// jobs from many threads natively): the suite wall becomes
+// max(suite) + contention instead of sum(suite). The pool size in the
+// fork is Runtime.availableProcessors — capped to 8 below so ~8 suites
+// in flight share the local[4] task slots without thrashing the 8g heap.
+Test / testForkedParallel := true
+Test / javaOptions += "-XX:ActiveProcessorCount=8"
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -1873,13 +1873,15 @@ object SparkEntry {
         val index = operators.IvfIndex.build(
           e, idCol = "vec_id", vecCol = "embedding",
           centroids = IvfCentroids.centroids)
-        val res = operators.IvfIndex.topKAgainst(
+        // the index cache must outlive the caller's materializing action:
+        // topKAgainst returns a LAZY frame, so an unpersist here made the
+        // timed count rebuild the whole index subtree a second time (r15;
+        // the harness drops leftover caches after each query)
+        operators.IvfIndex.topKAgainst(
             index, e.filter($"vec_id" < 5),
             idCol = "vec_id", vecCol = "embedding", k = 5, nProbe = 4)
           .select($"query_id", $"rank", $"neighbor_id", round($"sim", 6).as("sim"))
           .orderBy("query_id", "rank")
-        index.unpersist()
-        res
       },
       Some(s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
              |           FROM embeddings),
@@ -2956,12 +2958,15 @@ object SparkEntry {
           docs.filter($"doc_id" % 2 === 0), "doc_id", "text")
         val ix = operators.Bm25Index.append(
           evens, docs.filter($"doc_id" % 2 =!= 0), "doc_id", "text")
-        val res = operators.Bm25Index.topKAgainst(
+        // keep the index caches alive for the probe's materializing
+        // action: topKAgainst is LAZY, and the old unpersist-then-return
+        // forced the timed count to rebuild evens+append from scratch —
+        // the probe paying the build twice (r15; harness clears caches
+        // after each query)
+        operators.Bm25Index.topKAgainst(
             ix, docs.filter($"doc_id" < 3), "doc_id", "text", k = 10)
           .select($"query_id", $"rank", $"doc_id", round($"bm25", 6).as("bm25"))
           .orderBy("query_id", "rank")
-        evens.unpersist(); ix.unpersist()
-        res
       },
       Some(bm25OracleSql))
 
@@ -3043,12 +3048,12 @@ object SparkEntry {
         val (lo, hi) = Similarity.sq8Fit(e, "embedding")
         val index = operators.IvfSq8Index.build(
           e, "vec_id", "embedding", IvfCentroids.centroids, lo, hi)
-        val res = operators.IvfSq8Index.topKAgainst(
+        // LAZY probe + premature unpersist = the timed action built the
+        // index twice; keep the cache for the materializing count (r15)
+        operators.IvfSq8Index.topKAgainst(
             index, e.filter($"vec_id" < 5), "vec_id", "embedding", k = 5, nProbe = 4)
           .select($"query_id", $"rank", $"neighbor_id", round($"adc_cos", 6).as("adc_cos"))
           .orderBy("query_id", "rank")
-        index.unpersist()
-        res
       },
       Some(s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
              |           FROM embeddings),

@@ -29,6 +29,12 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // drop whatever the query left persisted (operator-internal
+        // caches now deliberately outlive the query fn so the write
+        // above reuses them — see q63/q85/q88): 132 queries in one
+        // session would otherwise accumulate storage blocks
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -5,19 +5,24 @@ import org.apache.spark.sql.functions._
 
 
 /** Throwaway r14 experiment: lshCore (q24 parameters) stage by stage,
-  * with row counts, to locate the verify-stage task time.
+  * with row counts, to locate the verify-stage task time. Lives in the
+  * operators package (not graft.tools) because it drives
+  * private[operators] kernels directly; the file moved under
+  * src/.../operators/ to match (ADVICE r14).
   */
 object LshSteps {
   def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.optimizer.excludedRules", graft.Sessions.ExcludedOptimizerRules)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val docs = spark.read.parquet(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1") + "/documents.parquet")
       .select($"doc_id", $"text")
 
     def time[A](label: String)(f: => A): A = {

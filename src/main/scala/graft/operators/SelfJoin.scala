@@ -20,6 +20,15 @@ object SelfJoin {
 
   /** All pairs (id_a < id_b) sharing every `groupCols` value, carrying
     * `payload` from both sides as `<payload>_a` / `<payload>_b`.
+    *
+    * Rows with a NULL group key never pair (spec-pinned, r15 — ADVICE
+    * r14 asked for the contract to be settled): the r14 window rewrite
+    * does assign them chunk ids (`Window.partitionBy` groups NULLs
+    * together), but the a×b equi-join on `groupCols` below drops them
+    * exactly as the pre-r14 using-column join did — null keys do not
+    * equal each other in a join. So the observable contract is
+    * UNCHANGED by the rewrite, for internal callers (which only pass
+    * generated non-null bucket keys) and external ones alike.
     */
   def pairsWithinGroups(
       df: DataFrame,

@@ -50,7 +50,6 @@ object JobProfile {
         if (!isBcast && execId != "-") execSite.putIfAbsent(execId, raw)
         val site = if (isBcast) s"[bcast exec=$execId]" else raw
         starts.put(js.jobId, (site, System.nanoTime()))
-        starts.put(js.jobId, (site, System.nanoTime()))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(starts.remove(je.jobId)).foreach { case (site, t0) =>

@@ -152,6 +152,34 @@ object ProfileScale {
       }
       println(f"PROFILE q56_dedup_against factor=$f rows=$n56 cold=$cold56%.1f warm=$warm56%.1f")
       }
+      if (only.forall(_ == "bm25")) {
+        // The r15 bm25TopK claim (§2.3): the query-term prune sits BELOW
+        // the (doc, term) aggregate, so the token-grain exchange carries
+        // only query-term postings — shuffle bytes should stay ~flat as
+        // the corpus scales while the scan grows with f. scaledLoose is
+        // safe (BM25 is an aggregate-join, no pair generation); the
+        // query batch is FIXED (3 docs of the f=1 corpus), mirroring
+        // q84's shape. Shuffle-write bytes come from a stage listener —
+        // the direct §2 evidence wall-clock at local[32] cannot give.
+        val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+        val lst = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
+        root.sparkContext.addSparkListener(lst)
+        val (nb, coldB, warmB) = timed { s =>
+          val docs = scaledLoose(s, sfDir, f)
+          graft.operators.TextAnalysis.bm25TopK(
+            docs, idCol = "doc_id", textCol = "text",
+            queries = docs.filter(col("doc_id") < 3).limit(3),
+            queryIdCol = "doc_id", queryTextCol = "text", k = 10)
+        }
+        // bytes cover cold+warm (2 runs) — halve for a per-run figure
+        root.sparkContext.removeSparkListener(lst)
+        println(f"PROFILE bm25_topk factor=$f rows=$nb cold=$coldB%.1f warm=$warmB%.1f " +
+          f"shuffleMBperRun=${shuffleBytes.get / 2.0 / 1e6}%.1f")
+      }
       if (only.forall(_ == "index")) {
         // The LshIndex claim (VERDICT r7 asks #1/#6): kept corpus scales
         // with f, incoming batch FIXED (f=1 odd docs). The one-shot

@@ -6,8 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for all suites (one JVM per forked test run). */
 object SparkSpec {
   lazy val spark: SparkSession = {
+    // local[8]: suites run concurrently since r15 (build.sbt
+    // testForkedParallel) — 4 task slots starved 8 suite threads; 8
+    // slots on the 32-core host keep the heavy suites' jobs flowing
+    // while shuffle.partitions stays at 4 (tiny test frames)
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[8]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

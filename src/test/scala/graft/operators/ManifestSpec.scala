@@ -166,7 +166,12 @@ class ManifestSpec extends SparkSpec {
     // manifest must equal a from-scratch build over everything ever
     // curated — accounting follows the corpus without ever rescanning
     // it
+    // a third of sf0.001 keeps both turns non-trivial while the LSH
+    // work inside curateIncremental stays test-sized: the assertion is
+    // manifest merge == rebuild over WHATEVER was curated, so the
+    // corpus size is a fixture knob, not part of the contract
     val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter($"doc_id" % 3 === 0)
       .select($"doc_id", $"text", $"lang")
     val kept = all.filter($"doc_id" % 2 === 0)
     val bench = all.filter($"doc_id" % 97 === 0).select("doc_id", "text")

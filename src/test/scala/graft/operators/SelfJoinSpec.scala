@@ -42,4 +42,18 @@ class SelfJoinSpec extends SparkSpec {
     assert(got.count() == n * (n - 1) / 2)
     assert(got.select("id_a", "id_b").distinct().count() == n * (n - 1) / 2)
   }
+
+  test("null group keys never pair (contract unchanged by the r14 window rewrite)") {
+    // pins the contract ADVICE r14 asked to settle: the window assigns
+    // null-key rows chunk ids (partitionBy groups NULLs together), but
+    // the a×b equi-join on the group columns drops them — same
+    // observable behavior as the pre-r14 groupBy(max)+join shape.
+    val df = Seq(
+      (Option("g"), 1L), (Option("g"), 2L),
+      (Option.empty[String], 10L), (Option.empty[String], 11L),
+      (Option.empty[String], 12L)).toDF("g", "id")
+    val got = SelfJoin.pairsWithinGroups(df, Seq("g"), "id", Seq.empty, chunkSize = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
 }

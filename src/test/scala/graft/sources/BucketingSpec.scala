@@ -23,17 +23,18 @@ class BucketingSpec extends SparkSpec {
     Writers.writeBucketedTable(a, "bkt_a", "k", 8, sortCol = Some("k"))
     Writers.writeBucketedTable(b, "bkt_b", "k", 8, sortCol = Some("k"))
     // force the non-broadcast path: bucketing matters when both sides are
-    // fact-sized (a broadcast would win on these tiny test tables)
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
-        s"expected bucket-aligned join with no shuffle, got:\n$plan")
-      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
-      assert(joined.count() == 1000)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // fact-sized (a broadcast would win on these tiny test tables).
+    // Conf tweak on a CHILD session (shared catalog, private conf): the
+    // shared session's planner settings must stay untouched — suites run
+    // concurrently and PlanSpec asserts broadcast shapes on it.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val joined = s2.table("bkt_a").join(s2.table("bkt_b"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+      s"expected bucket-aligned join with no shuffle, got:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+    assert(joined.count() == 1000)
   }
 
   test("dynamic partition overwrite replaces only the written year") {
