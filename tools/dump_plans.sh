@@ -7,7 +7,6 @@ ROUND=$1; SUFFIX=$2; shift 2
 mkdir -p "plans/$ROUND"
 sbt -batch "runMain graft.tools.Explain $*" 2>/dev/null \
   | awk -v rd="plans/$ROUND" -v sx="$SUFFIX" '
-    /^======== / { if (f) close(f); f = rd "/" $2 "_" sx ".txt"; next }
-    f && /^\[info\] / { sub(/^\[info\] /, ""); print > f; next }
-    f { print > f }'
-ls -la "plans/$ROUND/" | grep "_$SUFFIX"
+    /^\[info\] ======== / { if (f) close(f); f = rd "/" $3 "_" sx ".txt"; next }
+    f && /^\[info\]/ { line = $0; sub(/^\[info\] ?/, "", line); print line > f }'
+ls -la "plans/$ROUND/" | grep "_$SUFFIX" | tail -12
