@@ -158,7 +158,11 @@ object Release {
       Seq(idCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // 6: ship — data + manifest in one call, data card next to them
+    // 6: ship — data + manifest in one call, data card next to them.
+    // Deliberately SEQUENTIAL (unlike writeArtifacts below): the card
+    // reads the corpus persist that the data write is the first to
+    // fill — run concurrently they'd race the cold cache and duplicate
+    // the curation lineage; run in this order the card is a cache read.
     Manifest.writeWithManifest(
       packed, path, SplitCol, Seq(idCol, textCol), length(col(textCol)))
     TextAnalysis.dataCard(corpus, textCol, langCol)
@@ -205,15 +209,39 @@ object Release {
     // the parquet dir it is about to replace — a lazy overwrite would
     // delete its own input mid-plan. localCheckpoint materializes the
     // (dimension / gram-set / vocabulary-sized) artifact first.
-    val m = manifest.localCheckpoint()
-    val g = evalGrams.localCheckpoint()
-    val c = cardIndex.localCheckpoint()
-    m.write.mode("overwrite").parquet(s"$path/manifest")
-    g.write.mode("overwrite").parquet(s"$path/evalgrams")
-    c.write.mode("overwrite").parquet(s"$path/cardix")
-    TextAnalysis.dataCardOf(c, langCol)
-      .write.mode("overwrite").parquet(s"$path/card")
-    (m, g, c)
+    //
+    // The three artifacts are INDEPENDENT subtrees over the same cached
+    // inputs writing to three distinct directories, so each
+    // checkpoint+write pair runs on its own driver thread (r15, guide
+    // §2.6: actions are only sequential because the driver calls them
+    // sequentially — one artifact's job tail backfills the others'
+    // task slots). Per-artifact ordering (checkpoint, then write, then
+    // the card derived from the checkpointed cardix) is preserved
+    // inside each thread; a failure surfaces through Await exactly as
+    // it would sequentially, with the same partial-overwrite exposure.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val fm = Future {
+        val m = manifest.localCheckpoint()
+        m.write.mode("overwrite").parquet(s"$path/manifest"); m
+      }
+      val fg = Future {
+        val g = evalGrams.localCheckpoint()
+        g.write.mode("overwrite").parquet(s"$path/evalgrams"); g
+      }
+      val fc = Future {
+        val c = cardIndex.localCheckpoint()
+        c.write.mode("overwrite").parquet(s"$path/cardix")
+        TextAnalysis.dataCardOf(c, langCol)
+          .write.mode("overwrite").parquet(s"$path/card")
+        c
+      }
+      (Await.result(fm, Duration.Inf), Await.result(fg, Duration.Inf),
+        Await.result(fc, Duration.Inf))
+    } finally pool.shutdown()
   }
 
   /** First turn of an incremental release: the [[build]] stages minus
